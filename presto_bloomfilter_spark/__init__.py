@@ -1,0 +1,36 @@
+"""presto_bloomfilter_spark — a PySpark-native distributed sketch library.
+
+A from-scratch rebuild of the capabilities of RobinUS2/presto-bloomfilter
+(reference at /root/reference, a Presto plugin: BloomFilter SQL type +
+aggregation/scalar functions + HTTP persistence) as an idiomatic PySpark
+library:
+
+- pure-numpy, vectorized sketch cores with one mergeable algebra
+  (``new / update_batch / merge / estimate / to_bytes / from_bytes``):
+  Bloom (reference parity), HyperLogLog, Count-Min, KLL quantiles;
+- a thin Spark dataflow layer that runs those cores inside
+  ``mapInArrow`` / ``applyInPandas`` with explicit two-level tree merges,
+  salting for skewed group keys, and broadcast probe UDFs;
+- a filesystem sketch store replacing the reference's Go persistence
+  service (reference: persist-service/server.go:30-57);
+- training-data pipeline operators (dedup, similarity search, text
+  analysis, multimodal plumbing) built on the same primitives.
+
+No JVM code, no custom Catalyst rules, no per-row Python in hot paths.
+"""
+
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.functions.hll import HyperLogLog
+from presto_bloomfilter_spark.functions.cms import CountMinSketch
+from presto_bloomfilter_spark.functions.kll import KLLSketch
+from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+
+__all__ = [
+    "BloomFilter",
+    "HyperLogLog",
+    "CountMinSketch",
+    "KLLSketch",
+    "sketch_from_bytes",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,150 @@
+"""HyperLogLog cardinality sketch (dense), numpy-vectorized.
+
+Sibling sketch required by the north star (SURVEY.md §2.1 tail): same
+mergeable algebra as the reference's BloomFilter aggregation pattern
+(reference AbstractBloomFilterAggregation.java:19-60 — input/combine/
+output with a serializable state), different payload.
+
+Standard HLL (Flajolet et al. 2007) with the small-range linear-counting
+correction; default precision p=14 → 16384 registers, relative standard
+error 1.04/sqrt(2^p) ≈ 0.81%.  Merge = elementwise register max —
+commutative, associative, idempotent, so parallelism-invariant at the
+byte level.  Cross-checkable against Spark's ``approx_count_distinct``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from presto_bloomfilter_spark.functions import serialization as ser
+from presto_bloomfilter_spark.functions.hashing import hash_ints64, hash_strings64
+
+_U64 = np.uint64
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@ser.register_kind(ser.KIND_HLL)
+class HyperLogLog:
+    DEFAULT_PRECISION = 14
+
+    def __init__(self, precision: int = DEFAULT_PRECISION, _registers: np.ndarray | None = None):
+        if not (4 <= precision <= 18):
+            raise ValueError("precision must be in [4, 18]")
+        self.precision = int(precision)
+        self.m = 1 << precision
+        if _registers is not None:
+            if len(_registers) != self.m:
+                raise ValueError("payload does not match precision")
+            self.registers = _registers
+        else:
+            self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @property
+    def size_bytes(self) -> int:
+        return self.m
+
+    @property
+    def relative_error(self) -> float:
+        """Published relative standard error bound."""
+        return 1.04 / math.sqrt(self.m)
+
+    # ---- updates ------------------------------------------------------------
+
+    def _update(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        p = self.precision
+        bucket = (h >> _U64(64 - p)).astype(np.int64)
+        rest = (h << _U64(p)) | _U64(1)  # sentinel bit → rank ≤ 64-p+1 ≤ 61
+        # rank = number of leading zeros of the remaining bits + 1,
+        # vectorized: 64 - bit_length(rest) + 1; bit_length via log2 is
+        # unsafe for uint64 → use a shift loop over the 6 bit-levels.
+        rank = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        width = np.zeros(len(h), dtype=np.uint8)  # bit_length(x)
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = x >= (_U64(1) << _U64(shift))
+            width[big] += shift
+            x[big] >>= _U64(shift)
+        width += 1  # x>=1 always (sentinel)
+        rank = (64 - width + 1).astype(np.uint8)
+        np.maximum.at(self.registers, bucket, rank)
+
+    def add_strings(self, values) -> "HyperLogLog":
+        import pandas as pd
+
+        s = values if isinstance(values, pd.Series) else pd.Series(values, dtype=object)
+        s = s[s.notna()]
+        if len(s):
+            self._update(hash_strings64(s))
+        return self
+
+    def add_ints(self, values) -> "HyperLogLog":
+        a = np.asarray(values)
+        if a.size:
+            self._update(hash_ints64(a))
+        return self
+
+    # ---- estimate -----------------------------------------------------------
+
+    def estimate(self) -> float:
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        if raw <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * math.log(m / zeros)  # linear counting
+        return float(raw)
+
+    # ---- merge --------------------------------------------------------------
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if not isinstance(other, HyperLogLog):
+            raise TypeError("can only merge HyperLogLog with HyperLogLog")
+        if self.precision != other.precision:
+            raise ValueError(
+                f"precision mismatch: {self.precision} vs {other.precision}"
+            )
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def copy(self) -> "HyperLogLog":
+        return HyperLogLog(self.precision, _registers=self.registers.copy())
+
+    # ---- serialization ------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return ser.encode(ser.KIND_HLL, {"precision": self.precision}, self.registers.tobytes())
+
+    @classmethod
+    def _from_parts(cls, params: dict, payload: bytes) -> "HyperLogLog":
+        return cls(params["precision"], _registers=np.frombuffer(payload, np.uint8).copy())
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "HyperLogLog":
+        kind, params, payload = ser.decode(buf)
+        if kind != ser.KIND_HLL:
+            raise ValueError("not an HLL blob")
+        return cls._from_parts(params, payload)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, HyperLogLog)
+            and self.precision == other.precision
+            and bool(np.array_equal(self.registers, other.registers))
+        )
+
+    def __repr__(self) -> str:
+        return f"HyperLogLog(p={self.precision}, est={self.estimate():.1f})"

@@ -1,0 +1,138 @@
+"""Sibling-sketch tests: published error bounds, merge algebra,
+serialization round-trips (pattern mirrors reference test levels 1-3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from presto_bloomfilter_spark import CountMinSketch, HyperLogLog, KLLSketch
+from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+
+# ---------- HLL ----------
+
+
+def test_hll_error_within_published_bound():
+    for true_n in (100, 10_000, 1_000_000):
+        h = HyperLogLog()
+        h.add_ints(np.arange(true_n, dtype=np.int64))
+        est = h.estimate()
+        rel = abs(est - true_n) / true_n
+        assert rel <= 4 * h.relative_error, (true_n, est, rel)  # 4 sigma
+
+
+def test_hll_strings_and_duplicates():
+    h = HyperLogLog()
+    s = pd.Series([f"u{i % 500}" for i in range(50_000)])
+    h.add_strings(s)
+    assert abs(h.estimate() - 500) / 500 <= 0.05
+
+
+def test_hll_merge_equals_union_build():
+    a = HyperLogLog().add_ints(np.arange(0, 60_000))
+    b = HyperLogLog().add_ints(np.arange(40_000, 100_000))
+    merged = a.copy().merge(b)
+    direct = HyperLogLog().add_ints(np.arange(100_000))
+    assert merged == direct  # register-max merge is byte-identical
+    ba = b.copy().merge(a)
+    assert merged == ba  # commutative
+
+
+def test_hll_precision_mismatch_raises():
+    with pytest.raises(ValueError):
+        HyperLogLog(12).merge(HyperLogLog(14))
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog().add_ints(np.arange(1234))
+    back = sketch_from_bytes(h.to_bytes())
+    assert isinstance(back, HyperLogLog) and back == h
+    assert back.estimate() == h.estimate()
+
+
+# ---------- CMS ----------
+
+
+def test_cms_never_underestimates_and_bound_holds():
+    rng = np.random.default_rng(3)
+    # zipf-ish token stream
+    toks = rng.zipf(1.3, size=200_000).astype(np.int64) % 10_000
+    c = CountMinSketch(eps=0.0005, delta=0.01)
+    c.add_ints(toks)
+    uniq, true_counts = np.unique(toks, return_counts=True)
+    est = c.estimate_ints(uniq)
+    assert (est >= true_counts).all()
+    assert (est <= true_counts + c.error_bound()).mean() >= 0.99
+
+
+def test_cms_weighted_updates_and_strings():
+    c = CountMinSketch(eps=0.001, delta=0.01)
+    c.add_strings(pd.Series(["a", "b", "a"]), counts=np.array([5, 2, 1]))
+    est = c.estimate_strings(pd.Series(["a", "b", "zzz"]))
+    assert est[0] >= 6 and est[1] >= 2
+    assert c.total == 8
+
+
+def test_cms_merge_additive():
+    a = CountMinSketch(eps=0.001).add_ints(np.array([1, 1, 2]))
+    b = CountMinSketch(eps=0.001).add_ints(np.array([1, 3]))
+    m = a.copy().merge(b)
+    direct = CountMinSketch(eps=0.001).add_ints(np.array([1, 1, 2, 1, 3]))
+    assert m == direct and m.total == 5
+    assert b.copy().merge(a) == m  # commutative
+
+
+def test_cms_roundtrip():
+    c = CountMinSketch(eps=0.01, delta=0.05).add_ints(np.arange(100))
+    back = sketch_from_bytes(c.to_bytes())
+    assert isinstance(back, CountMinSketch) and back == c and back.total == 100
+
+
+# ---------- KLL ----------
+
+
+def test_kll_rank_error_within_bound():
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 100, size=200_000)
+    sk = KLLSketch(k=200).add(data)
+    sorted_data = np.sort(data)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est) / len(data)
+        assert abs(true_rank - q) <= 3 * sk.rank_error, (q, true_rank)
+
+
+def test_kll_merge_parallel_build_within_bound():
+    rng = np.random.default_rng(5)
+    data = rng.exponential(10, size=120_000)
+    parts = np.array_split(data, 8)
+    sketches = [KLLSketch(k=200).add(p) for p in parts]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged.merge(s)
+    assert merged.n == len(data)
+    sorted_data = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est) / len(data)
+        assert abs(true_rank - q) <= 4 * merged.rank_error, (q, true_rank)
+
+
+def test_kll_exact_when_small():
+    sk = KLLSketch(k=200).add(np.arange(100, dtype=float))
+    assert sk.quantile(0.0) == 0.0
+    assert sk.quantile(1.0) == 99.0
+    assert abs(sk.quantile(0.5) - 50.0) <= 1.0
+
+
+def test_kll_roundtrip():
+    sk = KLLSketch(k=128).add(np.arange(50_000, dtype=float))
+    back = sketch_from_bytes(sk.to_bytes())
+    assert isinstance(back, KLLSketch)
+    assert back.n == sk.n
+    qs = np.array([0.1, 0.5, 0.9])
+    assert np.allclose(back.quantile(qs), sk.quantile(qs))
+
+
+def test_kll_k_mismatch_raises():
+    with pytest.raises(ValueError):
+        KLLSketch(100).merge(KLLSketch(200))
