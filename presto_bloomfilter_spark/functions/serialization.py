@@ -72,10 +72,17 @@ def decode(buf: bytes) -> tuple[int, dict, bytes]:
     return kind, json.loads(pjson), payload
 
 
+def _unpack_header(buf: bytes):
+    try:
+        return _HEADER.unpack_from(buf, 0)
+    except struct.error as e:
+        raise ValueError("not a PBFS sketch blob (truncated header)") from e
+
+
 def read_hash(buf: bytes) -> bytes:
     """Read the 32-byte content hash without decoding the payload
     (reference parity: BloomFilter.readHash, BloomFilter.java:409-415)."""
-    magic, ver, _, _, digest, _, _ = _HEADER.unpack_from(buf, 0)
+    magic, ver, _, _, digest, _, _ = _unpack_header(buf)
     _check(magic, ver)
     return digest
 
@@ -88,7 +95,7 @@ def read_params(buf: bytes) -> dict:
 
 
 def read_kind(buf: bytes) -> int:
-    magic, ver, kind, _, _, _, _ = _HEADER.unpack_from(buf, 0)
+    magic, ver, kind, _, _, _, _ = _unpack_header(buf)
     _check(magic, ver)
     return kind
 
@@ -103,7 +110,7 @@ def sketch_from_bytes(buf: bytes):
 
 
 def _split(buf: bytes):
-    magic, ver, kind, flags, digest, plen, slen = _HEADER.unpack_from(buf, 0)
+    magic, ver, kind, flags, digest, plen, slen = _unpack_header(buf)
     _check(magic, ver)
     off = _HEADER.size
     pjson = buf[off : off + plen]

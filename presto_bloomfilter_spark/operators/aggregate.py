@@ -1,0 +1,258 @@
+"""Distributed sketch aggregation — the UDAF layer.
+
+PySpark has no user-defined aggregate functions, so the reference's
+partial/combine/output protocol (reference
+AbstractBloomFilterAggregation.java:19-60 + BloomFilterStateSerializer
+.java:21-47) is rebuilt as explicit dataflow:
+
+  ungrouped:  df.mapInArrow(partial build)   — one tiny binary row per
+              input partition (this is Presto's "partial" phase; no
+              shuffle of raw rows, only of sketch blobs)
+              → repartition(fan_in).mapInArrow(merge)  — intermediate
+              tree level, bounds the final fan-in (north_rule:
+              "two-level treeAggregate-style partial-sketch merges to
+              avoid driver hotspots")
+              → driver merges ≤ fan_in blobs ("final" phase).
+
+  grouped:    df.groupBy(key).applyInPandas(build)     — Catalyst plans
+              the hash shuffle; for skewed keys the salted variant
+              groups by (key, salt) first and then merges per key, so
+              no single task owns a whole hot key.
+
+Scale notes (100 TB / 1000 executors): the partial phase reads each
+input partition exactly once and emits O(sketch_size) bytes per
+partition — shuffle volume is partitions × sketch bytes, independent of
+row count.  fan_in bounds both the level-2 task count and the driver's
+final merge work.  applyInPandas materializes each group in one worker
+(that is *why* salting is mandatory for a 55%-skewed `source`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.functions.cms import CountMinSketch
+from presto_bloomfilter_spark.functions.hll import HyperLogLog
+from presto_bloomfilter_spark.functions.kll import KLLSketch
+from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+
+DEFAULT_FAN_IN = 16
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """factory() → empty sketch; update(sketch, arrow RecordBatch) →
+    vectorized bulk insert of one batch. Both run inside executors."""
+
+    columns: tuple[str, ...]
+    factory: Callable[[], object]
+    update: Callable[[object, pa.RecordBatch], None]
+
+
+# ---- batch extractors (Arrow-level, no per-row Python) -----------------------
+
+
+def _col_strings(batch: pa.RecordBatch, name: str) -> pd.Series:
+    return batch.column(batch.schema.get_field_index(name)).to_pandas()
+
+
+def _col_flat_tokens(batch: pa.RecordBatch, name: str) -> np.ndarray:
+    """Flatten an array<int> column to one numpy vector — zero-copy via
+    pyarrow ListArray.flatten() (SURVEY.md §2.3: the vectorized form of
+    F.explode for sketch input)."""
+    col = batch.column(batch.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    return flat.to_numpy(zero_copy_only=False)
+
+
+def _col_floats(batch: pa.RecordBatch, name: str) -> np.ndarray:
+    col = batch.column(batch.schema.get_field_index(name))
+    return col.to_numpy(zero_copy_only=False)
+
+
+# ---- prebuilt specs ----------------------------------------------------------
+
+
+def bloom_over_strings(col: str, n: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                       p: float = BloomFilter.DEFAULT_FPP) -> SketchSpec:
+    """bloom_filter(varchar[, n[, p]]) parity (reference
+    BloomFilterAggregation.java:31-62)."""
+    return SketchSpec(
+        (col,),
+        lambda: BloomFilter(n, p),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def bloom_over_tokens(col: str = "tokens", n: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                      p: float = BloomFilter.DEFAULT_FPP) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: BloomFilter(n, p),
+        lambda sk, b: sk.add_ints(_col_flat_tokens(b, col)),
+    )
+
+
+def hll_over_strings(col: str, precision: int = HyperLogLog.DEFAULT_PRECISION) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: HyperLogLog(precision),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def hll_over_tokens(col: str = "tokens", precision: int = HyperLogLog.DEFAULT_PRECISION) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: HyperLogLog(precision),
+        lambda sk, b: sk.add_ints(_col_flat_tokens(b, col)),
+    )
+
+
+def cms_over_tokens(col: str = "tokens", eps: float = 1e-4, delta: float = 0.01) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: CountMinSketch(eps, delta),
+        lambda sk, b: sk.add_ints(_col_flat_tokens(b, col)),
+    )
+
+
+def cms_over_strings(col: str, eps: float = 1e-4, delta: float = 0.01) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: CountMinSketch(eps, delta),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def kll_over_column(col: str, k: int = KLLSketch.DEFAULT_K) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: KLLSketch(k),
+        lambda sk, b: sk.add(_col_floats(b, col)),
+    )
+
+
+# ---- ungrouped aggregation (two-level tree merge) ----------------------------
+
+
+def _partial_build(spec: SketchSpec):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = spec.factory()
+        for b in batches:
+            if b.num_rows:
+                spec.update(sk, b)
+        yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
+
+    return fn
+
+
+def _merge_blobs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    sk = None
+    for b in batches:
+        for buf in b.column(0):
+            other = sketch_from_bytes(buf.as_py())
+            sk = other if sk is None else sk.merge(other)
+    if sk is not None:
+        yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
+
+
+def aggregate_sketch(df: DataFrame, spec: SketchSpec, fan_in: int = DEFAULT_FAN_IN):
+    """Build one sketch over the whole DataFrame; returns the sketch object.
+
+    Column pruning: only spec.columns are read, so the parquet scan
+    prunes everything else.
+    """
+    pruned = df.select(*spec.columns)
+    partials = pruned.mapInArrow(_partial_build(spec), "sketch binary")
+    n_parts = pruned.rdd.getNumPartitions()
+    if n_parts > fan_in:
+        # intermediate tree level: fan_in tasks each merge ~n/fan_in blobs
+        partials = partials.repartition(fan_in).mapInArrow(_merge_blobs, "sketch binary")
+    blobs = [r.sketch for r in partials.collect()]
+    if not blobs:
+        return spec.factory()
+    return reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in blobs))
+
+
+def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAULT_FAN_IN):
+    """Aggregate *pre-built* sketches stored in a binary column — parity
+    with the reference's bloom_filter_from_string / bloom_filter(bf)
+    merge aggregation (BloomFilterFromString.java:23-38)."""
+    pruned = df.select(F.col(col).alias("sketch"))
+    partials = pruned.mapInArrow(_merge_blobs, "sketch binary")
+    if pruned.rdd.getNumPartitions() > fan_in:
+        partials = partials.repartition(fan_in).mapInArrow(_merge_blobs, "sketch binary")
+    blobs = [r.sketch for r in partials.collect()]
+    if not blobs:
+        raise ValueError("no sketches to merge")
+    return reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in blobs))
+
+
+# ---- grouped aggregation (salted two-level) ----------------------------------
+
+
+def grouped_sketch(
+    df: DataFrame,
+    key: str,
+    spec: SketchSpec,
+    salt: int | None = None,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Per-key sketches: returns DataFrame[key string, sketch binary].
+
+    With ``salt=S`` the build groups by (key, hash%S) and a second
+    applyInPandas merges the S partials per key — no single task ever
+    materializes a whole hot key (north_rule skew handling).  The salt
+    hash uses a deterministic column (default: first spec column if it
+    is a string, else the key itself) so results do not depend on
+    physical row placement.
+    """
+    cols = [key, *spec.columns]
+    pruned = df.select(*dict.fromkeys(cols))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = spec.factory()
+        if len(pdf):
+            spec.update(sk, pa.RecordBatch.from_pandas(pdf[list(spec.columns)], preserve_index=False))
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    out_schema = f"{key} string, sketch binary"
+
+    if not salt:
+        return pruned.groupBy(key).applyInPandas(build, out_schema)
+
+    sc = salt_col or key
+    salted = pruned.withColumn("__salt", F.pmod(F.xxhash64(F.col(sc), F.monotonically_increasing_id()), F.lit(salt)))
+
+    def build_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+        return build(pdf.drop(columns="__salt"))
+
+    partials = salted.groupBy(key, "__salt").applyInPandas(build_salted, out_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in pdf["sketch"]))
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    return partials.groupBy(key).applyInPandas(merge_group, out_schema)
+
+
+def grouped_merge_sketch_column(df: DataFrame, key: str, col: str = "sketch") -> DataFrame:
+    """Grouped merge of pre-built sketches → DataFrame[key, sketch]."""
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in pdf[col]))
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()]})
+
+    return df.select(key, col).groupBy(key).applyInPandas(merge_group, f"{key} string, sketch binary")

@@ -1,0 +1,116 @@
+"""Broadcast sketch probes — the scalar-function side of the reference.
+
+The reference evaluates ``bloom_filter_contains(bf, el)`` per row with a
+Guava LRU keyed by the blob's sha256 prefix
+(BloomFilterScalarFunctions.java:25,46-61).  Spark-native translation
+(SURVEY.md §3.2): the sketch bytes ride a torrent broadcast to every
+executor; an *iterator* pandas UDF deserializes once per task (plus an
+executor-local LRU keyed by the same sha256 header) and probes whole
+Arrow batches vectorized.  No cross join against a 1-row aggregate —
+a broadcast variable is the idiomatic Spark form of that pattern.
+
+At 100 TB the probe is a map-only stage: no shuffle, filter evaluated
+inside the scan pipeline, bloom FP rate bounds the extra rows that the
+(optional) exact verification join must process.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from presto_bloomfilter_spark.functions import serialization as ser
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.operators.aggregate import (
+    DEFAULT_FAN_IN,
+    aggregate_sketch,
+    bloom_over_strings,
+)
+
+# executor-local deserialization cache, keyed by the 32-byte sha256
+# header (reference cache: max 40 entries, BloomFilterScalarFunctions.java:25)
+_CACHE_MAX = 40
+_sketch_cache: "OrderedDict[bytes, object]" = OrderedDict()
+
+
+def _cached_sketch(blob: bytes):
+    key = ser.read_hash(blob)
+    sk = _sketch_cache.get(key)
+    if sk is None:
+        sk = ser.sketch_from_bytes(blob)
+        _sketch_cache[key] = sk
+        if len(_sketch_cache) > _CACHE_MAX:
+            _sketch_cache.popitem(last=False)
+    else:
+        _sketch_cache.move_to_end(key)
+    return sk
+
+
+def contains_udf(spark: SparkSession, sketch, ints: bool = False):
+    """Vectorized membership predicate over a broadcast sketch.
+
+    Returns a column function usable in ``df.filter`` — the Spark form
+    of ``WHERE bloom_filter_contains(bf, col)`` (reference README.md:28).
+    """
+    blob = sketch.to_bytes() if hasattr(sketch, "to_bytes") else bytes(sketch)
+    bv = spark.sparkContext.broadcast(blob)
+
+    if ints:
+
+        @pandas_udf("boolean")
+        def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            sk = _cached_sketch(bv.value)
+            for s in it:
+                yield pd.Series(sk.might_contain_ints(s.to_numpy()))
+
+    else:
+
+        @pandas_udf("boolean")
+        def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            sk = _cached_sketch(bv.value)
+            for s in it:
+                yield pd.Series(sk.might_contain_strings(s))
+
+    return probe
+
+
+def filter_by_sketch(spark: SparkSession, df: DataFrame, col: str, sketch, ints: bool = False) -> DataFrame:
+    """df rows whose `col` is (probably) in the sketch; no false negatives."""
+    return df.filter(contains_udf(spark, sketch, ints=ints)(F.col(col)))
+
+
+def bloom_semi_join(
+    spark: SparkSession,
+    probe_df: DataFrame,
+    probe_col: str,
+    build_df: DataFrame,
+    build_col: str,
+    expected_insertions: int = 1_000_000,
+    fpp: float = BloomFilter.DEFAULT_FPP,
+    exact: bool = True,
+    fan_in: int = DEFAULT_FAN_IN,
+) -> DataFrame:
+    """The reference's motivating pattern (README.md:8-38): replace an
+    expensive join with build-side bloom + probe-side filter.
+
+    With ``exact=True`` a broadcast semi join over the *pre-filtered*
+    probe side removes bloom false positives, so the result equals the
+    exact semi join while the heavy scan-side work is done by the bloom
+    predicate (this mirrors what Catalyst's InjectRuntimeFilter does
+    automatically, but user-controlled and persistable — SURVEY.md §4).
+    """
+    build_keys = build_df.select(F.col(build_col).cast("string").alias(build_col)).distinct()
+    bf = aggregate_sketch(build_keys, bloom_over_strings(build_col, expected_insertions, fpp), fan_in)
+    pre = probe_df.filter(contains_udf(spark, bf)(F.col(probe_col).cast("string")))
+    if not exact:
+        return pre
+    return pre.join(
+        F.broadcast(build_keys.withColumnRenamed(build_col, "__bk")),
+        pre[probe_col].cast("string") == F.col("__bk"),
+        "left_semi",
+    )

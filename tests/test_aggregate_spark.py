@@ -1,0 +1,121 @@
+"""Spark dataflow tests: partial build → tree merge → probe, grouped
+builds with salting, parallelism invariance (SURVEY.md §5 level 4)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark import BloomFilter, sketch_from_bytes
+from presto_bloomfilter_spark.operators import aggregate as agg
+from presto_bloomfilter_spark.operators.probe import bloom_semi_join, filter_by_sketch
+from presto_bloomfilter_spark.sources.corpus import load_tokens
+
+
+@pytest.fixture(scope="module")
+def tokens(spark, sf_dir):
+    return load_tokens(spark, sf_dir).cache()
+
+
+def test_bloom_over_doc_ids(spark, tokens):
+    n = tokens.count()
+    bf = agg.aggregate_sketch(tokens, agg.bloom_over_strings("doc_id", 10_000, 0.01))
+    ids = [r.doc_id for r in tokens.select("doc_id").collect()]
+    assert bf.might_contain_strings(ids).all()  # no false negatives
+    absent = [f"nope-{i}" for i in range(5000)]
+    assert bf.might_contain_strings(absent).mean() <= 0.02
+    assert bf.approx_items == n
+
+
+def test_parallelism_invariance(spark, tokens):
+    """Same sketch bytes at 1, 4, 13 partitions — the key invariant for
+    a hand-built partial/merge protocol (SURVEY.md §7)."""
+    spec = agg.bloom_over_tokens("tokens", 100_000, 0.01)
+    digests = set()
+    for parts in (1, 4, 13):
+        bf = agg.aggregate_sketch(tokens.repartition(parts), spec, fan_in=4)
+        digests.add(bf.sha256)
+    assert len(digests) == 1
+
+
+def test_hll_vs_exact_and_spark_builtin(spark, tokens):
+    hll = agg.aggregate_sketch(tokens, agg.hll_over_tokens("tokens"))
+    exact = tokens.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("d")
+    ).collect()[0].d
+    assert abs(hll.estimate() - exact) / exact <= 0.03
+    spark_est = tokens.select(F.explode("tokens").alias("t")).agg(
+        F.approx_count_distinct("t").alias("d")
+    ).collect()[0].d
+    assert abs(hll.estimate() - spark_est) / exact <= 0.1
+
+
+def test_cms_token_frequencies(spark, tokens):
+    cms = agg.aggregate_sketch(tokens, agg.cms_over_tokens("tokens", eps=1e-4))
+    top = (
+        tokens.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(20)
+        .collect()
+    )
+    toks = np.array([r.t for r in top])
+    true = np.array([r["count"] for r in top])
+    est = cms.estimate_ints(toks)
+    assert (est >= true).all()
+    assert (est <= true + cms.error_bound()).all()
+
+
+def test_kll_ntok_quantiles(spark, tokens):
+    kll = agg.aggregate_sketch(tokens, agg.kll_over_column("n_tok"))
+    exact = tokens.approxQuantile("n_tok", [0.5], 0.0)[0]
+    n = tokens.count()
+    est = kll.quantile(0.5)
+    ranks = tokens.filter(F.col("n_tok") <= est).count() / n
+    assert abs(ranks - 0.5) <= 5 * kll.rank_error
+
+
+def test_grouped_sketch_with_and_without_salt(spark, tokens):
+    spec = agg.hll_over_tokens("tokens")
+    plain = {r[0]: sketch_from_bytes(r.sketch) for r in agg.grouped_sketch(tokens, "source", spec).collect()}
+    salted = {r[0]: sketch_from_bytes(r.sketch) for r in agg.grouped_sketch(tokens, "source", spec, salt=8).collect()}
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k] == salted[k]  # register-max merge → byte-identical
+    # sanity vs exact per-group distinct
+    exact = {
+        r.source: r.d
+        for r in tokens.select("source", F.explode("tokens").alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("d"))
+        .collect()
+    }
+    for k, sk in plain.items():
+        assert abs(sk.estimate() - exact[k]) / exact[k] <= 0.05
+
+
+def test_merge_sketch_column(spark, tokens):
+    per_source = agg.grouped_sketch(tokens, "source", agg.bloom_over_tokens("tokens", 100_000))
+    merged = agg.merge_sketch_column(per_source, "sketch")
+    direct = agg.aggregate_sketch(tokens, agg.bloom_over_tokens("tokens", 100_000))
+    assert merged == direct  # union of per-group = global
+
+
+def test_filter_by_sketch_and_semi_join(spark, tokens):
+    sample_ids = [r.doc_id for r in tokens.select("doc_id").limit(50).collect()]
+    bf = BloomFilter(1000, 0.001).add_strings(sample_ids)
+    got = filter_by_sketch(spark, tokens, "doc_id", bf).select("doc_id").collect()
+    got_ids = {r.doc_id for r in got}
+    assert set(sample_ids) <= got_ids  # no FN
+    assert len(got_ids) <= len(sample_ids) * 1.1
+
+    build = spark.createDataFrame([(i,) for i in sample_ids], "doc_id string")
+    exact = bloom_semi_join(spark, tokens, "doc_id", build, "doc_id", 10_000)
+    assert {r.doc_id for r in exact.select("doc_id").collect()} == set(sample_ids)
+
+
+def test_empty_input_yields_empty_sketch(spark, tokens):
+    empty = tokens.filter(F.lit(False))
+    bf = agg.aggregate_sketch(empty, agg.bloom_over_strings("doc_id", 1000))
+    assert bf.bits_set == 0 and bf.approx_items == 0
