@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry() runs the flagship bloom-semi-join at sf0.001; queries() exposes
+the full repertoire from presto_bloomfilter_spark.plans.queries; each
+oracle_sql() entry is the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables (plus the deterministic synthetic tokens corpus, which
+this module materializes on import so DuckDB can read it without
+importing Spark).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
 
 from pyspark.sql import DataFrame, SparkSession
+
+from presto_bloomfilter_spark.plans.queries import ORACLES, QUERIES
+from presto_bloomfilter_spark.sources.corpus import ensure_tokens_parquet
+
+# materialize the deterministic tokens corpus for Spark AND DuckDB
+for _sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    try:
+        ensure_tokens_parquet(_sf)
+    except Exception:  # pragma: no cover — testdata missing in dev envs
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["bloom_semijoin"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

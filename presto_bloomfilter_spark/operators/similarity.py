@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as the task demands at 100 TB:
+
+- brute-force cosine top-k: queries broadcast as one numpy matrix;
+  a mapInPandas pass computes per-partition top-k with one BLAS
+  matmul per batch, then a tiny global reduce picks the final top-k.
+  Shuffle volume is O(n_queries * k) rows regardless of corpus size —
+  this is the exact baseline;
+- LSH (random hyperplane) bucketing: 2^bits buckets, search only the
+  query's bucket (optionally multi-probe neighbors) — the approximate
+  scale path. Recall is measured against the brute-force baseline in
+  tests, never assumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank).
+
+    rank is 1-based by (cosine desc, neighbor_id asc) — returning the
+    deterministic rank rather than the float similarity keeps results
+    engine-comparable.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    def partial_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            base_ids = pdf[id_col].to_numpy()
+            bm = _normalize(_to_matrix(pdf[vec_col]))
+            sims = qmat_ @ bm.T  # (n_queries, batch)
+            if exclude_self:
+                mask = base_ids[None, :] == qids_[:, None]
+                sims[mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            # per-query local top-k (argpartition = O(batch))
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qids_)), kk)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[rows],
+                    "neighbor_id": base_ids[cols],
+                    "sim": sims[rows, cols],
+                }
+            )
+
+    partials = base.select(id_col, vec_col).mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    bits: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) via random-hyperplane signs — cosine-LSH index.
+    At scale this DataFrame is written bucketed-by(bucket) so probes
+    are partition-pruned scans."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _to_matrix(pdf[vec_col])
+            signs = (m @ planes) > 0
+            buckets = signs.astype(np.int64) @ weights
+            yield pd.DataFrame({"id": pdf[id_col].astype(np.int64), "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(fn, "id long, bucket long")
+
+
+def lsh_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to the query's LSH
+    bucket plus all buckets within Hamming distance ``probe_radius``
+    (multi-probe LSH — recovers most of the recall a single-bucket probe
+    loses on near-orthogonal data). Same output shape as cosine_topk;
+    recall vs exact is a measured property (tests), not a promise.
+
+    At scale the bucketed index is a table written bucketed-by(bucket);
+    each query touches 1+bits partitions instead of the full corpus.
+    """
+    dim = len(queries[0][1])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bits))
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qbuckets = ((qmat @ planes) > 0).astype(np.int64) @ weights
+
+    def probe_set(b: int) -> set[int]:
+        out = {b}
+        frontier = {b}
+        for _ in range(probe_radius):
+            frontier = {x ^ (1 << i) for x in frontier for i in range(bits)}
+            out |= frontier
+        return out
+
+    buckets = hyperplane_lsh_buckets(base, bits, dim, seed, vec_col, id_col)
+    base_b = base.join(buckets.withColumnRenamed("id", id_col), id_col)
+
+    results = None
+    for (qid, vec), b in zip(queries, qbuckets):
+        pruned = base_b.filter(F.col("bucket").isin(list(probe_set(int(b)))))
+        r = cosine_topk(spark, pruned, [(qid, vec)], k, vec_col, id_col)
+        results = r if results is None else results.unionAll(r)
+    return results

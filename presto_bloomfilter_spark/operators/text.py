@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here that feeds a correctness oracle is built from Spark
+SQL built-ins (JVM-side, whole-stage codegen, no Python) so the same
+expression is computable in ANSI SQL; the heuristics that SQL cannot
+express (language ID, winnowing fingerprints) are Arrow-batched
+mapInPandas with vectorized numpy hashing inside.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from presto_bloomfilter_spark.functions.hashing import hash_strings64, splitmix64
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality metrics per doc, pure built-in expressions:
+    word count, average word length, stopword ratio."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        n_words.cast("int").alias("n_words"),
+        ((n_chars - (n_words - F.lit(1))) / n_words).cast("double").alias("avg_word_len"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-regex token counting (the cheap proxy for a BPE pass)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("int").alias("n_tokens"),
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
+                   max_stopword_ratio: float = 0.9) -> DataFrame:
+    """Filter low-quality docs; predicate stays JVM-side so it pushes
+    into the scan pipeline."""
+    words = F.split(F.col(text_col), " ")
+    return df.filter(F.size(words) >= min_words)
+
+
+# ---- language ID (heuristic, not SQL-expressible) -----------------------------
+
+# character trigram profiles per language — tiny, deterministic, built
+# once; a real pipeline would learn these from labeled data.
+_LANG_PROFILES = {
+    "en": ("the", "ing", "ion", "and", "ent"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "fr": ("les", "ent", "que", "ion", "eur"),
+    "es": ("que", "ión", "los", "ado", "ent"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram-overlap language guess per doc: (id, pred_lang, score)."""
+    langs = list(_LANG_PROFILES)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            scores = np.zeros((len(pdf), len(langs)))
+            for j, lang in enumerate(langs):
+                for tri in _LANG_PROFILES[lang]:
+                    scores[:, j] += texts.str.count(tri).to_numpy()
+            lens = texts.str.len().to_numpy().clip(min=1)
+            scores /= lens[:, None]
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str),
+                    "pred_lang": [langs[b] for b in best],
+                    "score": scores[np.arange(len(pdf)), best],
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        fn, "id string, pred_lang string, score double"
+    )
+
+
+# ---- document fingerprinting (winnowing) --------------------------------------
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 5, window: int = 8) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al. 2003): min hash in each
+    sliding window over k-gram hashes → compact set per doc.
+    Returns (id, fingerprint array<long>) — stable under formatting-
+    preserving edits, used for plagiarism-style containment checks."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, prints = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = text.split()
+                if len(words) < k:
+                    grams = [" ".join(words)] if words else [""]
+                else:
+                    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+                h = hash_strings64(pd.Series(grams, dtype=object))
+                if len(h) <= window:
+                    sel = np.unique(h.min(keepdims=True))
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = np.unique(sw.min(axis=1))
+                ids.append(str(did))
+                prints.append(sel.view(np.int64))
+            yield pd.DataFrame({"id": ids, "fingerprint": prints})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        fn, "id string, fingerprint array<long>"
+    )

@@ -1,0 +1,494 @@
+"""The query repertoire: every operator exposed as a (spark, sf_dir) →
+DataFrame callable plus, where ANSI-SQL-expressible, a DuckDB oracle.
+
+Design rules for oracle parity (driver compares row count + schema +
+order-insensitive value hash):
+
+- identical column aliases on both sides;
+- integers/booleans/strings preferred over floats in outputs; the only
+  float outputs are single-division ratios computed from identical
+  integer operands (bit-exact in IEEE 754 on both engines);
+- sketch estimates are asserted as booleans ("within published bound")
+  rather than emitted as floats — the oracle returns TRUE, the Spark
+  side computes the bound check against the exact value;
+- probabilistic structures only appear where semantics make results
+  exact: bloom pre-filter + exact verify ≡ exact semi join; LSH
+  candidates + exact-Jaccard verify ≡ threshold pairs (recall checked
+  in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+from presto_bloomfilter_spark.operators import aggregate as agg
+from presto_bloomfilter_spark.operators import dedup, multimodal, similarity, text
+from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
+from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
+from presto_bloomfilter_spark.sources.tables import load_table
+
+# oracle runs at sf0.01 only — the deterministic tokens parquet path
+_TOKENS_SQL = f"read_parquet('{tokens_parquet_path('/root/testdata/sf0.01')}')"
+
+_STOPWORD_SQL = "('the','a','of','and','to')"
+
+
+# ======================= sketch queries (SURVEY §2.1) =========================
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference README.md:8-38 flagship: bloom pre-filter replaces the
+    join's scan-side shuffle; exact verify removes false positives."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 300_000).select("o_orderkey")
+    filtered = bloom_semi_join(spark, lineitem, "l_orderkey", big, "o_orderkey",
+                               expected_insertions=50_000, fpp=0.001)
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_BLOOM_SEMIJOIN = """
+SELECT l_returnflag, COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY l_returnflag
+"""
+
+
+def q_bloom_member_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_filter(el) + bloom_filter_contains parity: every inserted
+    member must probe true (no false negatives)."""
+    nation = load_table(spark, sf_dir, "nation")
+    bf = agg.aggregate_sketch(nation, agg.bloom_over_strings("n_name", 1000, 0.01))
+    probed = nation.withColumn("hit", contains_udf(spark, bf)(F.col("n_name")))
+    return probed.agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("hit").cast("long")).alias("n_contained"),
+    )
+
+
+ORACLE_BLOOM_MEMBER_RECALL = """
+SELECT COUNT(*) AS n_members, COUNT(*) AS n_contained FROM nation
+"""
+
+
+def q_bloom_merge_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_filter(bf) merge-of-prebuilt-filters parity (reference
+    BloomFilterFromString.java:23-38): per-source blooms built grouped,
+    merged into one, which must contain every doc_id."""
+    tokens = load_tokens(spark, sf_dir)
+    per_source = agg.grouped_sketch(tokens, "source", agg.bloom_over_strings("doc_id", 200_000, 0.001))
+    merged = agg.merge_sketch_column(per_source, "sketch")
+    probed = tokens.withColumn("hit", contains_udf(spark, merged)(F.col("doc_id")))
+    return probed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("hit").cast("long")).alias("n_contained"),
+    )
+
+
+ORACLE_BLOOM_MERGE_PREBUILT = f"""
+SELECT COUNT(*) AS n_docs, COUNT(*) AS n_contained FROM {_TOKENS_SQL}
+"""
+
+
+def q_hll_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_strings("doc_id"))
+    ests = [(r[0], float(sketch_from_bytes(r.sketch).estimate())) for r in per_src.collect()]
+    lit = spark.createDataFrame(ests, "source string, est double")
+    exact = tokens.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return exact.join(F.broadcast(lit), "source").select(
+        "source",
+        "n_docs",
+        (F.abs(F.col("est") - F.col("n_docs")) / F.col("n_docs") <= F.lit(0.025)).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_DOCS_BY_SOURCE = f"""
+SELECT source, COUNT(DISTINCT doc_id) AS n_docs, TRUE AS hll_ok
+FROM {_TOKENS_SQL} GROUP BY source
+"""
+
+
+def q_hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token ids per (skewed) source — the salted grouped build."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_tokens("tokens"), salt=8)
+    ests = [(r[0], float(sketch_from_bytes(r.sketch).estimate())) for r in per_src.collect()]
+    lit = spark.createDataFrame(ests, "source string, est double")
+    exact = (
+        tokens.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n_distinct_tokens"))
+    )
+    return exact.join(F.broadcast(lit), "source").select(
+        "source",
+        "n_distinct_tokens",
+        (F.abs(F.col("est") - F.col("n_distinct_tokens")) / F.col("n_distinct_tokens") <= F.lit(0.025)).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_TOKENS_BY_SOURCE = f"""
+SELECT source, COUNT(DISTINCT tok) AS n_distinct_tokens, TRUE AS hll_ok
+FROM (SELECT source, UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+GROUP BY source
+"""
+
+
+def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-20 tokens: never
+    underestimates, within eps*N above."""
+    import numpy as np
+
+    tokens = load_tokens(spark, sf_dir)
+    cms = agg.aggregate_sketch(tokens, agg.cms_over_tokens("tokens", eps=1e-4))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        tokens.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "cnt")
+        .collect()
+    )
+    toks = np.array([r.token for r in top])
+    cnts = np.array([r.cnt for r in top])
+    est = cms.estimate_ints(toks)
+    ok = (est >= cnts) & (est <= cnts + cms.error_bound())
+    return spark.createDataFrame(
+        [(int(t), int(c), bool(o)) for t, c, o in zip(toks, cnts, ok)],
+        "token int, cnt long, cms_ok boolean",
+    )
+
+
+ORACLE_CMS_TOP_TOKENS = f"""
+SELECT token, cnt, TRUE AS cms_ok FROM (
+  SELECT tok AS token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+  FROM (SELECT UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY tok
+) WHERE rn <= 20
+"""
+
+
+def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok p50/p90 via KLL, asserted within rank-error."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.kll_over_column("n_tok"))
+    rows = []
+    tol = None
+    for r in per_src.collect():
+        sk = sketch_from_bytes(r.sketch)
+        tol = 6 * sk.rank_error
+        rows.append((r[0], float(sk.quantile(0.5)), float(sk.quantile(0.9))))
+    lit = spark.createDataFrame(rows, "source string, p50 double, p90 double")
+    joined = tokens.join(F.broadcast(lit), "source")
+    return joined.groupBy("source").agg(
+        (
+            F.abs(F.avg((F.col("n_tok") <= F.col("p50")).cast("double")) - F.lit(0.5)) <= F.lit(tol)
+        ).alias("p50_ok"),
+        (
+            F.abs(F.avg((F.col("n_tok") <= F.col("p90")).cast("double")) - F.lit(0.9)) <= F.lit(tol)
+        ).alias("p90_ok"),
+    )
+
+
+ORACLE_KLL_NTOK_QUANTILES = f"""
+SELECT source, TRUE AS p50_ok, TRUE AS p90_ok FROM {_TOKENS_SQL} GROUP BY source
+"""
+
+
+# =================== relational coverage (SURVEY §2.2) ========================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg (partial+final free via
+    Catalyst)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.count("*").alias("cnt"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join → agg → top-n: customer side broadcast (small dim)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    aggd = j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.floor(F.sum("o_totalprice")).cast("long").alias("revenue"),
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        aggd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("c_custkey", "c_mktsegment", "n_orders", "revenue", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment, n_orders, revenue, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS n_orders,
+         CAST(FLOOR(SUM(o.o_totalprice)) AS BIGINT) AS revenue,
+         ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(SUM(o.o_totalprice)) AS BIGINT) DESC, c.c_custkey ASC) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+) WHERE rn <= 10
+"""
+
+
+def q_distinct_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS_BY_EVENT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+ORACLE_NATION_REGION_JOIN = """
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+"""
+
+
+# ============== training-pipeline operators (task mandate) ====================
+
+# deterministic augmented corpus: originals + exact dups + 90%-truncated
+# near-dups — identical construction on both engines
+_AUG_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+UNION ALL
+SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 'near-' || CAST(doc_id AS VARCHAR) AS id,
+       substr(text, 1, CAST(FLOOR(n_chars * 0.9) AS INTEGER)) AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _aug_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    orig = d.select(F.col("doc_id").cast("string").alias("id"), "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("dup-"), F.col("doc_id").cast("string")).alias("id"), "text"
+    )
+    nears = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(F.lit("near-"), F.col("doc_id").cast("string")).alias("id"),
+        F.substring(F.col("text"), 1, F.floor(F.col("n_chars") * 0.9).cast("int")).alias("text"),
+    )
+    return orig.unionAll(dups).unionAll(nears)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_aug_documents(spark, sf_dir), "text", "id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_cnt
+FROM ({_AUG_SQL}) GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact shingle Jaccard ≥ 0.5 —
+    deterministically equals the constructed near-dup pair set."""
+    pairs = dedup.minhash_near_dup_pairs(_aug_documents(spark, sf_dir), "text", "id", threshold=0.5)
+    return pairs.select("id_a", "id_b")
+
+
+# brute-force word-3gram-shingle Jaccard over all pairs — the exact
+# definition the LSH+verify pipeline approximates (and, with these
+# band/row settings, recovers exactly: min true-positive sim ≈ 0.73 →
+# candidate-miss probability < 1e-6 per pair)
+ORACLE_DEDUP_MINHASH = f"""
+WITH sh AS (
+  SELECT id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+              string_split(text,' ')[i+2])) AS shingles
+  FROM ({_AUG_SQL})
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) — no SQL oracle (rows-only)."""
+    return dedup.simhash_near_dup_pairs(_aug_documents(spark, sf_dir), "text", "id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_TEXT_QUALITY = f"""
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_word_len,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOPWORD_SQL})) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID — no SQL oracle (rows-only)."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id").select("id", "pred_lang")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints — no SQL oracle (rows-only)."""
+    df = text.fingerprint(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return df.select("id", F.size("fingerprint").alias("n_grams"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(5).collect()
+    ]
+    return similarity.cosine_topk(spark, emb, queries, k=10)
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate, no SQL oracle (recall measured in
+    tests against the brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    return similarity.lsh_topk(spark, emb, queries, k=10, bits=6)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs, "text", "doc_id")
+    return multimodal.extract_metadata(media)
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS fake_height
+FROM documents
+"""
+
+
+# ============================== registry ======================================
+
+QUERIES = {
+    "bloom_semijoin": q_bloom_semijoin,
+    "bloom_member_recall": q_bloom_member_recall,
+    "bloom_merge_prebuilt": q_bloom_merge_prebuilt,
+    "hll_docs_by_source": q_hll_docs_by_source,
+    "hll_tokens_by_source": q_hll_tokens_by_source,
+    "cms_top_tokens": q_cms_top_tokens,
+    "kll_ntok_quantiles": q_kll_ntok_quantiles,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "distinct_users_by_event": q_distinct_users_by_event,
+    "nation_region_join": q_nation_region_join,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash_pairs": q_simhash_pairs,
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
+    "bloom_member_recall": ORACLE_BLOOM_MEMBER_RECALL,
+    "bloom_merge_prebuilt": ORACLE_BLOOM_MERGE_PREBUILT,
+    "hll_docs_by_source": ORACLE_HLL_DOCS_BY_SOURCE,
+    "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
+    "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
+    "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "distinct_users_by_event": ORACLE_DISTINCT_USERS_BY_EVENT,
+    "nation_region_join": ORACLE_NATION_REGION_JOIN,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+    # rows-only (non-SQL-expressible): simhash_pairs, lang_id,
+    # fingerprint, ann_lsh
+}

@@ -32,12 +32,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SEED = 20260816
-VOCAB_SIZE = 50_000
-SOURCES = ["web", "books", "code", "wiki", "news"]
-SOURCE_WEIGHTS = [0.55, 0.20, 0.12, 0.08, 0.05]
+# constants follow FIXTURES.md §F1
+SEED = 42
+VOCAB_SIZE = 50_257
+SOURCES = ["web", "books", "code", "wiki", "forums"]
+SOURCE_WEIGHTS = [0.70, 0.15, 0.08, 0.05, 0.02]
+MAX_LEN = 512
 
-# documents per scale factor — sf0.1 ≈ 30M tokens
 DOCS_PER_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
 
 _REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
@@ -49,10 +50,10 @@ def generate_tokens_table(n_docs: int, seed: int = SEED) -> pa.Table:
     """Generate the corpus as one Arrow table, fully vectorized."""
     rng = np.random.default_rng(seed)
     doc_idx = np.arange(n_docs)
-    doc_id = pa.array([f"doc-{i:08d}" for i in doc_idx], pa.string())
+    doc_id = pa.array([f"doc-{i:012d}" for i in doc_idx], pa.string())
     source = rng.choice(np.arange(len(SOURCES)), size=n_docs, p=SOURCE_WEIGHTS)
-    # sequence lengths: clipped lognormal, mean ≈ 300
-    n_tok = np.clip(rng.lognormal(5.4, 0.7, size=n_docs), 16, 4096).astype(np.int32)
+    # sequence lengths: clipped lognormal in [1, MAX_LEN] (FIXTURES F1)
+    n_tok = np.clip(rng.lognormal(5.0, 0.8, size=n_docs), 1, MAX_LEN).astype(np.int32)
     total = int(n_tok.sum())
     # Zipf token ids folded into the vocab
     flat = ((rng.zipf(1.5, size=total) - 1) % VOCAB_SIZE).astype(np.int32)

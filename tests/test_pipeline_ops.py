@@ -1,0 +1,192 @@
+"""Training-pipeline operator tests: dedup (exact / minhash / simhash),
+similarity search (brute force + LSH recall), text analysis, multimodal
+plumbing — all over the driver testdata documents/embeddings tables."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import dedup, multimodal, similarity, text
+from presto_bloomfilter_spark.plans.queries import _aug_documents
+from presto_bloomfilter_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def aug(spark, sf_dir):
+    return _aug_documents(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# ---- dedup -------------------------------------------------------------------
+
+
+def test_exact_dup_groups(spark, aug, docs):
+    n_dups = docs.filter(F.col("doc_id") % 10 == 0).count()
+    groups = dedup.exact_dup_groups(aug, "text", "id").collect()
+    assert len(groups) == n_dups
+    assert all(g.dup_cnt == 2 for g in groups)
+
+
+def test_drop_exact_dups(spark, aug):
+    kept = dedup.drop_exact_dups(aug, "text", "id")
+    assert kept.count() == aug.select("text").distinct().count()
+    # deterministic representative: numeric id sorts before 'dup-...'
+    sample = kept.filter(F.col("id").startswith("dup-")).count()
+    assert sample == 0
+
+
+def test_minhash_pairs_match_construction(spark, aug, docs):
+    """Constructed dup/near pairs must all be found; every returned pair
+    must truly exceed the threshold (verified pipeline = no FPs); and on
+    a subset, the result equals exact brute force."""
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_near_dup_pairs(aug, "text", "id", 0.5).collect()}
+    for r in docs.select("doc_id").collect():
+        i = r.doc_id
+        if i % 10 == 0:
+            assert (str(i), f"dup-{i}") in pairs
+        if i % 7 == 0:
+            assert (str(i), f"near-{i}") in pairs
+        if i % 70 == 0:
+            assert (f"dup-{i}", f"near-{i}") in pairs
+
+    # brute-force cross-check restricted to a subset of ids
+    texts = {r.id: r.text for r in aug.collect()}
+    subset = {i for i in texts if i.replace("dup-", "").replace("near-", "").isdigit()
+              and int(i.replace("dup-", "").replace("near-", "")) < 120}
+    sh = {i: dedup._shingle_hashes(texts[i]) for i in subset}
+    expected = set()
+    ids = sorted(subset)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if dedup._jaccard(texts[ids[x]], texts[ids[y]]) >= 0.5:
+                expected.add((ids[x], ids[y]))
+    got_subset = {(a, b) for a, b in pairs if a in subset and b in subset}
+    assert got_subset == expected
+
+
+def test_simhash_finds_exact_dups(spark, aug, docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dup_pairs(aug, "text", "id").collect()}
+    for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect():
+        assert (str(r.doc_id), f"dup-{r.doc_id}") in pairs
+
+
+# ---- similarity --------------------------------------------------------------
+
+
+def _np_topk(emb_rows, queries, k=10):
+    ids = np.array([r.vec_id for r in emb_rows])
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb_rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, qv in queries:
+        q = np.array(qv, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = mat @ q
+        sims[ids == qid] = -np.inf
+        order = np.lexsort((ids, -sims))[:k]
+        out[qid] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in rows[:5]]
+    got = similarity.cosine_topk(spark, emb, queries, k=10).collect()
+    expected = _np_topk(rows, queries, 10)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q == expected
+
+
+def test_lsh_topk_recall(spark, emb):
+    rows = emb.collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in rows[:5]]
+    exact = _np_topk(rows, queries, 10)
+    approx = similarity.lsh_topk(spark, emb, queries, k=10, bits=4, probe_radius=1).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    # multi-probe 4-bit LSH on 64-dim *random* vectors (near-orthogonal,
+    # the hardest case): recall must be far above random (10/500 = 2%)
+    assert np.mean(recalls) >= 0.3, recalls
+
+
+def test_lsh_buckets_shape(spark, emb):
+    b = similarity.hyperplane_lsh_buckets(emb, bits=6)
+    assert b.count() == emb.count()
+    n_buckets = b.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 64
+
+
+# ---- text --------------------------------------------------------------------
+
+
+def test_text_quality_values(spark, docs):
+    out = {r.id: r for r in text.text_quality(docs, "text", "doc_id").collect()}
+    sample = docs.limit(20).collect()
+    for r in sample:
+        words = r.text.split(" ")
+        m = out[str(r.doc_id)]
+        assert m.n_words == len(words)
+        stops = sum(w in text.STOPWORDS for w in words)
+        assert abs(m.stopword_ratio - stops / len(words)) < 1e-12
+
+
+def test_token_count(spark, docs):
+    out = {r.id: r.n_tokens for r in text.token_count(docs, "text", "doc_id").collect()}
+    for r in docs.limit(20).collect():
+        assert out[str(r.doc_id)] == len(r.text.split())
+
+
+def test_lang_id_deterministic_and_total(spark, docs):
+    a = {(r.id, r.pred_lang) for r in text.lang_id(docs, "text", "doc_id").collect()}
+    b = {(r.id, r.pred_lang) for r in text.lang_id(docs.repartition(7), "text", "doc_id").collect()}
+    assert a == b and len(a) == docs.count()
+
+
+def test_fingerprint_stability_and_near_dup_overlap(spark, aug):
+    fp = {r.id: set(r.fingerprint) for r in text.fingerprint(aug, "text", "id").collect()}
+    # a 90%-truncated doc shares most fingerprints with its original
+    near_ids = [i for i in fp if i.startswith("near-")]
+    assert near_ids
+    sims = []
+    for nid in near_ids[:20]:
+        orig = nid[len("near-"):]
+        inter = len(fp[nid] & fp[orig])
+        union = len(fp[nid] | fp[orig])
+        sims.append(inter / union)
+    assert np.mean(sims) >= 0.5
+
+
+# ---- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_metadata(spark, docs):
+    media = multimodal.attach_media(docs, "text", "doc_id")
+    meta = {r.id: r for r in multimodal.extract_metadata(media).collect()}
+    for r in docs.limit(20).collect():
+        m = meta[str(r.doc_id)]
+        raw = r.text.encode()
+        assert m.n_bytes == len(raw)
+        assert m.first_byte == raw[0]
+        assert m.fake_width == len(raw) % 640 + 1
+
+
+def test_frame_sample_fanout(spark, docs):
+    media = multimodal.attach_media(docs.limit(10), "text", "doc_id")
+    frames = multimodal.frame_sample(media, every_n_bytes=50)
+    pdf = frames.toPandas()
+    assert len(pdf) > 10  # fan-out: more frames than docs
+    assert (pdf.groupby("id").frame_off.min() == 0).all()

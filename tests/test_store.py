@@ -1,0 +1,79 @@
+"""Sketch store + checkpoint/resume tests (persistence parity with the
+reference persist-service: PUT/GET round trip, merge-of-loaded,
+resumable partial builds)."""
+
+import numpy as np
+import pytest
+
+from presto_bloomfilter_spark import BloomFilter, HyperLogLog
+from presto_bloomfilter_spark.operators import aggregate as agg
+from presto_bloomfilter_spark.sources.corpus import load_tokens
+from presto_bloomfilter_spark.store import CheckpointedBuild, SketchStore, checkpointed_aggregate
+
+
+def test_put_get_roundtrip(tmp_path):
+    store = SketchStore(str(tmp_path))
+    bf = BloomFilter(1000, 0.01).add("persisted")
+    assert store.put("k1", bf)
+    back = store.get("k1")
+    assert back == bf and back.might_contain("persisted")
+
+
+def test_put_overwrites_and_keys(tmp_path):
+    store = SketchStore(str(tmp_path))
+    store.put("a", BloomFilter(100, 0.01).add("x"))
+    store.put("a", BloomFilter(100, 0.01).add("y"))
+    assert store.get("a").might_contain("y")
+    store.put("b", HyperLogLog().add_ints(np.arange(5)))
+    assert store.keys() == ["a", "b"]
+
+
+def test_load_merged(tmp_path):
+    # reference bloom_filter_load: GET per key and union
+    store = SketchStore(str(tmp_path))
+    store.put("p1", BloomFilter(1000, 0.01).add("one"))
+    store.put("p2", BloomFilter(1000, 0.01).add("two"))
+    merged = store.load_merged(["p1", "p2"])
+    assert merged.might_contain("one") and merged.might_contain("two")
+
+
+def test_invalid_keys_and_garbage(tmp_path):
+    store = SketchStore(str(tmp_path))
+    with pytest.raises(ValueError):
+        store.put("../escape", BloomFilter(100, 0.01))
+    with pytest.raises(ValueError):
+        store.put("k", b"not a sketch")
+    with pytest.raises(FileNotFoundError):
+        store.get_bytes("missing")
+
+
+def test_checkpointed_aggregate_and_resume(spark, sf_dir, tmp_path):
+    store = SketchStore(str(tmp_path))
+    tokens = load_tokens(spark, sf_dir).repartition(6)
+    spec = agg.hll_over_strings("doc_id")
+
+    sk1, computed1 = checkpointed_aggregate(spark, tokens, spec, store, "job1", "snap-A")
+    assert computed1 == 6
+    direct = agg.aggregate_sketch(tokens, spec)
+    assert sk1 == direct
+
+    # resume: nothing left to compute, same result from the manifest
+    sk2, computed2 = checkpointed_aggregate(spark, tokens, spec, store, "job1", "snap-A")
+    assert computed2 == 0
+    assert sk2 == sk1
+
+    # wrong snapshot → refuse to resume
+    with pytest.raises(ValueError, match="snapshot"):
+        CheckpointedBuild(store, "job1", source_snapshot="snap-B")
+
+
+def test_manifest_lineage(tmp_path, spark, sf_dir):
+    store = SketchStore(str(tmp_path))
+    tokens = load_tokens(spark, sf_dir).repartition(3)
+    _, _ = checkpointed_aggregate(spark, tokens, agg.bloom_over_strings("doc_id", 10_000), store, "jobL")
+    ck = CheckpointedBuild(store, "jobL")
+    parts = ck.manifest.partitions
+    assert set(parts) == {"0", "1", "2"}
+    assert sum(v["rows"] for v in parts.values()) == tokens.count()
+    for v in parts.values():
+        assert len(v["sha256"]) == 64 and store.exists(v["key"])
