@@ -66,8 +66,17 @@ class CountMinSketch:
         if len(h) == 0:
             return
         cols = self._row_indexes(h)
+        # bincount is a buffered single pass — ~100x the throughput of the
+        # unbuffered np.add.at for wide batches; float64 weight sums are
+        # exact below 2^53 so the int64 cast is lossless here
+        uniform = counts.max() == 1 and counts.min() == 1
         for d in range(self.depth):
-            np.add.at(self.table[d], cols[d], counts)
+            if uniform:
+                self.table[d] += np.bincount(cols[d], minlength=self.width)
+            else:
+                self.table[d] += np.bincount(
+                    cols[d], weights=counts, minlength=self.width
+                ).astype(np.int64)
         self.total += int(counts.sum())
 
     def add_strings(self, values, counts=None) -> "CountMinSketch":

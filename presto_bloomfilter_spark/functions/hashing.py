@@ -88,7 +88,14 @@ def km_indexes(h: np.ndarray, k: int, m: int) -> np.ndarray:
     (reference BloomFilter.java:298-304) without per-element loops.
     """
     h1, h2 = double_hash(h)
-    i = np.arange(k, dtype=np.uint64).reshape(-1, 1)
+    out = np.empty((k, len(h)), dtype=np.uint64)
+    acc = h1.copy()
+    mm = _U64(m)
+    # in-place accumulation: same values as h1 + i*h2 (mod 2^64) but no
+    # (k, n) uint64 temporaries — keeps the hot path memory-bandwidth bound
     with np.errstate(over="ignore"):
-        g = h1[None, :] + i * h2[None, :]
-    return g % _U64(m)
+        for i in range(k):
+            if i:
+                acc += h2
+            np.mod(acc, mm, out=out[i])
+    return out

@@ -66,20 +66,25 @@ class HyperLogLog:
             return
         p = self.precision
         bucket = (h >> _U64(64 - p)).astype(np.int64)
-        rest = (h << _U64(p)) | _U64(1)  # sentinel bit → rank ≤ 64-p+1 ≤ 61
+        rest = (h << _U64(p)) | _U64(1)  # sentinel bit bounds the rank scan
         # rank = number of leading zeros of the remaining bits + 1,
         # vectorized: 64 - bit_length(rest) + 1; bit_length via log2 is
-        # unsafe for uint64 → use a shift loop over the 6 bit-levels.
-        rank = np.zeros(len(h), dtype=np.uint8)
+        # unsafe for uint64 → binary-search shift loop, arithmetic form
+        # (x >>= big*shift) so every op is a buffered ufunc pass.
         x = rest.copy()
-        width = np.zeros(len(h), dtype=np.uint8)  # bit_length(x)
+        width = np.zeros(len(h), dtype=np.int64)  # bit_length(x) - 1
         for shift in (32, 16, 8, 4, 2, 1):
-            big = x >= (_U64(1) << _U64(shift))
-            width[big] += shift
-            x[big] >>= _U64(shift)
-        width += 1  # x>=1 always (sentinel)
-        rank = (64 - width + 1).astype(np.uint8)
-        np.maximum.at(self.registers, bucket, rank)
+            big = (x >= (_U64(1) << _U64(shift))).astype(np.uint64)
+            sh = big * _U64(shift)
+            x >>= sh
+            width += sh.astype(np.int64)
+        rank = 64 - width  # = 64 - bit_length + 1; in [1, 64]
+        # per-bucket max without the unbuffered np.maximum.at: histogram
+        # (bucket, rank) pairs (rank ≤ 64 < 128), then take the highest
+        # occupied rank per bucket — all buffered passes.
+        cnt = np.bincount((bucket << 7) | rank, minlength=self.m << 7)
+        best = ((cnt.reshape(self.m, 128) > 0) * np.arange(128)).max(axis=1)
+        np.maximum(self.registers, best.astype(np.uint8), out=self.registers)
 
     def add_strings(self, values) -> "HyperLogLog":
         import pandas as pd

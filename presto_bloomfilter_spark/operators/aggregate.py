@@ -104,6 +104,17 @@ def bloom_over_tokens(col: str = "tokens", n: int = BloomFilter.DEFAULT_EXPECTED
     )
 
 
+def bloom_over_ints(col: str, n: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                    p: float = BloomFilter.DEFAULT_FPP) -> SketchSpec:
+    """bloom_filter over a scalar integer column — no string casts, int
+    hashing stays pure numpy."""
+    return SketchSpec(
+        (col,),
+        lambda: BloomFilter(n, p),
+        lambda sk, b: sk.add_ints(_col_floats(b, col)),
+    )
+
+
 def hll_over_strings(col: str, precision: int = HyperLogLog.DEFAULT_PRECISION) -> SketchSpec:
     return SketchSpec(
         (col,),
@@ -168,15 +179,28 @@ def _merge_blobs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
 
 
-def aggregate_sketch(df: DataFrame, spec: SketchSpec, fan_in: int = DEFAULT_FAN_IN):
+def aggregate_sketch(
+    df: DataFrame,
+    spec: SketchSpec,
+    fan_in: int = DEFAULT_FAN_IN,
+    target_partials: int | None = None,
+):
     """Build one sketch over the whole DataFrame; returns the sketch object.
 
     Column pruning: only spec.columns are read, so the parquet scan
-    prunes everything else.
+    prunes everything else.  ``target_partials`` coalesces (no shuffle)
+    the scan to that many tasks first — set it to the cluster's core
+    count so each worker builds exactly one partial: partial count (and
+    so merge fan-in and blob shuffle volume) then tracks cluster size,
+    not input split count.
     """
     pruned = df.select(*spec.columns)
+    if target_partials:
+        pruned = pruned.coalesce(target_partials)
     partials = pruned.mapInArrow(_partial_build(spec), "sketch binary")
-    n_parts = pruned.rdd.getNumPartitions()
+    # getNumPartitions builds the RDD DAG driver-side (~100s of ms);
+    # skip it when the partial count is already pinned
+    n_parts = target_partials or pruned.rdd.getNumPartitions()
     if n_parts > fan_in:
         # intermediate tree level: fan_in tasks each merge ~n/fan_in blobs
         partials = partials.repartition(fan_in).mapInArrow(_merge_blobs, "sketch binary")
@@ -203,32 +227,84 @@ def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAUL
 # ---- grouped aggregation (salted two-level) ----------------------------------
 
 
+def _grouped_partial_build(spec: SketchSpec, key: str):
+    """mapInArrow body: one partial sketch per (input partition, key).
+
+    Arrow-level group split (np.unique on the key column + RecordBatch
+    .filter) — raw rows never shuffle, and token list columns never pass
+    through pandas object arrays.
+    """
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketches: dict = {}
+        for b in batches:
+            if not b.num_rows:
+                continue
+            keys = b.column(b.schema.get_field_index(key)).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(keys, return_inverse=True)
+            if len(uniq) == 1:
+                sk = sketches.get(uniq[0])
+                if sk is None:
+                    sk = sketches[uniq[0]] = spec.factory()
+                spec.update(sk, b)
+                continue
+            for i, kv in enumerate(uniq):
+                sub = b.filter(pa.array(inv == i))
+                sk = sketches.get(kv)
+                if sk is None:
+                    sk = sketches[kv] = spec.factory()
+                spec.update(sk, sub)
+        if sketches:
+            ks = list(sketches)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(k) for k in ks], pa.string()),
+                 pa.array([sketches[k].to_bytes() for k in ks], pa.binary())],
+                [key, "sketch"],
+            )
+
+    return fn
+
+
 def grouped_sketch(
     df: DataFrame,
     key: str,
     spec: SketchSpec,
     salt: int | None = None,
     salt_col: str | None = None,
+    strategy: str = "map_side",
 ) -> DataFrame:
     """Per-key sketches: returns DataFrame[key string, sketch binary].
 
-    With ``salt=S`` the build groups by (key, hash%S) and a second
-    applyInPandas merges the S partials per key — no single task ever
-    materializes a whole hot key (north_rule skew handling).  The salt
-    hash uses a deterministic column (default: first spec column if it
-    is a string, else the key itself) so results do not depend on
-    physical row placement.
+    ``map_side`` (default): partial sketch per (partition, key) inside
+    mapInArrow, then a tiny grouped blob merge — the partial/combine
+    protocol of the reference's grouped accumulator (reference
+    BloomFilterStateFactory.java:48-91) in Spark dataflow.  Only sketch
+    blobs shuffle (partitions x keys x sketch_size bytes, independent of
+    row count), and skewed keys cost nothing extra: a task only ever
+    sees its own partition's share of a hot key.  Right choice for
+    low-cardinality keys like ``source``.
+
+    ``salted``: groups raw rows by (key, salt) with applyInPandas, then
+    merges the S partials per key — the explicit repartition/salting
+    dataflow (north_rule).  Use for high-cardinality keys where
+    per-partition x per-key partials would blow up the map side.
     """
     cols = [key, *spec.columns]
     pruned = df.select(*dict.fromkeys(cols))
+    out_schema = f"{key} string, sketch binary"
+
+    if strategy == "map_side":
+        partials = pruned.mapInArrow(_grouped_partial_build(spec, key), out_schema)
+        return grouped_merge_sketch_column(partials, key)
+
+    if strategy != "salted":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = spec.factory()
         if len(pdf):
             spec.update(sk, pa.RecordBatch.from_pandas(pdf[list(spec.columns)], preserve_index=False))
         return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()]})
-
-    out_schema = f"{key} string, sketch binary"
 
     if not salt:
         return pruned.groupBy(key).applyInPandas(build, out_schema)

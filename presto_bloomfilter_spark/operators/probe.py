@@ -29,6 +29,7 @@ from presto_bloomfilter_spark.functions.bloom import BloomFilter
 from presto_bloomfilter_spark.operators.aggregate import (
     DEFAULT_FAN_IN,
     aggregate_sketch,
+    bloom_over_ints,
     bloom_over_strings,
 )
 
@@ -104,13 +105,29 @@ def bloom_semi_join(
     predicate (this mirrors what Catalyst's InjectRuntimeFilter does
     automatically, but user-controlled and persistable — SURVEY.md §4).
     """
-    build_keys = build_df.select(F.col(build_col).cast("string").alias(build_col)).distinct()
-    bf = aggregate_sketch(build_keys, bloom_over_strings(build_col, expected_insertions, fpp), fan_in)
-    pre = probe_df.filter(contains_udf(spark, bf)(F.col(probe_col).cast("string")))
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    ints = (
+        dict(probe_df.dtypes)[probe_col] in int_types
+        and dict(build_df.dtypes)[build_col] in int_types
+    )
+    if ints:
+        # integer keys: no casts — int hashing stays pure numpy and the
+        # verify join compares native longs
+        build_keys = build_df.select(build_col).distinct()
+        spec = bloom_over_ints(build_col, expected_insertions, fpp)
+        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(build_keys, spec, fan_in),
+                                           ints=True)(F.col(probe_col)))
+        join_cond_col = F.col(probe_col)
+    else:
+        build_keys = build_df.select(F.col(build_col).cast("string").alias(build_col)).distinct()
+        spec = bloom_over_strings(build_col, expected_insertions, fpp)
+        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(build_keys, spec, fan_in))(
+            F.col(probe_col).cast("string")))
+        join_cond_col = F.col(probe_col).cast("string")
     if not exact:
         return pre
     return pre.join(
         F.broadcast(build_keys.withColumnRenamed(build_col, "__bk")),
-        pre[probe_col].cast("string") == F.col("__bk"),
+        join_cond_col == F.col("__bk"),
         "left_semi",
     )

@@ -115,9 +115,11 @@ FROM {_TOKENS_SQL} GROUP BY source
 
 
 def q_hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token ids per (skewed) source — the salted grouped build."""
+    """Distinct token ids per (skewed) source — map-side partial build:
+    skew costs nothing because a task only sees its own partition's
+    share of the hot key (web ≈ 55%)."""
     tokens = load_tokens(spark, sf_dir)
-    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_tokens("tokens"), salt=8)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_tokens("tokens"))
     ests = [(r[0], float(sketch_from_bytes(r.sketch).estimate())) for r in per_src.collect()]
     lit = spark.createDataFrame(ests, "source string, est double")
     exact = (

@@ -39,17 +39,30 @@ SOURCES = ["web", "books", "code", "wiki", "forums"]
 SOURCE_WEIGHTS = [0.70, 0.15, 0.08, 0.05, 0.02]
 MAX_LEN = 512
 
-DOCS_PER_SF = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+DOCS_PER_SF = {
+    "sf0.001": 1_000,
+    "sf0.01": 10_000,
+    "sf0.1": 400_000,
+    # dedicated scaling-run corpus (~600M tokens): big enough that
+    # per-core sketch compute dominates fixed job overhead
+    "sfscale": 3_200_000,
+}
+
+# generation chunk: fixed-size numpy buffers per chunk keep peak memory
+# bounded and let the allocator recycle pages (large one-shot generation
+# would first-touch GBs of fresh pages, which is pathologically slow on
+# memory-ballooned hosts)
+CHUNK_DOCS = 100_000
 
 _REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TOKENS_SPARK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
-def generate_tokens_table(n_docs: int, seed: int = SEED) -> pa.Table:
-    """Generate the corpus as one Arrow table, fully vectorized."""
+def generate_tokens_table(n_docs: int, seed: int = SEED, start_idx: int = 0) -> pa.Table:
+    """Generate one corpus chunk as an Arrow table, fully vectorized."""
     rng = np.random.default_rng(seed)
-    doc_idx = np.arange(n_docs)
+    doc_idx = np.arange(start_idx, start_idx + n_docs)
     doc_id = pa.array([f"doc-{i:012d}" for i in doc_idx], pa.string())
     source = rng.choice(np.arange(len(SOURCES)), size=n_docs, p=SOURCE_WEIGHTS)
     # sequence lengths: clipped lognormal in [1, MAX_LEN] (FIXTURES F1)
@@ -84,9 +97,25 @@ def ensure_tokens_parquet(sf_dir: str) -> str:
     path = tokens_parquet_path(sf_dir)
     if not os.path.exists(path):
         os.makedirs(_REPO_DATA, exist_ok=True)
-        tbl = generate_tokens_table(DOCS_PER_SF[sf])
+        n = DOCS_PER_SF[sf]
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=8192)
+        writer = None
+        try:
+            for start in range(0, n, CHUNK_DOCS):
+                cnt = min(CHUNK_DOCS, n - start)
+                # per-chunk seed keeps chunks independent + deterministic
+                tbl = generate_tokens_table(cnt, SEED + start, start)
+                if writer is None:
+                    # small row groups: parquet scans can only split on
+                    # row-group boundaries, so this sets the max scan
+                    # parallelism (98 groups at sf0.1 keeps local[32]
+                    # fed; at production scale the equivalent knob is
+                    # many ~128MB files)
+                    writer = pq.ParquetWriter(tmp, tbl.schema)
+                writer.write_table(tbl, row_group_size=1024)
+        finally:
+            if writer is not None:
+                writer.close()
         os.replace(tmp, path)  # atomic publish
     return path
 

@@ -76,13 +76,19 @@ def test_kll_ntok_quantiles(spark, tokens):
     assert abs(ranks - 0.5) <= 5 * kll.rank_error
 
 
-def test_grouped_sketch_with_and_without_salt(spark, tokens):
+def test_grouped_sketch_strategies_agree(spark, tokens):
+    """map_side partials, plain grouped, and salted grouped must all
+    produce byte-identical per-key HLLs (register-max merge is
+    order-insensitive)."""
     spec = agg.hll_over_tokens("tokens")
     plain = {r[0]: sketch_from_bytes(r.sketch) for r in agg.grouped_sketch(tokens, "source", spec).collect()}
-    salted = {r[0]: sketch_from_bytes(r.sketch) for r in agg.grouped_sketch(tokens, "source", spec, salt=8).collect()}
-    assert set(plain) == set(salted)
+    grouped = {r[0]: sketch_from_bytes(r.sketch)
+               for r in agg.grouped_sketch(tokens, "source", spec, strategy="salted").collect()}
+    salted = {r[0]: sketch_from_bytes(r.sketch)
+              for r in agg.grouped_sketch(tokens, "source", spec, salt=8, strategy="salted").collect()}
+    assert set(plain) == set(salted) == set(grouped)
     for k in plain:
-        assert plain[k] == salted[k]  # register-max merge → byte-identical
+        assert plain[k] == salted[k] == grouped[k]
     # sanity vs exact per-group distinct
     exact = {
         r.source: r.d
