@@ -24,6 +24,7 @@ from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+from presto_bloomfilter_spark import compat
 
 __all__ = [
     "BloomFilter",
@@ -31,6 +32,7 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "sketch_from_bytes",
+    "compat",
 ]
 
 __version__ = "0.1.0"

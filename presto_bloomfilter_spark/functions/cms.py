@@ -62,21 +62,25 @@ class CountMinSketch:
             )
         return cols
 
+    _CHUNK = 1 << 18
+
     def _update(self, h: np.ndarray, counts: np.ndarray) -> None:
         if len(h) == 0:
             return
-        cols = self._row_indexes(h)
         # bincount is a buffered single pass — ~100x the throughput of the
         # unbuffered np.add.at for wide batches; float64 weight sums are
-        # exact below 2^53 so the int64 cast is lossless here
+        # exact below 2^53 so the int64 cast is lossless here.  Fixed-size
+        # chunks keep temporaries cache-sized and recyclable.
         uniform = counts.max() == 1 and counts.min() == 1
-        for d in range(self.depth):
-            if uniform:
-                self.table[d] += np.bincount(cols[d], minlength=self.width)
-            else:
-                self.table[d] += np.bincount(
-                    cols[d], weights=counts, minlength=self.width
-                ).astype(np.int64)
+        for s in range(0, len(h), self._CHUNK):
+            cols = self._row_indexes(h[s:s + self._CHUNK])
+            for d in range(self.depth):
+                if uniform:
+                    self.table[d] += np.bincount(cols[d], minlength=self.width)
+                else:
+                    self.table[d] += np.bincount(
+                        cols[d], weights=counts[s:s + self._CHUNK], minlength=self.width
+                    ).astype(np.int64)
         self.total += int(counts.sum())
 
     def add_strings(self, values, counts=None) -> "CountMinSketch":

@@ -201,9 +201,14 @@ def aggregate_sketch(
     # getNumPartitions builds the RDD DAG driver-side (~100s of ms);
     # skip it when the partial count is already pinned
     n_parts = target_partials or pruned.rdd.getNumPartitions()
-    if n_parts > fan_in:
-        # intermediate tree level: fan_in tasks each merge ~n/fan_in blobs
-        partials = partials.repartition(fan_in).mapInArrow(_merge_blobs, "sketch binary")
+    # tree merge: each level's tasks merge ~fan_in blobs, so no task (and
+    # finally no driver) ever holds more than fan_in sketches — at 8000
+    # partials and fan_in=16 that is 500 → 32 → 2 tasks, then the driver
+    # merges ≤ fan_in blobs (north_rule: treeAggregate-style merges, no
+    # driver hotspot)
+    while n_parts > fan_in:
+        n_parts = -(-n_parts // fan_in)
+        partials = partials.repartition(n_parts).mapInArrow(_merge_blobs, "sketch binary")
     blobs = [r.sketch for r in partials.collect()]
     if not blobs:
         return spec.factory()
@@ -216,8 +221,10 @@ def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAUL
     merge aggregation (BloomFilterFromString.java:23-38)."""
     pruned = df.select(F.col(col).alias("sketch"))
     partials = pruned.mapInArrow(_merge_blobs, "sketch binary")
-    if pruned.rdd.getNumPartitions() > fan_in:
-        partials = partials.repartition(fan_in).mapInArrow(_merge_blobs, "sketch binary")
+    n_parts = pruned.rdd.getNumPartitions()
+    while n_parts > fan_in:
+        n_parts = -(-n_parts // fan_in)
+        partials = partials.repartition(n_parts).mapInArrow(_merge_blobs, "sketch binary")
     blobs = [r.sketch for r in partials.collect()]
     if not blobs:
         raise ValueError("no sketches to merge")

@@ -89,6 +89,44 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b), id_a < id_b,
+    cosine >= threshold.
+
+    Blocked brute-force: the normalized corpus matrix rides a broadcast
+    once; each partition multiplies its own block against it (one BLAS
+    matmul per batch), so the O(n^2) similarity work is distributed and
+    NO pairwise shuffle exists.  Broadcast holds to ~1M x 64 float32
+    (256 MB); beyond that, bucket by hyperplane_lsh_buckets first and
+    run this per bucket — same verify math, partition-pruned candidate
+    space.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = _normalize(_to_matrix(pdf[vec_col]))
+            sims = m @ all_mat.T  # (block, n)
+            hit = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
+            bi, ci = np.nonzero(hit)
+            yield pd.DataFrame({"id_a": my_ids[bi], "id_b": all_ids[ci]})
+
+    return df.select(id_col, vec_col).mapInPandas(fn, "id_a long, id_b long")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     bits: int = 12,

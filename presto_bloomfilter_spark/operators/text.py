@@ -45,6 +45,24 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed).  The
+# same RE2-compatible pattern runs JVM-side here and in the DuckDB
+# oracle, so counts are engine-comparable.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish regex token counting — the pre-tokenization pass of a
+    GPT-2-style tokenizer, JVM-side (regexp_extract_all, no Python)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
                    max_stopword_ratio: float = 0.9) -> DataFrame:
     """Filter low-quality docs; predicate stays JVM-side so it pushes

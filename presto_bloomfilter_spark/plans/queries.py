@@ -387,6 +387,32 @@ FROM documents
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_TOKEN_COUNT_BPE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN.replace("'", "''")}')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.4 — blocked
+    brute-force over a broadcast matrix (see similarity module for the
+    LSH-bucketed scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(spark, emb, threshold=0.4)
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID — no SQL oracle (rows-only)."""
     return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id").select("id", "pred_lang")
@@ -466,6 +492,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
+    "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -489,6 +517,8 @@ ORACLES = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "text_quality": ORACLE_TEXT_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
+    "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
+    "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): simhash_pairs, lang_id,

@@ -1,0 +1,93 @@
+"""Reference-parity tests over the compat surface, mirroring the
+golden-answer SQL queries of TestBloomFilterQueries.java:48-136."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark import compat
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [("alice",), ("bob",), ("carol",), (None,), ("",)], "name string"
+    )
+
+
+def test_empty_and_null_elements_ignored(spark, names):
+    """bloom_filter('')/bloom_filter(NULL) produce an empty filter
+    (TestBloomFilterQueries.java:53-56; BloomFilter.java:161-167)."""
+    empty = names.filter(F.col("name") == "")
+    bf = compat.bloom_filter(empty, "name", 1000, 0.01)
+    assert bf.bits_set == 0
+    assert not bf.might_contain("anything")
+
+
+def test_contains_positive_negative(spark, names):
+    bf = compat.bloom_filter(names, "name", 1000, 0.01)
+    probed = names.withColumn("hit", compat.bloom_filter_contains(spark, bf, "name"))
+    rows = {r.name: r.hit for r in probed.collect()}
+    assert rows["alice"] and rows["bob"] and rows["carol"]
+    assert rows[None] is False  # null element → false (scalar fn contract)
+    miss = spark.createDataFrame([("zebra-xyz",)], "name string")
+    assert not miss.withColumn(
+        "hit", compat.bloom_filter_contains(spark, bf, "name")
+    ).collect()[0].hit
+
+
+def test_custom_params_roundtrip(spark, names):
+    """params survive serialization and read back via the header
+    (TestBloomFilterQueries params query; get_* scalar fns)."""
+    bf = compat.bloom_filter(names, "name", 12345, 0.007)
+    blob = bf.to_bytes()
+    assert compat.get_expected_insertions(blob) == 12345
+    assert compat.get_false_positive_percentage(blob) == 0.007
+    assert compat.get_expected_insertions(bf) == 12345
+
+
+def test_from_string_merges_prebuilt_filters(spark):
+    """bloom_filter_from_string aggregation = union of pre-built
+    filters (BloomFilterFromString.java:23-38)."""
+    a = BloomFilter(1000, 0.01).add("x1").add("x2")
+    b = BloomFilter(1000, 0.01).add("y1")
+    df = spark.createDataFrame([(compat.to_string(a),), (compat.to_string(b),)], "s string")
+    merged = compat.bloom_filter_from_string(df, "s")
+    for el in ("x1", "x2", "y1"):
+        assert merged.might_contain(el)
+    assert not merged.might_contain("z-absent")
+
+
+def test_persist_and_load_roundtrip(tmp_path, spark, names):
+    """persist → load → membership preserved (reference
+    TestBloomFilterQueries.java:98-136 against the HTTP service)."""
+    bf = compat.bloom_filter(names, "name", 1000, 0.01)
+    p1 = str(tmp_path / "vips")
+    assert compat.bloom_filter_persist(bf, p1)
+    other = BloomFilter(1000, 0.01).add("dave")
+    p2 = str(tmp_path / "extra")
+    compat.bloom_filter_persist(other, p2)
+
+    loaded = compat.bloom_filter_load(p1)
+    assert loaded.might_contain("alice")
+    merged = compat.bloom_filter_load([p1, p2])
+    assert merged.might_contain("alice") and merged.might_contain("dave")
+
+
+def test_grouped_bloom_filter(spark):
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", "k2"), ("b", "k3")], "g string, v string"
+    )
+    per = {r.g: r.sketch for r in compat.bloom_filter(df, "v", 1000, 0.01, group_by="g").collect()}
+    from presto_bloomfilter_spark import sketch_from_bytes
+
+    assert sketch_from_bytes(per["a"]).might_contain("k1")
+    assert not sketch_from_bytes(per["b"]).might_contain("k1")
+
+
+def test_to_string_col_matches_driver_side(spark, names):
+    bf = compat.bloom_filter(names, "name", 1000, 0.01)
+    df = spark.createDataFrame([(bf.to_bytes(),)], "sketch binary")
+    jvm_b64 = df.select(compat.to_string_col("sketch").alias("s")).collect()[0].s
+    assert jvm_b64 == compat.to_string(bf)
