@@ -11,7 +11,7 @@ clean little-endian layout:
     offset  field
     0..3    magic  b"PBFS"
     4..5    u16    format version (1)
-    6       u8     sketch kind (1=bloom 2=hll 3=cms 4=kll)
+    6       u8     sketch kind (1=bloom 2=hll 3=cms 4=kll 5=multi)
     7       u8     flags (bit0: payload is zlib-compressed)
     8..39   sha256 of the *uncompressed* payload  (cache key)
     40..43  u32    params JSON length
@@ -39,6 +39,7 @@ KIND_BLOOM = 1
 KIND_HLL = 2
 KIND_CMS = 3
 KIND_KLL = 4
+KIND_MULTI = 5
 
 _REGISTRY: dict[int, type] = {}
 

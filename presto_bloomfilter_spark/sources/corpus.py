@@ -43,9 +43,10 @@ DOCS_PER_SF = {
     "sf0.001": 1_000,
     "sf0.01": 10_000,
     "sf0.1": 400_000,
-    # dedicated scaling-run corpus (~600M tokens): big enough that
-    # per-core sketch compute dominates fixed job overhead
+    # dedicated scaling-run corpora: big enough that per-core sketch
+    # compute dominates fixed job overhead (~600M / ~2.4B tokens)
     "sfscale": 3_200_000,
+    "sfscale4": 12_800_000,
 }
 
 # generation chunk: fixed-size numpy buffers per chunk keep peak memory

@@ -125,3 +125,78 @@ def test_empty_input_yields_empty_sketch(spark, tokens):
     empty = tokens.filter(F.lit(False))
     bf = agg.aggregate_sketch(empty, agg.bloom_over_strings("doc_id", 1000))
     assert bf.bits_set == 0 and bf.approx_items == 0
+
+
+def test_fused_parquet_scan_matches_dataframe_path(spark, sf_dir):
+    """aggregate_sketch_from_parquet (pyarrow scan inside the worker)
+    must produce byte-identical sketches to the DataFrame path."""
+    from presto_bloomfilter_spark.sources.corpus import ensure_tokens_parquet
+
+    path = ensure_tokens_parquet(sf_dir)
+    spec = agg.bloom_over_tokens("tokens", 100_000, 0.01)
+    via_df = agg.aggregate_sketch(load_tokens(spark, sf_dir), spec)
+    via_fused = agg.aggregate_sketch_from_parquet(spark, path, spec, n_tasks=7)
+    assert via_fused.sha256 == via_df.sha256
+
+
+def test_token_family_fused_build(spark, sf_dir):
+    """One scan builds bloom+CMS+HLL; estimates agree with exact."""
+    from presto_bloomfilter_spark.sources.corpus import ensure_tokens_parquet
+
+    path = ensure_tokens_parquet(sf_dir)
+    fam = agg.aggregate_sketch_from_parquet(
+        spark, path, agg.token_family_over_tokens("tokens"), n_tasks=5)
+    bloom, cms, hll = fam.parts
+    tokens = load_tokens(spark, sf_dir)
+    exact = (
+        tokens.select(F.explode("tokens").alias("t")).groupBy("t").count()
+        .orderBy(F.desc("count")).limit(10).collect()
+    )
+    for r in exact:
+        assert bloom.might_contain_ints([r.t])[0]
+        est = int(cms.estimate_ints([r.t])[0])
+        assert r["count"] <= est <= r["count"] * 1.01 + 10
+    n_distinct = tokens.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("d")).collect()[0].d
+    assert abs(hll.estimate() - n_distinct) / n_distinct <= 0.03
+
+
+def test_dedup_accumulator_range_fallback():
+    """Ids wider than RANGE_CAP fall back to direct inserts mid-stream
+    and still agree with a direct-built sketch."""
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 50_000, size=10_000)
+    huge = rng.integers(0, 2**31 - 1, size=10_000)
+    spec = agg.bloom_over_tokens("tokens", 100_000, 0.01)
+    acc = spec.factory()
+    acc.add_flat(small)
+    acc.add_flat(huge)  # range blows past cap → flush + direct
+    got = acc.finish()
+    ref = BloomFilter(100_000, 0.01)
+    ref.add_ints(small)
+    ref.add_ints(huge)
+    assert got.sha256 == ref.sha256
+
+
+def test_multisketch_roundtrip_and_merge_invariance():
+    from presto_bloomfilter_spark.functions.multi import MultiSketch
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 30_000, size=50_000)
+    b = rng.integers(0, 30_000, size=50_000)
+    spec = agg.token_family_over_tokens("tokens")
+
+    whole = spec.factory(); whole.add_flat(np.concatenate([a, b]))
+    whole = whole.finish()
+
+    left = spec.factory(); left.add_flat(a)
+    right = spec.factory(); right.add_flat(b)
+    merged = left.finish().merge(right.finish())
+
+    rt = sketch_from_bytes(merged.to_bytes())
+    assert isinstance(rt, MultiSketch)
+    # bloom bitsets identical; CMS tables identical (counts are exact sums)
+    assert merged.parts[0].sha256 == whole.parts[0].sha256
+    assert rt.parts[0].sha256 == whole.parts[0].sha256
+    assert int(merged.parts[1].estimate_ints([int(a[0])])[0]) == int(
+        whole.parts[1].estimate_ints([int(a[0])])[0])
