@@ -281,25 +281,62 @@ def kll_over_column(col: str, k: int = KLLSketch.DEFAULT_K) -> SketchSpec:
 # ---- ungrouped aggregation (two-level tree merge) ----------------------------
 
 
-def _partial_build(spec: SketchSpec):
+class BuildMetrics:
+    """Sketch-build/merge counters over Spark accumulators (north_rule:
+    'sketch-merge metrics').  Executor-side updates flow back through the
+    task-completion protocol; read the properties after the job."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._rows = sc.accumulator(0)
+        self._batches = sc.accumulator(0)
+        self._partials = sc.accumulator(0)
+        self._merges = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {
+            "rows": self._rows.value,
+            "batches": self._batches.value,
+            "partial_sketches": self._partials.value,
+            "merges": self._merges.value,
+        }
+
+
+def _partial_build(spec: SketchSpec, metrics: BuildMetrics | None = None):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sk = spec.factory()
         for b in batches:
             if b.num_rows:
                 spec.update(sk, b)
+                if metrics is not None:
+                    metrics._rows.add(b.num_rows)
+                    metrics._batches.add(1)
+        if metrics is not None:
+            metrics._partials.add(1)
         yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
 
     return fn
 
 
-def _merge_blobs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    sk = None
-    for b in batches:
-        for buf in b.column(0):
-            other = sketch_from_bytes(buf.as_py())
-            sk = other if sk is None else sk.merge(other)
-    if sk is not None:
-        yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
+def _make_merge_blobs(metrics: BuildMetrics | None = None):
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sk = None
+        for b in batches:
+            for buf in b.column(0):
+                other = sketch_from_bytes(buf.as_py())
+                if sk is None:
+                    sk = other
+                else:
+                    sk = sk.merge(other)
+                    if metrics is not None:
+                        metrics._merges.add(1)
+        if sk is not None:
+            yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
+
+    return fn
+
+
+_merge_blobs = _make_merge_blobs()
 
 
 def aggregate_sketch(
@@ -307,6 +344,7 @@ def aggregate_sketch(
     spec: SketchSpec,
     fan_in: int = DEFAULT_FAN_IN,
     target_partials: int | None = None,
+    metrics: BuildMetrics | None = None,
 ):
     """Build one sketch over the whole DataFrame; returns the sketch object.
 
@@ -320,14 +358,20 @@ def aggregate_sketch(
     pruned = df.select(*spec.columns)
     if target_partials:
         pruned = pruned.coalesce(target_partials)
-    partials = pruned.mapInArrow(_partial_build(spec), "sketch binary")
+    partials = pruned.mapInArrow(_partial_build(spec, metrics), "sketch binary")
     # getNumPartitions builds the RDD DAG driver-side (~100s of ms);
     # skip it when the partial count is already pinned
     n_parts = target_partials or pruned.rdd.getNumPartitions()
-    return _tree_merge_collect(partials, n_parts, fan_in, spec)
+    return _tree_merge_collect(partials, n_parts, fan_in, spec, metrics)
 
 
-def _tree_merge_collect(partials: DataFrame, n_parts: int, fan_in: int, spec: SketchSpec | None = None):
+def _tree_merge_collect(
+    partials: DataFrame,
+    n_parts: int,
+    fan_in: int,
+    spec: SketchSpec | None = None,
+    metrics: BuildMetrics | None = None,
+):
     """Tree merge of a blob DataFrame down to one sketch.
 
     Each level's tasks merge ~fan_in blobs, so no task (and finally no
@@ -336,15 +380,21 @@ def _tree_merge_collect(partials: DataFrame, n_parts: int, fan_in: int, spec: Sk
     fan_in blobs (north_rule: treeAggregate-style merges, no driver
     hotspot).
     """
+    merge_fn = _make_merge_blobs(metrics) if metrics is not None else _merge_blobs
     while n_parts > fan_in:
         n_parts = -(-n_parts // fan_in)
-        partials = partials.repartition(n_parts).mapInArrow(_merge_blobs, "sketch binary")
+        partials = partials.repartition(n_parts).mapInArrow(merge_fn, "sketch binary")
     blobs = [r.sketch for r in partials.collect()]
     if not blobs:
         if spec is None:
             raise ValueError("no sketches to merge")
         return _unwrap(spec.factory())
-    return reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in blobs))
+    out = sketch_from_bytes(blobs[0])
+    for x in blobs[1:]:
+        out = out.merge(sketch_from_bytes(x))
+        if metrics is not None:
+            metrics._merges.add(1)
+    return out
 
 
 def aggregate_sketch_from_parquet(
@@ -353,6 +403,7 @@ def aggregate_sketch_from_parquet(
     spec: SketchSpec,
     n_tasks: int | None = None,
     fan_in: int = DEFAULT_FAN_IN,
+    metrics: BuildMetrics | None = None,
 ):
     """Fused columnar scan + partial sketch build over a parquet file.
 
@@ -391,11 +442,16 @@ def aggregate_sketch_from_parquet(
                     tbl = pf.read_row_group(rg, columns=cols)
                     for rb in tbl.to_batches():
                         spec.update(sk, rb)
+                        if metrics is not None:
+                            metrics._rows.add(rb.num_rows)
+                            metrics._batches.add(1)
+        if metrics is not None:
+            metrics._partials.add(1)
         yield pa.RecordBatch.from_arrays([pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
 
     shards = spark.range(0, n_tasks, 1, n_tasks)
     partials = shards.mapInArrow(build_shard, "sketch binary")
-    return _tree_merge_collect(partials, n_tasks, fan_in, spec)
+    return _tree_merge_collect(partials, n_tasks, fan_in, spec, metrics)
 
 
 def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAULT_FAN_IN):

@@ -110,20 +110,24 @@ def bloom_semi_join(
         dict(probe_df.dtypes)[probe_col] in int_types
         and dict(build_df.dtypes)[build_col] in int_types
     )
+    # the bloom build reads raw (non-distinct) keys: inserts are
+    # idempotent, so skipping .distinct() skips a whole shuffle of the
+    # build side; only the exact-verify broadcast below needs dedup
     if ints:
         # integer keys: no casts — int hashing stays pure numpy and the
         # verify join compares native longs
-        build_keys = build_df.select(build_col).distinct()
+        raw_keys = build_df.select(build_col)
         spec = bloom_over_ints(build_col, expected_insertions, fpp)
-        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(build_keys, spec, fan_in),
+        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(raw_keys, spec, fan_in),
                                            ints=True)(F.col(probe_col)))
         join_cond_col = F.col(probe_col)
     else:
-        build_keys = build_df.select(F.col(build_col).cast("string").alias(build_col)).distinct()
+        raw_keys = build_df.select(F.col(build_col).cast("string").alias(build_col))
         spec = bloom_over_strings(build_col, expected_insertions, fpp)
-        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(build_keys, spec, fan_in))(
+        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(raw_keys, spec, fan_in))(
             F.col(probe_col).cast("string")))
         join_cond_col = F.col(probe_col).cast("string")
+    build_keys = raw_keys.distinct()
     if not exact:
         return pre
     return pre.join(

@@ -178,6 +178,60 @@ SELECT token, cnt, TRUE AS cms_ok FROM (
 """
 
 
+def q_token_family_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused bloom+CMS+HLL family in one scan (aggregate_sketch_from_
+    parquet): for the exact top-20 tokens, bloom must contain each, CMS
+    must bound each count, and the family-level HLL must bound the
+    distinct-token count."""
+    import numpy as np
+
+    tokens = load_tokens(spark, sf_dir)
+    fam = agg.aggregate_sketch_from_parquet(
+        spark, tokens_parquet_path(sf_dir),
+        agg.token_family_over_tokens("tokens", bloom_n=1_000_000),
+        n_tasks=8,
+    )
+    bloom, cms, hll = fam.parts
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        tokens.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "cnt")
+        .collect()
+    )
+    n_distinct = (
+        tokens.select(F.explode("tokens").alias("t"))
+        .agg(F.countDistinct("t").alias("d"))
+        .collect()[0].d
+    )
+    toks = np.array([r.token for r in top])
+    cnts = np.array([r.cnt for r in top])
+    est = cms.estimate_ints(toks)
+    cms_ok = (est >= cnts) & (est <= cnts + cms.error_bound())
+    bloom_ok = bloom.might_contain_ints(toks)
+    hll_ok = abs(hll.estimate() - n_distinct) / n_distinct <= 0.025
+    return spark.createDataFrame(
+        [
+            (int(t), int(c), bool(b), bool(o), bool(hll_ok))
+            for t, c, b, o in zip(toks, cnts, bloom_ok, cms_ok)
+        ],
+        "token int, cnt long, bloom_ok boolean, cms_ok boolean, hll_ok boolean",
+    )
+
+
+ORACLE_TOKEN_FAMILY_FUSED = f"""
+SELECT token, cnt, TRUE AS bloom_ok, TRUE AS cms_ok, TRUE AS hll_ok FROM (
+  SELECT tok AS token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+  FROM (SELECT UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY tok
+) WHERE rn <= 20
+"""
+
+
 def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source n_tok p50/p90 via KLL, asserted within rank-error."""
     tokens = load_tokens(spark, sf_dir)
@@ -482,6 +536,7 @@ QUERIES = {
     "hll_docs_by_source": q_hll_docs_by_source,
     "hll_tokens_by_source": q_hll_tokens_by_source,
     "cms_top_tokens": q_cms_top_tokens,
+    "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -508,6 +563,7 @@ ORACLES = {
     "hll_docs_by_source": ORACLE_HLL_DOCS_BY_SOURCE,
     "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
+    "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_customers": ORACLE_TOP_CUSTOMERS,

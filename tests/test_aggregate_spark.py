@@ -200,3 +200,16 @@ def test_multisketch_roundtrip_and_merge_invariance():
     assert rt.parts[0].sha256 == whole.parts[0].sha256
     assert int(merged.parts[1].estimate_ints([int(a[0])])[0]) == int(
         whole.parts[1].estimate_ints([int(a[0])])[0])
+
+
+def test_build_metrics_accumulators(spark, tokens):
+    m = agg.BuildMetrics(spark)
+    n = tokens.count()
+    agg.aggregate_sketch(tokens.repartition(6), agg.bloom_over_tokens("tokens", 100_000, 0.01),
+                         fan_in=4, metrics=m)
+    d = m.as_dict()
+    assert d["rows"] == n
+    assert d["partial_sketches"] == 6
+    # 6 partials -> 2 intermediate (fan_in 4) -> driver: total merges = 5
+    assert d["merges"] == d["partial_sketches"] - 1
+    assert d["batches"] >= d["partial_sketches"]
