@@ -20,7 +20,7 @@ drive it with a file source + ``Trigger.AvailableNow``.
 
 from __future__ import annotations
 
-from presto_bloomfilter_spark.operators.aggregate import SketchSpec, aggregate_sketch
+from presto_bloomfilter_spark.operators.aggregate import SketchSpec, _unwrap, aggregate_sketch
 from presto_bloomfilter_spark.store import SketchStore
 
 
@@ -59,7 +59,7 @@ class StreamingSketchSink:
         """Merge of all folded micro-batch partials."""
         keys = self.batch_keys()
         if not keys:
-            return self.spec.factory()
+            return _unwrap(self.spec.factory())
         return self.store.load_merged(keys)
 
 
