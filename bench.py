@@ -40,7 +40,11 @@ _REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default width 16, not 32: every mapInArrow task runs a JVM task thread
+# AND a python worker process, so width 16 already saturates this box's
+# 32 vCPUs — measured: the full suite is ~25% faster at local[16] than
+# local[32] (0.61s vs 1.64s for the DataFrame-path bloom build)
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 SCALE_DIR = "/root/testdata/sfscale4"  # resolved to data/tokens_sfscale4.parquet
 SCALE_WIDTHS = [
     int(w) for w in os.environ.get("SPARK_GRAFT_SCALE_WIDTHS", "1,2,4,8,16").split(",")

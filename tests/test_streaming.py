@@ -51,3 +51,57 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert sink.current().total == total_after_first  # not double-counted
     sink(df, epoch_id=1)
     assert sink.current().total == 2 * total_after_first
+
+
+def _write_ts_files(tmp_path, spark):
+    """Three files advancing event time; file3's rows push the watermark
+    past the first windows so they finalize. One row in file2 is late
+    (inside watermark) for window 0 and must still merge in."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ts_in"
+    d.mkdir()
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(rows):
+        ts, uid = zip(*rows)
+        return pa.table({"ts": pa.array([base + pd.Timedelta(minutes=m) for m in ts],
+                                        pa.timestamp("us")),
+                         "user_id": pa.array(uid, pa.int64())})
+
+    # window = 10 min. w0: [0,10), w1: [10,20), w2: [20,30) ...
+    pq.write_table(mk([(1, 1), (2, 2), (3, 3), (11, 10)]), str(d / "f0.parquet"))
+    # advances watermark to ~21-10=11 > 10 → w0 closes next batch;
+    # includes a LATE row for w0 (minute 4, within the 10-min delay)
+    pq.write_table(mk([(21, 20), (4, 4), (12, 11)]), str(d / "f1.parquet"))
+    # advances watermark to 41-10=31 → w1, w2 close
+    pq.write_table(mk([(41, 40), (42, 41)]), str(d / "f2.parquet"))
+    return str(d)
+
+
+def test_windowed_stateful_sketch_stream(spark, tmp_path):
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    from presto_bloomfilter_spark.streaming.stateful import run_windowed_stream_from_files
+
+    indir = _write_ts_files(tmp_path, spark)
+    out = run_windowed_stream_from_files(
+        spark,
+        indir,
+        "ts timestamp, user_id long",
+        agg.hll_over_strings("user_id"),
+        time_col="ts",
+        window_duration="10 minutes",
+        watermark_delay="10 minutes",
+        checkpoint=str(tmp_path / "ckpt_w"),
+    ).collect()
+    got = {r.window_start.minute: round(sketch_from_bytes(r.sketch).estimate())
+           for r in out}
+    # w0 closed with 4 distinct users (1,2,3 + late 4); w1 closed with
+    # 2 (10, 11); w2 closed with 1 (20). The 40-minute window never
+    # closes (watermark stops at 32) and must NOT be emitted.
+    assert got.get(0) == 4, got
+    assert got.get(10) == 2, got
+    assert got.get(20) == 1, got
+    assert 40 not in got, got
