@@ -23,6 +23,7 @@ from presto_bloomfilter_spark.functions.bloom import BloomFilter
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
+from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -31,6 +32,7 @@ __all__ = [
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",
+    "TDigest",
     "sketch_from_bytes",
     "compat",
 ]

@@ -40,6 +40,7 @@ KIND_HLL = 2
 KIND_CMS = 3
 KIND_KLL = 4
 KIND_MULTI = 5
+KIND_TDIGEST = 6
 
 _REGISTRY: dict[int, type] = {}
 

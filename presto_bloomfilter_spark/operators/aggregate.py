@@ -44,6 +44,7 @@ from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.multi import MultiSketch
+from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 
 DEFAULT_FAN_IN = 16
@@ -295,6 +296,16 @@ def kll_over_column(col: str, k: int = KLLSketch.DEFAULT_K) -> SketchSpec:
     return SketchSpec(
         (col,),
         lambda: KLLSketch(k),
+        lambda sk, b: sk.add(_col_floats(b, col)),
+    )
+
+
+def tdigest_over_column(col: str, compression: int = TDigest.DEFAULT_COMPRESSION) -> SketchSpec:
+    """t-digest quantiles — tail-accurate sibling of kll_over_column
+    (north_rule lists both); same build/merge dataflow."""
+    return SketchSpec(
+        (col,),
+        lambda: TDigest(compression),
         lambda sk, b: sk.add(_col_floats(b, col)),
     )
 

@@ -259,6 +259,37 @@ SELECT source, TRUE AS p50_ok, TRUE AS p90_ok FROM {_TOKENS_SQL} GROUP BY source
 """
 
 
+def q_tdigest_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok p50/p99 via t-digest — tail-accurate quantile
+    sibling (north_rule lists both t-digest and KLL); asserted within
+    rank-error envelopes against the exact empirical CDF."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.tdigest_over_column("n_tok"))
+    rows = []
+    tol = None
+    for r in per_src.collect():
+        sk = sketch_from_bytes(r.sketch)
+        tol = sk.rank_error
+        rows.append((r[0], float(sk.quantile(0.5)), float(sk.quantile(0.99))))
+    lit = spark.createDataFrame(rows, "source string, p50 double, p99 double")
+    joined = tokens.join(F.broadcast(lit), "source")
+    return joined.groupBy("source").agg(
+        (
+            F.abs(F.avg((F.col("n_tok") <= F.col("p50")).cast("double")) - F.lit(0.5)) <= F.lit(tol)
+        ).alias("p50_ok"),
+        (
+            # clipped lognormal: n_tok piles up at the 512 cap, so rank
+            # 0.99 can sit inside the cap atom — allow the atom boundary
+            F.abs(F.avg((F.col("n_tok") <= F.col("p99")).cast("double")) - F.lit(0.99)) <= F.lit(0.02)
+        ).alias("p99_ok"),
+    )
+
+
+ORACLE_TDIGEST_NTOK_QUANTILES = f"""
+SELECT source, TRUE AS p50_ok, TRUE AS p99_ok FROM {_TOKENS_SQL} GROUP BY source
+"""
+
+
 # =================== relational coverage (SURVEY §2.2) ========================
 
 
@@ -538,6 +569,7 @@ QUERIES = {
     "cms_top_tokens": q_cms_top_tokens,
     "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
+    "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "distinct_users_by_event": q_distinct_users_by_event,
@@ -565,6 +597,7 @@ ORACLES = {
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
+    "tdigest_ntok_quantiles": ORACLE_TDIGEST_NTOK_QUANTILES,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "distinct_users_by_event": ORACLE_DISTINCT_USERS_BY_EVENT,

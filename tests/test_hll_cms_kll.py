@@ -136,3 +136,69 @@ def test_kll_roundtrip():
 def test_kll_k_mismatch_raises():
     with pytest.raises(ValueError):
         KLLSketch(100).merge(KLLSketch(200))
+
+
+# ---- t-digest (tail-accurate quantile sibling of KLL) ------------------------
+
+
+def test_tdigest_rank_error_within_bound():
+    import numpy as np
+
+    from presto_bloomfilter_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(3)
+    data = rng.lognormal(5.0, 0.8, size=200_000)
+    td = TDigest(200)
+    for chunk in np.array_split(data, 20):
+        td.add(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = td.quantile(q)
+        rank = (data <= est).mean()
+        assert abs(rank - q) <= td.rank_error, (q, rank)
+    # tails should be far tighter than the mid-range envelope
+    for q in (0.01, 0.99):
+        est = td.quantile(q)
+        assert abs((data <= est).mean() - q) <= 5e-3
+
+
+def test_tdigest_merge_split_matches_whole():
+    import numpy as np
+
+    from presto_bloomfilter_spark.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(0, 1, size=100_000)
+    whole = TDigest(150).add(data)
+    parts = [TDigest(150).add(c) for c in np.array_split(data, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.n == whole.n
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        assert abs((data <= est).mean() - q) <= merged.rank_error
+
+
+def test_tdigest_weighted_and_exact_small():
+    from presto_bloomfilter_spark.functions.tdigest import TDigest
+
+    td = TDigest(100).add([1.0, 2.0, 3.0])
+    assert td.quantile(0.0) == 1.0 and td.quantile(1.0) == 3.0
+    w = TDigest(100).add([0.0, 100.0], weights=[999, 1])
+    assert w.quantile(0.5) < 1.0
+
+
+def test_tdigest_roundtrip_and_mismatch():
+    import numpy as np
+    import pytest
+
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    from presto_bloomfilter_spark.functions.tdigest import TDigest
+
+    td = TDigest(100).add(np.arange(10_000, dtype=float))
+    rt = sketch_from_bytes(td.to_bytes())
+    assert isinstance(rt, TDigest)
+    assert abs(rt.quantile(0.37) - td.quantile(0.37)) < 1e-9
+    assert rt.min == td.min and rt.max == td.max
+    with pytest.raises(ValueError):
+        TDigest(100).add([1.0]).merge(TDigest(200).add([2.0]))
