@@ -115,6 +115,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
         tokens, agg.bloom_over_tokens("tokens", 1_000_000, 0.01), target_partials=CPUS))
     run("hll_tokens_by_source", lambda: agg.grouped_sketch(
         tokens, "source", agg.hll_over_tokens("tokens")).collect())
+    run("hll_by_source_fused", lambda: agg.grouped_sketch_from_parquet(
+        spark, tokens_path, "source", agg.hll_over_tokens("tokens"), n_tasks=CPUS).collect())
     run("cms_build_tokens", lambda: agg.aggregate_sketch(
         tokens, agg.cms_over_tokens("tokens", eps=1e-4), target_partials=CPUS))
     run("kll_ntok", lambda: agg.aggregate_sketch(

@@ -487,6 +487,47 @@ def aggregate_sketch_from_parquet(
     return _tree_merge_collect(partials, n_tasks, fan_in, spec, metrics)
 
 
+def grouped_sketch_from_parquet(
+    spark,
+    path: str,
+    key: str,
+    spec: SketchSpec,
+    n_tasks: int | None = None,
+) -> DataFrame:
+    """Grouped fused build: per-(shard, key) partials from a direct
+    pyarrow row-group scan, then a blob-only grouped merge.
+
+    The grouped analogue of ``aggregate_sketch_from_parquet``: raw rows
+    never cross a process boundary and never shuffle — only
+    ``shards x keys`` sketch blobs do.  Skew-proof for the same reason
+    as the map_side strategy: a task only sees its own shard's share of
+    a hot key.  Returns DataFrame[key string, sketch binary].
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    n_rg = meta.num_row_groups
+    if n_tasks is None:
+        n_tasks = spark.sparkContext.defaultParallelism
+    n_tasks = max(1, min(n_tasks, n_rg))
+    cols = list(dict.fromkeys([key, *spec.columns]))
+    grouped_body = _grouped_partial_build(spec, key)
+
+    def build_shard(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def shard_batches() -> Iterator[pa.RecordBatch]:
+            pf = pq.ParquetFile(path)
+            for b in batches:
+                for sid in b.column(0).to_pylist():
+                    for rg in range(sid, n_rg, n_tasks):
+                        yield from pf.read_row_group(rg, columns=cols).to_batches()
+
+        yield from grouped_body(shard_batches())
+
+    shards = spark.range(0, n_tasks, 1, n_tasks)
+    partials = shards.mapInArrow(build_shard, f"{key} string, sketch binary")
+    return grouped_merge_sketch_column(partials, key)
+
+
 def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAULT_FAN_IN):
     """Aggregate *pre-built* sketches stored in a binary column — parity
     with the reference's bloom_filter_from_string / bloom_filter(bf)

@@ -213,3 +213,20 @@ def test_build_metrics_accumulators(spark, tokens):
     # 6 partials -> 2 intermediate (fan_in 4) -> driver: total merges = 5
     assert d["merges"] == d["partial_sketches"] - 1
     assert d["batches"] >= d["partial_sketches"]
+
+
+def test_grouped_fused_parquet_matches_dataframe_grouped(spark, sf_dir):
+    from presto_bloomfilter_spark.sources.corpus import ensure_tokens_parquet
+
+    path = ensure_tokens_parquet(sf_dir)
+    spec = agg.hll_over_tokens("tokens")
+    via_df = {
+        r[0]: sketch_from_bytes(r.sketch).estimate()
+        for r in agg.grouped_sketch(load_tokens(spark, sf_dir), "source", spec).collect()
+    }
+    via_fused = {
+        r[0]: sketch_from_bytes(r.sketch).estimate()
+        for r in agg.grouped_sketch_from_parquet(spark, path, "source", spec, n_tasks=6).collect()
+    }
+    # HLL merge is register-max: estimates are partitioning-invariant
+    assert via_fused == via_df
