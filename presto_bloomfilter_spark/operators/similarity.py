@@ -154,6 +154,86 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(fn, "id long, bucket long")
 
 
+def spherical_kmeans(mat: np.ndarray, n_lists: int, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means over a normalized sample; returns
+    (n_lists, dim) normalized centroids.  Runs on the driver over a
+    bounded sample — the coarse quantizer of an IVF index, not a
+    full-corpus clustering."""
+    rng = np.random.default_rng(seed)
+    mat = _normalize(mat)
+    cent = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.sum(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, list_id): nearest-centroid assignment — the IVF inverted
+    lists.  At scale this DataFrame is written partitioned-by(list_id)
+    so probes are partition-pruned scans (same posture as the LSH
+    bucket table)."""
+    cent = centroids.copy()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = _normalize(_to_matrix(pdf[vec_col]))
+            assign = np.argmax(m @ cent.T, axis=1)
+            yield pd.DataFrame({"id": pdf[id_col].astype(np.int64),
+                                "list_id": assign.astype(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(fn, "id long, list_id long")
+
+
+def ivf_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans coarse quantizer, search
+    only the ``nprobe`` inverted lists nearest each query.  Same output
+    shape as cosine_topk; recall vs the exact baseline is a measured
+    property (tests), not a promise.
+
+    The scale path of the ANN pair (IVF here, multi-probe LSH in
+    lsh_topk): candidate set ≈ nprobe/n_lists of the corpus per query,
+    and the assignment table partition-prunes the probe scan.
+    """
+    sample_rows = (
+        base.select(id_col, vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
+    )
+    smat = np.array([r[1] for r in sample_rows], dtype=np.float64)
+    cent = spherical_kmeans(smat, n_lists, seed=seed)
+
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    qlists = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+
+    lists = ivf_assign(base, cent, vec_col, id_col)
+    base_l = base.join(lists.withColumnRenamed("id", id_col), id_col)
+
+    results = None
+    for (qid, vec), probe in zip(queries, qlists):
+        pruned = base_l.filter(F.col("list_id").isin([int(x) for x in probe]))
+        r = cosine_topk(spark, pruned, [(qid, vec)], k, vec_col, id_col)
+        results = r if results is None else results.unionAll(r)
+    return results
+
+
 def lsh_topk(
     spark: SparkSession,
     base: DataFrame,

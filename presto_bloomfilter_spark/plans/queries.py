@@ -541,6 +541,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(spark, emb, queries, k=10, bits=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-kmeans coarse quantizer, nprobe inverted
+    lists) — approximate, no SQL oracle (recall measured in tests
+    against the brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    return similarity.ivf_topk(spark, emb, queries, k=10, n_lists=8, nprobe=3)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -585,6 +594,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -611,5 +621,5 @@ ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): simhash_pairs, lang_id,
-    # fingerprint, ann_lsh
+    # fingerprint, ann_lsh, ann_ivf
 }

@@ -190,3 +190,34 @@ def test_frame_sample_fanout(spark, docs):
     pdf = frames.toPandas()
     assert len(pdf) > 10  # fan-out: more frames than docs
     assert (pdf.groupby("id").frame_off.min() == 0).all()
+
+
+def test_ivf_topk_recall(spark, emb):
+    import numpy as np
+
+    from presto_bloomfilter_spark.operators import similarity
+
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in rows]
+    exact = {}
+    for r in similarity.cosine_topk(spark, emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, []).append(r.neighbor_id)
+    approx = similarity.ivf_topk(spark, emb, queries, k=10, n_lists=8, nprobe=3).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(by_q.get(q, set()) & set(v)) / 10 for q, v in exact.items()]
+    # probing 3/8 lists: recall must be far above the 3/8 random floor
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_ivf_assign_is_deterministic_partitioning(spark, emb):
+    from presto_bloomfilter_spark.operators import similarity
+    import numpy as np
+
+    sample = np.array([r.embedding for r in emb.limit(512).collect()], dtype=np.float64)
+    cent = similarity.spherical_kmeans(sample, 8, seed=7)
+    a1 = {r.id: r.list_id for r in similarity.ivf_assign(emb, cent).collect()}
+    a2 = {r.id: r.list_id for r in similarity.ivf_assign(emb.repartition(7), cent).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(8))
