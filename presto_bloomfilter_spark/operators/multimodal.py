@@ -88,3 +88,51 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media_df.select("id", "media").mapInPandas(
         fn, "id string, frame_off int, frame_hash long"
     )
+
+
+def resize_stub(media_df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """'Resize' stub: emits a deterministic fixed-size payload per input
+    (resampled byte grid), preserving the real pipeline's shape — binary
+    in, fixed-size binary out, constant output row width so downstream
+    batch sizes are predictable.  A real implementation swaps the byte
+    resample for PIL/libvips; the Spark-side schema, Arrow batching and
+    size accounting are what this exercises.
+    """
+    out_len = width * height // 64  # keep the fake payload small
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for blob in pdf["media"]:
+                blob = blob or b"\0"
+                src = np.frombuffer(blob, dtype=np.uint8)
+                idx = np.linspace(0, len(src) - 1, out_len).astype(np.int64)
+                payloads.append(src[idx].tobytes())
+            yield pd.DataFrame(
+                {"id": pdf["id"], "resized": payloads,
+                 "width": np.full(len(pdf), width, dtype=np.int32),
+                 "height": np.full(len(pdf), height, dtype=np.int32)}
+            )
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, resized binary, width int, height int"
+    )
+
+
+def feature_stub(media_df: DataFrame, dim: int = 16) -> DataFrame:
+    """'Feature extraction' stub: deterministic pseudo-embedding per
+    payload (hash-seeded), array<float> out — the handoff shape into
+    the similarity operators (cosine_topk / ivf_topk)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for blob in pdf["media"]:
+                seed = int.from_bytes(hashlib.md5(blob or b"").digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                feats.append(rng.standard_normal(dim).astype(float).tolist())
+            yield pd.DataFrame({"id": pdf["id"], "feature": feats})
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, feature array<double>"
+    )

@@ -207,3 +207,57 @@ def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
     for r in new_parts:
         ckpt.record_partition(r.pid, ser.sketch_from_bytes(r.sketch), r.rows)
     return ckpt.merged(), len(new_parts)
+
+
+# ---- table sink (reference's Cassandra backend analogue) ---------------------
+
+
+def write_sketch_table(df, path: str, mode: str = "overwrite") -> None:
+    """Persist a grouped-sketch DataFrame[key, sketch] as a parquet
+    table with content hash and readable params — the table-backend
+    sibling of SketchStore (reference cassandra_backend.go:22-31 is the
+    same idea: sketches as rows in a queryable store instead of files).
+    The extra columns make the table self-describing: sha256 for dedup/
+    cache keys, params for geometry checks before any merge."""
+    cols = df.columns
+    out_schema = ", ".join(
+        [*(f"{c} string" if c != "sketch" else "sketch binary" for c in cols),
+         "sha256 string", "params string"]
+    )
+
+    def annotate(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["sha256"] = [ser.read_hash(b).hex() for b in pdf["sketch"]]
+            pdf["params"] = [
+                json.dumps(ser.read_params(b), sort_keys=True) for b in pdf["sketch"]
+            ]
+            yield pdf
+
+    df.mapInPandas(annotate, out_schema).write.mode(mode).parquet(path)
+
+
+def read_sketch_table(spark, path: str):
+    """Load a sketch table written by write_sketch_table."""
+    return spark.read.parquet(path)
+
+
+def load_sketch_table_merged(spark, path: str, key_col: str | None = None):
+    """Merge a sketch table back into python objects: one merged sketch
+    per key (dict) when key_col is given, else one global merge of every
+    row — the bloom_filter_load-over-a-table pattern."""
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no sketches in table {path}")
+    if key_col is None:
+        out = None
+        for r in rows:
+            sk = ser.sketch_from_bytes(r.sketch)
+            out = sk if out is None else out.merge(sk)
+        return out
+    merged: dict = {}
+    for r in rows:
+        sk = ser.sketch_from_bytes(r.sketch)
+        k = r[key_col]
+        merged[k] = sk if k not in merged else merged[k].merge(sk)
+    return merged

@@ -221,3 +221,28 @@ def test_ivf_assign_is_deterministic_partitioning(spark, emb):
     a2 = {r.id: r.list_id for r in similarity.ivf_assign(emb.repartition(7), cent).collect()}
     assert a1 == a2
     assert set(a1.values()) <= set(range(8))
+
+
+def test_multimodal_resize_and_feature_stubs(spark, sf_dir):
+    from presto_bloomfilter_spark.operators import multimodal, similarity
+    from presto_bloomfilter_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_media(docs, "text")
+    rs = multimodal.resize_stub(media, 64, 64).collect()
+    assert len(rs) == 50
+    assert all(len(r.resized) == 64 * 64 // 64 for r in rs)
+    assert all(r.width == 64 for r in rs)
+    # deterministic across partitionings
+    rs2 = multimodal.resize_stub(media.repartition(7), 64, 64).collect()
+    assert {r.id: r.resized for r in rs} == {r.id: r.resized for r in rs2}
+
+    feats = multimodal.feature_stub(media, dim=8)
+    rows = feats.collect()
+    assert all(len(r.feature) == 8 for r in rows)
+    # features feed the similarity operators end-to-end
+    emb = feats.select(F.monotonically_increasing_id().alias("vec_id"),
+                       F.col("feature").alias("embedding")).cache()
+    q = [(r.vec_id, list(r.embedding)) for r in emb.limit(2).collect()]
+    top = similarity.cosine_topk(spark, emb, q, k=3).collect()
+    assert len(top) == 6

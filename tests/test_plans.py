@@ -37,6 +37,9 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
 
 
 def test_sketch_build_scan_prunes_to_spec_columns(spark, sf_dir):
+    # another module may have .cache()d this table: a matching cached
+    # plan would swap in InMemoryTableScan and hide the parquet scan
+    spark.catalog.clearCache()
     tokens = load_tokens(spark, sf_dir)
     pruned = tokens.select(*agg.bloom_over_tokens("tokens").columns)
     plan = _plan(pruned)

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from presto_bloomfilter_spark import BloomFilter, HyperLogLog
+from pyspark.sql import functions as F
 from presto_bloomfilter_spark.operators import aggregate as agg
 from presto_bloomfilter_spark.sources.corpus import load_tokens
 from presto_bloomfilter_spark.store import CheckpointedBuild, SketchStore, checkpointed_aggregate
@@ -77,3 +78,30 @@ def test_manifest_lineage(tmp_path, spark, sf_dir):
     assert sum(v["rows"] for v in parts.values()) == tokens.count()
     for v in parts.values():
         assert len(v["sha256"]) == 64 and store.exists(v["key"])
+
+
+def test_sketch_table_sink_roundtrip(spark, tmp_path):
+    from presto_bloomfilter_spark.operators import aggregate as agg
+    from presto_bloomfilter_spark.sources.corpus import load_tokens
+    from presto_bloomfilter_spark.store import load_sketch_table_merged, read_sketch_table, write_sketch_table
+
+    tokens = load_tokens(spark, "/root/testdata/sf0.001")
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_tokens("tokens"))
+    path = str(tmp_path / "sketch_table")
+    write_sketch_table(per_src, path)
+
+    tbl = read_sketch_table(spark, path)
+    assert set(tbl.columns) == {"source", "sketch", "sha256", "params"}
+    assert tbl.count() == per_src.count()
+    # params are readable without decoding payloads
+    import json as _json
+    p = _json.loads(tbl.select("params").first().params)
+    assert "precision" in p or p, p
+
+    merged = load_sketch_table_merged(spark, path, key_col="source")
+    exact = {r.source: r.d for r in tokens.selectExpr("source", "explode(tokens) t")
+             .groupBy("source").agg(F.countDistinct("t").alias("d")).collect()}
+    for src, sk in merged.items():
+        assert abs(sk.estimate() - exact[src]) / exact[src] < 0.05
+    glob = load_sketch_table_merged(spark, path)
+    assert glob.estimate() > 0

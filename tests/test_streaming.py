@@ -78,6 +78,14 @@ def _write_ts_files(tmp_path, spark):
     pq.write_table(mk([(21, 20), (4, 4), (12, 11)]), str(d / "f1.parquet"))
     # advances watermark to 41-10=31 → w1, w2 close
     pq.write_table(mk([(41, 40), (42, 41)]), str(d / "f2.parquet"))
+    # the file source orders batches by modification time: pin distinct
+    # mtimes so the event-time progression (and so which windows the
+    # watermark closes) is deterministic, not filesystem-timing luck
+    import os as _os
+
+    for i, name in enumerate(["f0.parquet", "f1.parquet", "f2.parquet"]):
+        t = 1_700_000_000 + i * 10
+        _os.utime(str(d / name), (t, t))
     return str(d)
 
 
