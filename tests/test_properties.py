@@ -1,0 +1,123 @@
+"""Property-based algebra tests (hypothesis): the merge laws every
+distributed partial/combine protocol silently depends on — associativity,
+commutativity, idempotence (where claimed), identity of the empty
+sketch, and serialization round-trips — over random inputs and random
+split points, not hand-picked examples."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.functions.cms import CountMinSketch
+from presto_bloomfilter_spark.functions.hll import HyperLogLog
+from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+from presto_bloomfilter_spark.functions.tdigest import TDigest
+
+ints = st.lists(st.integers(min_value=0, max_value=100_000), min_size=0, max_size=400)
+
+
+def _bloom(vals):
+    return BloomFilter(10_000, 0.01).add_ints(np.array(vals, dtype=np.int64)) if vals else BloomFilter(10_000, 0.01)
+
+
+def _hll(vals):
+    h = HyperLogLog(12)
+    if vals:
+        h.add_ints(np.array(vals, dtype=np.int64))
+    return h
+
+
+def _cms(vals):
+    c = CountMinSketch(eps=0.005, delta=0.01)
+    if vals:
+        c.add_ints(np.array(vals, dtype=np.int64))
+    return c
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints, st.integers(min_value=0, max_value=400))
+def test_bloom_split_merge_equals_whole(vals, cut):
+    cut = min(cut, len(vals))
+    whole = _bloom(vals)
+    merged = _bloom(vals[:cut]).merge(_bloom(vals[cut:]))
+    assert merged.sha256 == whole.sha256
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints, ints)
+def test_bloom_merge_commutative_and_idempotent(a, b):
+    ab = _bloom(a).merge(_bloom(b))
+    ba = _bloom(b).merge(_bloom(a))
+    assert ab.sha256 == ba.sha256
+    again = ab.copy().merge(_bloom(a))  # re-adding a side changes nothing
+    assert again.sha256 == ab.sha256
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints, st.integers(min_value=0, max_value=400))
+def test_hll_split_merge_equals_whole_bytes(vals, cut):
+    cut = min(cut, len(vals))
+    whole = _hll(vals)
+    merged = _hll(vals[:cut]).merge(_hll(vals[cut:]))
+    assert np.array_equal(merged.registers, whole.registers)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints, ints, ints)
+def test_cms_merge_associative_exact_counts(a, b, c):
+    left = _cms(a).merge(_cms(b)).merge(_cms(c))
+    right = _cms(a).merge(_cms(b).merge(_cms(c)))
+    assert np.array_equal(left.table, right.table)
+    assert left.total == len(a) + len(b) + len(c)
+    # CMS never under-counts
+    allv = a + b + c
+    if allv:
+        uniq, counts = np.unique(np.array(allv, dtype=np.int64), return_counts=True)
+        assert (left.estimate_ints(uniq) >= counts).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints)
+def test_roundtrip_preserves_estimates(vals):
+    for sk in (_bloom(vals), _hll(vals), _cms(vals)):
+        rt = sketch_from_bytes(sk.to_bytes())
+        assert type(rt) is type(sk)
+    h = _hll(vals)
+    assert sketch_from_bytes(h.to_bytes()).estimate() == h.estimate()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=300),
+)
+def test_tdigest_split_merge_quantiles_close(vals, cut):
+    cut = min(cut, len(vals))
+    whole = TDigest(100).add(np.array(vals))
+    merged = TDigest(100).add(np.array(vals[:cut])) if cut else TDigest(100)
+    rest = TDigest(100).add(np.array(vals[cut:])) if cut < len(vals) else TDigest(100)
+    if cut and cut < len(vals):
+        merged = merged.merge(rest)
+    elif not cut:
+        merged = rest
+    assert merged.n == whole.n == len(vals)
+    assert merged.min == whole.min and merged.max == whole.max
+    data = np.array(vals)
+    for q in (0.25, 0.5, 0.75):
+        est = merged.quantile(q)
+        # est must fall inside the exact quantile band q ± tol — robust
+        # to atoms (repeated values), where rank-of-estimate is ill-posed
+        tol = merged.rank_error + 1.5 / len(vals)
+        lo = np.quantile(data, max(0.0, q - tol))
+        hi = np.quantile(data, min(1.0, q + tol))
+        assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, lo, hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ints)
+def test_empty_is_identity(vals):
+    e = _bloom([])
+    s = _bloom(vals)
+    assert e.copy().merge(s).sha256 == s.sha256
+    eh, sh = _hll([]), _hll(vals)
+    assert np.array_equal(eh.merge(sh).registers, sh.registers)
