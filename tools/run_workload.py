@@ -132,6 +132,30 @@ def main() -> None:
         "rank_error": kll.rank_error,
     }
 
+    # 5. fused family (bloom+CMS+HLL in one pyarrow scan) + t-digest
+    from presto_bloomfilter_spark.sources.corpus import ensure_tokens_parquet
+
+    t0 = time.time()
+    fam = agg.aggregate_sketch_from_parquet(
+        spark, ensure_tokens_parquet(args.sf_dir),
+        agg.token_family_over_tokens("tokens", bloom_n=args.bloom_n, bloom_p=args.fpp),
+        n_tasks=args.cpus,
+    )
+    store.put(f"{args.job_id}.family", fam)
+    dt = time.time() - t0
+    metrics["token_family_fused"] = {
+        "sec": round(dt, 3), "tokens_per_sec": round(n_tokens / dt),
+        "hll_distinct_tokens": round(fam.parts[2].estimate()),
+        "bloom_fill": round(fam.parts[0].fill_ratio, 5),
+    }
+    t0 = time.time()
+    td = agg.aggregate_sketch(tokens, agg.tdigest_over_column("n_tok"), target_partials=args.cpus)
+    store.put(f"{args.job_id}.tdigest", td)
+    metrics["tdigest_ntok"] = {
+        "sec": round(time.time() - t0, 3),
+        "p50": td.quantile(0.5), "p99": td.quantile(0.99),
+    }
+
     metrics["total_sec"] = round(time.time() - t_all, 3)
     metrics["store_keys"] = len(store.keys())
     spark.stop()
