@@ -29,6 +29,7 @@ final merge work.  applyInPandas materializes each group in one worker
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from functools import reduce
@@ -62,6 +63,13 @@ def tune_arrow_batches(df_or_spark) -> None:
     the DataFrame-path sketch build (4.0 s → 0.56 s for 75M tokens at
     local[16]).  Only applied while the conf sits at its default, so an
     explicit user setting always wins.
+
+    NOTE: this change is session-global and persists after the call —
+    lazy operators (``grouped_sketch``) return un-executed DataFrames,
+    so the conf must still hold when the action finally runs.  Eager
+    operators (``aggregate_sketch``) instead use the scoped
+    ``_tuned_arrow_batches`` context manager, which restores the
+    previous value once their job completes.
     """
     spark = getattr(df_or_spark, "sparkSession", df_or_spark)
     try:
@@ -69,6 +77,29 @@ def tune_arrow_batches(df_or_spark) -> None:
             spark.conf.set(_ARROW_BATCH_KEY, "4096")
     except Exception:  # pragma: no cover — conf API unavailable
         pass
+
+
+@contextlib.contextmanager
+def _tuned_arrow_batches(df_or_spark):
+    """Scoped form of tune_arrow_batches: set the cache-resident Arrow
+    batch size for the duration of an eager job, then restore, so
+    unrelated pandas-UDF workloads in the same session keep the default."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    prev = None
+    try:
+        if spark.conf.get(_ARROW_BATCH_KEY, "10000") == "10000":
+            spark.conf.set(_ARROW_BATCH_KEY, "4096")
+            prev = "10000"
+    except Exception:  # pragma: no cover — conf API unavailable
+        pass
+    try:
+        yield
+    finally:
+        if prev is not None:
+            try:
+                spark.conf.set(_ARROW_BATCH_KEY, prev)
+            except Exception:  # pragma: no cover
+                pass
 
 
 class TokenDedupAccumulator:
@@ -117,7 +148,10 @@ class TokenDedupAccumulator:
                 self.direct = True
                 self.sketch.add_ints(flat)
                 return
+            # cap the PADDED size too, not just the raw range, so the
+            # first allocation never exceeds RANGE_CAP counts
             pad = max(1024, (mx - mn) // 4)
+            pad = min(pad, max(0, (self.RANGE_CAP - (mx - mn + 1)) // 2))
             self.base = mn - pad
             self.counts = np.zeros(mx + pad - self.base + 1, dtype=np.int64)
         elif mn < self.base or mx >= self.base + len(self.counts):
@@ -382,20 +416,23 @@ def aggregate_sketch(
 
     Column pruning: only spec.columns are read, so the parquet scan
     prunes everything else.  ``target_partials`` coalesces (no shuffle)
-    the scan to that many tasks first — set it to the cluster's core
-    count so each worker builds exactly one partial: partial count (and
-    so merge fan-in and blob shuffle volume) then tracks cluster size,
-    not input split count.
+    the scan to that many tasks first — it defaults to the session's
+    defaultParallelism (the cluster's core count) so each worker builds
+    exactly one partial: partial count (and so merge fan-in and blob
+    shuffle volume) tracks cluster size, not input split count, and the
+    driver never touches ``rdd.getNumPartitions()`` (which builds the
+    DAG driver-side, ~100s of ms per call).  Pass ``target_partials=0``
+    to keep the input partitioning as-is.
     """
-    tune_arrow_batches(df)
+    if target_partials is None:
+        target_partials = df.sparkSession.sparkContext.defaultParallelism
     pruned = df.select(*spec.columns)
     if target_partials:
         pruned = pruned.coalesce(target_partials)
-    partials = pruned.mapInArrow(_partial_build(spec, metrics), "sketch binary")
-    # getNumPartitions builds the RDD DAG driver-side (~100s of ms);
-    # skip it when the partial count is already pinned
-    n_parts = target_partials or pruned.rdd.getNumPartitions()
-    return _tree_merge_collect(partials, n_parts, fan_in, spec, metrics)
+    with _tuned_arrow_batches(df):
+        partials = pruned.mapInArrow(_partial_build(spec, metrics), "sketch binary")
+        n_parts = target_partials or pruned.rdd.getNumPartitions()
+        return _tree_merge_collect(partials, n_parts, fan_in, spec, metrics)
 
 
 def _tree_merge_collect(

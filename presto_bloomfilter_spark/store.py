@@ -218,10 +218,11 @@ def write_sketch_table(df, path: str, mode: str = "overwrite") -> None:
     sibling of SketchStore (reference cassandra_backend.go:22-31 is the
     same idea: sketches as rows in a queryable store instead of files).
     The extra columns make the table self-describing: sha256 for dedup/
-    cache keys, params for geometry checks before any merge."""
-    cols = df.columns
+    cache keys, params for geometry checks before any merge.  Non-sketch
+    columns keep their input types (an int key round-trips as int)."""
     out_schema = ", ".join(
-        [*(f"{c} string" if c != "sketch" else "sketch binary" for c in cols),
+        [*(f"{f.name} {f.dataType.simpleString()}" if f.name != "sketch"
+           else "sketch binary" for f in df.schema.fields),
          "sha256 string", "params string"]
     )
 

@@ -206,7 +206,7 @@ def test_build_metrics_accumulators(spark, tokens):
     m = agg.BuildMetrics(spark)
     n = tokens.count()
     agg.aggregate_sketch(tokens.repartition(6), agg.bloom_over_tokens("tokens", 100_000, 0.01),
-                         fan_in=4, metrics=m)
+                         fan_in=4, target_partials=6, metrics=m)
     d = m.as_dict()
     assert d["rows"] == n
     assert d["partial_sketches"] == 6
