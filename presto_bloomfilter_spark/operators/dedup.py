@@ -24,6 +24,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -31,6 +33,9 @@ from presto_bloomfilter_spark.functions.hashing import hash_strings64, splitmix6
 
 DEFAULT_NUM_PERM = 96
 DEFAULT_BANDS = 32  # 96 perms / 32 bands = 3 rows per band
+
+_U64 = np.uint64
+_EMPTY_DOC_SEED = _U64(0x2545F4914F6CDD1D)
 
 
 # ---- exact dedup --------------------------------------------------------------
@@ -55,26 +60,128 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 # ---- shingling + minhash ------------------------------------------------------
+#
+# Signature generation is the hottest per-byte pass of a training-data
+# pipeline, so everything here is batch-vectorized: one Arrow
+# whitespace-split per batch (C kernel), ONE string-hash pass over the
+# flat word array, and shingle hashes composed from word hashes with
+# splitmix64 chains — no per-document Python in the hot path.  A word
+# n-gram's hash is an (order-sensitive) mix of its word hashes rather
+# than a hash of the joined string; Jaccard over these 64-bit gram
+# hashes equals Jaccard over the string n-grams up to negligible
+# collision probability, and every consumer (signatures, exact verify,
+# fingerprints) uses the same definition.
+
+
+def _split_words_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split a whole batch (Arrow C kernels) and hash every
+    word in one pass: returns (flat word hashes uint64, words-per-doc
+    int64).  Matches Python ``str.split()`` semantics (runs of
+    whitespace, no empty words)."""
+    s = texts if isinstance(texts, pd.Series) else pd.Series(texts, dtype=object)
+    arr = pa.array(s.fillna(""), type=pa.string())
+    sp = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(sp)
+    parents = pc.list_parent_indices(sp)
+    # arrow keeps leading/trailing empties that str.split() drops
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.bincount(parents, minlength=len(s)).astype(np.int64)
+    if len(flat):
+        hashes = hash_strings64(flat.to_pandas())
+    else:
+        hashes = np.empty(0, dtype=_U64)
+    return hashes, lengths
+
+
+def _combine_ngram(wh: np.ndarray, n: int) -> np.ndarray:
+    """Order-sensitive hash of every length-n window over a word-hash
+    array: out[i] = mix(wh[i], ..., wh[i+n-1]), vectorized (n splitmix
+    passes, no per-window Python)."""
+    n_windows = len(wh) - n + 1
+    if n_windows <= 0:
+        return np.empty(0, dtype=_U64)
+    acc = wh[n - 1 :].astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        for j in range(n - 2, -1, -1):
+            acc = splitmix64(acc) + wh[j : j + n_windows]
+    return splitmix64(acc)
+
+
+def _gram_stream_batch(texts, n: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat word-n-gram hashes for a batch, with their doc index:
+    (grams uint64, gram_doc int64, ndocs), ordered by (doc, position).
+    Docs with fewer than n words yield ONE gram — the splitmix fold of
+    their (possibly zero) word hashes — so every doc has >= 1 gram."""
+    wh, lengths = _split_words_batch(texts)
+    ndocs = len(lengths)
+    bounds = np.concatenate(([0], np.cumsum(lengths)))
+    doc_of_word = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+
+    grams = _combine_ngram(wh, n)
+    if len(grams):
+        valid = doc_of_word[: len(grams)] == doc_of_word[n - 1 :]
+        g = grams[valid]
+        gdoc = doc_of_word[: len(grams)][valid]
+    else:
+        g = np.empty(0, dtype=_U64)
+        gdoc = np.empty(0, dtype=np.int64)
+
+    short = np.nonzero(lengths < n)[0]
+    if short.size:
+        # fold each short doc's word hashes with the same chain the
+        # window combiner uses — vectorized ACROSS short docs (the loop
+        # below is over n-1 positions, a constant)
+        width = max(1, n - 1)
+        mat = np.zeros((short.size, width), dtype=_U64)
+        for j in range(width):
+            has = lengths[short] > j
+            if has.any():
+                mat[has, j] = wh[bounds[short[has]] + j]
+        acc = np.full(short.size, _EMPTY_DOC_SEED, dtype=_U64)
+        with np.errstate(over="ignore"):
+            for j in range(width - 1, -1, -1):
+                acc = splitmix64(acc) + mat[:, j]
+        g = np.concatenate([g, splitmix64(acc)])
+        gdoc = np.concatenate([gdoc, short])
+        # restore (doc, position) order after appending the short docs;
+        # stable sort keeps within-doc positional order
+        order = np.argsort(gdoc, kind="stable")
+        g, gdoc = g[order], gdoc[order]
+    return g, gdoc, ndocs
+
+
+def _shingle_sets_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted UNIQUE shingle sets for a whole batch: returns
+    (flat uint64, offsets int64) where flat[offsets[i]:offsets[i+1]] is
+    doc i's sorted shingle-hash set."""
+    g, gdoc, ndocs = _gram_stream_batch(texts, n)
+    order = np.lexsort((g, gdoc))
+    g, gdoc = g[order], gdoc[order]
+    if len(g):
+        first = np.concatenate(([True], (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])))
+        g, gdoc = g[first], gdoc[first]
+    counts = np.bincount(gdoc, minlength=ndocs)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return g, offsets
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle set of one document as uint64 hashes.
+    """Word n-gram shingle set of ONE document (sorted unique uint64) —
+    single-doc convenience over the batch kernel."""
+    flat, _ = _shingle_sets_batch(pd.Series([text], dtype=object), n)
+    return flat
 
-    The per-row loop is only over *one* document's words; hashing is
-    vectorized over the whole shingle array.
-    """
-    words = text.split()
-    if len(words) < n:
-        joined = pd.Series([" ".join(words)]) if words else pd.Series([""])
-        return hash_strings64(joined)
-    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(hash_strings64(pd.Series(grams, dtype=object)))
+
+_MINHASH_SEED_STEP = _U64(0x9E3779B97F4A7C15)
+_BAND_FOLD = _U64(0x100000001B3)
 
 
 def _minhash_signature(shingles: np.ndarray, num_perm: int) -> np.ndarray:
     """num_perm minima over seeded splitmix64 rehashes — vectorized as a
     (num_perm, n_shingles) matrix min."""
-    seeds = (np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    seeds = np.arange(1, num_perm + 1, dtype=_U64) * _MINHASH_SEED_STEP
     with np.errstate(over="ignore"):
         mat = splitmix64(shingles[None, :] + seeds[:, None])
     return mat.min(axis=1)
@@ -88,22 +195,39 @@ def minhash_signatures(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """(id, band, band_hash) rows: one row per (doc, band) — the LSH
-    index. band_hash folds the band's rows into one int64 key."""
+    index. band_hash folds the band's rows into one int64 key.
+
+    Fully batch-vectorized: shingle sets for the whole Arrow batch come
+    from one split+hash pass; each permutation is one splitmix64 pass
+    over the batch's flat shingle array plus a segmented min
+    (np.minimum.reduceat) — work per batch is O(num_perm * shingles)
+    C-kernel time, no per-document Python."""
     rows_per_band = num_perm // bands
     assert bands * rows_per_band == num_perm
+    seeds = np.arange(1, num_perm + 1, dtype=_U64) * _MINHASH_SEED_STEP
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, bnds, keys = [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                sig = _minhash_signature(_shingle_hashes(text), num_perm)
+            if not len(pdf):
+                continue
+            flat, offsets = _shingle_sets_batch(pdf[text_col])
+            ndocs = len(pdf)
+            starts = offsets[:-1]
+            sig = np.empty((num_perm, ndocs), dtype=_U64)
+            with np.errstate(over="ignore"):
+                for pi in range(num_perm):
+                    sig[pi] = np.minimum.reduceat(splitmix64(flat + seeds[pi]), starts)
+            with np.errstate(over="ignore"):
                 folded = splitmix64(
-                    sig.reshape(bands, rows_per_band) * np.uint64(0x100000001B3)
-                ).sum(axis=1, dtype=np.uint64)
-                ids.extend([did] * bands)
-                bnds.extend(range(bands))
-                keys.extend(folded.view(np.int64))
-            yield pd.DataFrame({"id": ids, "band": bnds, "band_hash": keys})
+                    sig.T.reshape(ndocs, bands, rows_per_band) * _BAND_FOLD
+                ).sum(axis=2, dtype=_U64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].astype(str).to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
+                    "band_hash": folded.ravel().view(np.int64),
+                }
+            )
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         fn, "id string, band int, band_hash long"
@@ -163,22 +287,28 @@ def verify_pairs_exact(pairs: DataFrame, docs: DataFrame, text_col: str = "text"
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # a doc participates in many candidate pairs: shingle each
-            # distinct doc once per batch, not once per pair
-            cache: dict = {}
-
-            def shingles(doc_id, text):
-                got = cache.get(doc_id)
-                if got is None:
-                    got = cache[doc_id] = _shingle_hashes(text)
-                return got
-
-            sims = []
-            for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]):
-                sa, sb = shingles(ia, ta), shingles(ib, tb)
+            if not len(pdf):
+                continue
+            # a doc participates in many candidate pairs: shingle every
+            # distinct doc in the batch in ONE batched split+hash pass
+            docs = pd.concat(
+                [
+                    pdf[["id_a", "text_a"]].rename(columns={"id_a": "id", "text_a": "t"}),
+                    pdf[["id_b", "text_b"]].rename(columns={"id_b": "id", "text_b": "t"}),
+                ]
+            ).drop_duplicates("id")
+            flat, offsets = _shingle_sets_batch(docs["t"].reset_index(drop=True))
+            pos = {d: i for i, d in enumerate(docs["id"])}
+            sims = np.empty(len(pdf))
+            ia_idx = pdf["id_a"].map(pos).to_numpy()
+            ib_idx = pdf["id_b"].map(pos).to_numpy()
+            for r in range(len(pdf)):
+                a0, a1 = offsets[ia_idx[r]], offsets[ia_idx[r] + 1]
+                b0, b1 = offsets[ib_idx[r]], offsets[ib_idx[r] + 1]
+                sa, sb = flat[a0:a1], flat[b0:b1]
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
-                sims.append(inter / union if union else 1.0)
+                sims[r] = inter / union if union else 1.0
             out = pdf[["id_a", "id_b"]].copy()
             out["jaccard"] = sims
             yield out[out["jaccard"] >= threshold]
@@ -205,25 +335,37 @@ def minhash_near_dup_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of word-hash bit vectors."""
+    """64-bit SimHash per doc: sign-sum of word-hash bit vectors.
+
+    Batch-vectorized: one Arrow split + one string-hash pass per batch,
+    bit unpack in 16-bit chunks (bounds scratch memory), per-doc sums
+    via segmented np.add.reduceat — no per-document Python."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitcols = np.arange(64, dtype=np.uint64)
+        bitcols = np.arange(64, dtype=_U64)
         for pdf in it:
-            sigs = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                words = pd.Series(text.split(), dtype=object)
-                if len(words) == 0:
-                    sigs[i] = 0
-                    continue
-                h = hash_strings64(words)
-                bits = ((h[:, None] >> bitcols[None, :]) & np.uint64(1)).astype(np.int64)
-                majority = (bits.sum(axis=0) * 2 - len(words)) > 0
-                sigs[i] = int(
-                    np.bitwise_or.reduce(majority.astype(np.uint64) << bitcols).view(np.int64)
-                )
-            out = pd.DataFrame({"id": pdf[id_col].astype(str), "simhash": sigs})
-            yield out
+            if not len(pdf):
+                continue
+            wh, lengths = _split_words_batch(pdf[text_col])
+            ndocs = len(pdf)
+            sigs = np.zeros(ndocs, dtype=np.int64)
+            nonempty = lengths > 0
+            if wh.size:
+                bounds = np.concatenate(([0], np.cumsum(lengths)))
+                starts_ne = bounds[:-1][nonempty]
+                sums = np.empty((int(nonempty.sum()), 64), dtype=np.int64)
+                # 16 bit-planes at a time keeps the unpacked scratch
+                # array ~word_count x 16 int32 (cache-resident)
+                for b0 in range(0, 64, 16):
+                    chunk = ((wh[:, None] >> bitcols[None, b0 : b0 + 16]) & _U64(1)).astype(np.int32)
+                    sums[:, b0 : b0 + 16] = np.add.reduceat(chunk, starts_ne, axis=0)
+                majority = (sums * 2 - lengths[nonempty, None]) > 0
+                with np.errstate(over="ignore"):
+                    packed = (majority.astype(_U64) << bitcols[None, :]).sum(
+                        axis=1, dtype=_U64
+                    )
+                sigs[nonempty] = packed.view(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col].astype(str), "simhash": sigs})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         fn, "id string, simhash long"

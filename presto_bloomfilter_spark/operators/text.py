@@ -119,26 +119,29 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Winnowing fingerprint (Schleimer et al. 2003): min hash in each
     sliding window over k-gram hashes → compact set per doc.
     Returns (id, fingerprint array<long>) — stable under formatting-
-    preserving edits, used for plagiarism-style containment checks."""
+    preserving edits, used for plagiarism-style containment checks.
+
+    Gram hashing is batch-vectorized (one Arrow split + one string-hash
+    pass per batch via the dedup gram kernel); the remaining per-doc
+    work is a numpy sliding-window min over a precomputed slice."""
+    from presto_bloomfilter_spark.operators.dedup import _gram_stream_batch
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, prints = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = text.split()
-                if len(words) < k:
-                    grams = [" ".join(words)] if words else [""]
-                else:
-                    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-                h = hash_strings64(pd.Series(grams, dtype=object))
+            if not len(pdf):
+                continue
+            g, gdoc, ndocs = _gram_stream_batch(pdf[text_col], k)
+            offsets = np.concatenate(([0], np.cumsum(np.bincount(gdoc, minlength=ndocs))))
+            prints = []
+            for i in range(ndocs):
+                h = g[offsets[i] : offsets[i + 1]]
                 if len(h) <= window:
                     sel = np.unique(h.min(keepdims=True))
                 else:
                     sw = np.lib.stride_tricks.sliding_window_view(h, window)
                     sel = np.unique(sw.min(axis=1))
-                ids.append(str(did))
                 prints.append(sel.view(np.int64))
-            yield pd.DataFrame({"id": ids, "fingerprint": prints})
+            yield pd.DataFrame({"id": pdf[id_col].astype(str).to_numpy(), "fingerprint": prints})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         fn, "id string, fingerprint array<long>"
