@@ -1,26 +1,40 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as the task demands at 100 TB:
+Three shapes, as the task demands at 100 TB:
 
-- brute-force cosine top-k: queries broadcast as one numpy matrix;
-  a mapInPandas pass computes per-partition top-k with one BLAS
-  matmul per batch, then a tiny global reduce picks the final top-k.
-  Shuffle volume is O(n_queries * k) rows regardless of corpus size —
-  this is the exact baseline;
-- LSH (random hyperplane) bucketing: 2^bits buckets, search only the
-  query's bucket (optionally multi-probe neighbors) — the approximate
-  scale path. Recall is measured against the brute-force baseline in
-  tests, never assumed.
+- brute-force cosine top-k (``cosine_topk``): queries broadcast as one
+  numpy matrix; a mapInPandas pass computes per-partition top-k with
+  one BLAS matmul per batch, then a tiny global reduce picks the final
+  top-k.  Shuffle volume is O(n_queries * k) rows regardless of corpus
+  size — this is the exact baseline;
+- exact all-pairs near-dup (``embedding_near_dup_pairs``): block-pair
+  join — every unordered block pair becomes one task that multiplies
+  its two sub-matrices.  Fully distributed (the corpus NEVER collects
+  to the driver), shuffle volume O(n * n_blocks) rows, compute the
+  unavoidable O(n^2) spread over n_blocks^2/2 tasks.  This is the
+  distributed-matmul shape of exact pairwise similarity;
+- ANN (``ivf_topk`` / ``lsh_topk``): ONE map-only Spark job for any
+  number of queries — each scan partition assigns its rows to an
+  IVF list / LSH bucket, probes only the queries whose probe set
+  covers that cell, and emits per-partition top-k; a final window
+  keeps the global top-k.  With a materialized index table
+  (``ivf_assign`` written partitioned-by(list_id),
+  ``hyperplane_lsh_buckets`` written bucketed-by(bucket)) the same
+  probe runs as a partition-pruned scan instead.
+
+Recall of the approximate paths is measured against the brute-force
+baseline in tests, never assumed.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
@@ -79,8 +93,12 @@ def cosine_topk(
     partials = base.select(id_col, vec_col).mapInPandas(
         partial_topk, "query_id long, neighbor_id long, sim double"
     )
-    from pyspark.sql import Window
+    return _rank_topk(partials, k)
 
+
+def _rank_topk(partials: DataFrame, k: int) -> DataFrame:
+    """Global top-k per query over per-partition partials: the final
+    (tiny — partitions x queries x k rows) window reduce."""
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -89,42 +107,134 @@ def cosine_topk(
     )
 
 
+# ---- exact all-pairs near-dup -------------------------------------------------
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession,
     df: DataFrame,
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_rows: int = 100_000,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b), id_a < id_b,
-    cosine >= threshold.
+    cosine >= threshold — EXACT, fully distributed.
 
-    Blocked brute-force: the normalized corpus matrix rides a broadcast
-    once; each partition multiplies its own block against it (one BLAS
-    matmul per batch), so the O(n^2) similarity work is distributed and
-    NO pairwise shuffle exists.  Broadcast holds to ~1M x 64 float32
-    (256 MB); beyond that, bucket by hyperplane_lsh_buckets first and
-    run this per bucket — same verify math, partition-pruned candidate
-    space.
+    Block-pair join: rows hash into ``n_blocks`` blocks; every unordered
+    block pair (i <= j) is one applyInPandas group holding blocks i and
+    j, which multiplies the two normalized sub-matrices with one BLAS
+    call and emits qualifying pairs.  The corpus never collects to the
+    driver; each row is shuffled n_blocks times (O(n * n_blocks) rows
+    total) and each of the n_blocks*(n_blocks+1)/2 tasks holds at most
+    2 * n/n_blocks rows — the standard distributed shape of an exact
+    pairwise similarity (an O(n^2) computation by definition; at corpus
+    scale use the LSH-bucketed candidate path in
+    ``hyperplane_lsh_buckets`` + a per-bucket verify when approximate
+    recall is acceptable).
+
+    ``n_blocks`` defaults to max(ceil(rows / block_rows),
+    ceil(sqrt(2 * parallelism))) so blocks fit in task memory and the
+    pair-group count covers the cluster.
     """
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
-    b = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        n = df.count()
+        p = spark.sparkContext.defaultParallelism
+        n_blocks = max(-(-n // max(block_rows, 1)), int(math.ceil(math.sqrt(2.0 * p))), 1)
+    blocks = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    other = spark.range(n_blocks).select(F.col("id").cast("int").alias("o"))
+    rep = blocks.crossJoin(F.broadcast(other)).select(
+        "id",
+        "v",
+        "b",
+        F.least(F.col("b"), F.col("o")).alias("pi"),
+        F.greatest(F.col("b"), F.col("o")).alias("pj"),
+    )
 
-    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b.value
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        pi = int(pdf["pi"].iat[0])
+        pj = int(pdf["pj"].iat[0])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = _normalize(_to_matrix(pdf["v"]))
+        if pi == pj:
+            sims = mat @ mat.T
+            ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        side_a = pdf["b"].to_numpy() == pi
+        am, bm = mat[side_a], mat[~side_a]
+        aid, bid = ids[side_a], ids[~side_a]
+        if not len(am) or not len(bm):
+            return pd.DataFrame({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
+        sims = am @ bm.T
+        ia, ib = np.nonzero(sims >= threshold)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(aid[ia], bid[ib]),
+                "id_b": np.maximum(aid[ia], bid[ib]),
+            }
+        )
+
+    return rep.groupBy("pi", "pj").applyInPandas(verify, "id_a long, id_b long")
+
+
+def embedding_near_dup_pairs_lsh(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share a hyperplane-LSH
+    bucket in ANY of ``n_tables`` independent tables, then an exact
+    cosine verify keeps pairs >= threshold.  Output is a SUBSET of
+    ``embedding_near_dup_pairs`` (no false positives after verify;
+    recall measured in tests) with shuffle keyed on uniform bucket
+    hashes — the practical 100 TB path, O(n * n_tables) shuffle instead
+    of O(n * n_blocks) with quadratic verify work only inside buckets.
+    """
+    idx = None
+    for t in range(n_tables):
+        b = hyperplane_lsh_buckets(df, bits=bits, seed=seed + 101 * t,
+                                   vec_col=vec_col, id_col=id_col)
+        b = b.select("id", "bucket", F.lit(t).alias("table"))
+        idx = b if idx is None else idx.unionAll(b)
+    a, bb = idx.alias("a"), idx.alias("b")
+    cands = (
+        a.join(
+            bb,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).cast("long").alias("__vid"), F.col(vec_col).alias("__v"))
+    joined = (
+        cands.join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "va"), "id_a")
+        .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "vb"), "id_b")
+    )
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if len(pdf) == 0:
+            if not len(pdf):
                 continue
-            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            m = _normalize(_to_matrix(pdf[vec_col]))
-            sims = m @ all_mat.T  # (block, n)
-            hit = (sims >= threshold) & (my_ids[:, None] < all_ids[None, :])
-            bi, ci = np.nonzero(hit)
-            yield pd.DataFrame({"id_a": my_ids[bi], "id_b": all_ids[ci]})
+            va = _normalize(_to_matrix(pdf["va"]))
+            vb = _normalize(_to_matrix(pdf["vb"]))
+            sims = np.einsum("ij,ij->i", va, vb)
+            out = pdf[["id_a", "id_b"]][sims >= threshold]
+            yield out
 
-    return df.select(id_col, vec_col).mapInPandas(fn, "id_a long, id_b long")
+    return joined.mapInPandas(verify, "id_a long, id_b long")
+
+
+# ---- index builders -----------------------------------------------------------
 
 
 def hyperplane_lsh_buckets(
@@ -138,20 +248,27 @@ def hyperplane_lsh_buckets(
     """(id, bucket) via random-hyperplane signs — cosine-LSH index.
     At scale this DataFrame is written bucketed-by(bucket) so probes
     are partition-pruned scans."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits))
-    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
+    planes = _lsh_planes(dim, bits, seed)
+    weights = _bucket_weights(bits)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
             m = _to_matrix(pdf[vec_col])
-            signs = (m @ planes) > 0
-            buckets = signs.astype(np.int64) @ weights
+            buckets = ((m @ planes) > 0).astype(np.int64) @ weights
             yield pd.DataFrame({"id": pdf[id_col].astype(np.int64), "bucket": buckets})
 
     return df.select(id_col, vec_col).mapInPandas(fn, "id long, bucket long")
+
+
+def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def _bucket_weights(bits: int) -> np.ndarray:
+    return (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
 
 
 def spherical_kmeans(mat: np.ndarray, n_lists: int, iters: int = 10,
@@ -193,6 +310,64 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
     return df.select(id_col, vec_col).mapInPandas(fn, "id long, list_id long")
 
 
+# ---- single-job ANN -----------------------------------------------------------
+
+
+def _fused_ann_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    probe_sets: list[tuple[int, np.ndarray, np.ndarray]],
+    assign_fn,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ONE map-only job for Q queries: each scan partition assigns its
+    rows to index cells (``assign_fn``), intersects with every query's
+    probe cells, and emits that query's per-partition BLAS top-k.  The
+    only shuffle is the final window over partitions x Q x k rows.
+
+    ``probe_sets``: (query_id, normalized qvec, probed cell ids) per
+    query.  With a pre-materialized index table the same probe becomes
+    a partition-pruned scan join; this fused form computes assignments
+    on the fly so Q queries cost one corpus scan, not Q.
+    """
+    bq = spark.sparkContext.broadcast(probe_sets)
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        probes = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = _normalize(_to_matrix(pdf[vec_col]))
+            cells = assign_fn(m)
+            frames = []
+            for qid, qv, probe in probes:
+                mask = np.isin(cells, probe) & (ids != qid)
+                if not mask.any():
+                    continue
+                sims = m[mask] @ qv
+                kk = min(k, sims.size)
+                sel = np.argpartition(-sims, kk - 1)[:kk] if sims.size > kk else np.arange(sims.size)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask][sel],
+                            "sim": sims[sel],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    partials = base.select(id_col, vec_col).mapInPandas(
+        partial, "query_id long, neighbor_id long, sim double"
+    )
+    return _rank_topk(partials, k)
+
+
 def ivf_topk(
     spark: SparkSession,
     base: DataFrame,
@@ -210,9 +385,10 @@ def ivf_topk(
     shape as cosine_topk; recall vs the exact baseline is a measured
     property (tests), not a promise.
 
-    The scale path of the ANN pair (IVF here, multi-probe LSH in
-    lsh_topk): candidate set ≈ nprobe/n_lists of the corpus per query,
-    and the assignment table partition-prunes the probe scan.
+    All queries run in ONE map-only Spark job (see _fused_ann_topk);
+    candidate set ≈ nprobe/n_lists of the corpus per query.  To amortize
+    the quantizer across many query batches, materialize ``ivf_assign``
+    partitioned-by(list_id) and probe that table instead.
     """
     sample_rows = (
         base.select(id_col, vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
@@ -220,18 +396,17 @@ def ivf_topk(
     smat = np.array([r[1] for r in sample_rows], dtype=np.float64)
     cent = spherical_kmeans(smat, n_lists, seed=seed)
 
+    qids = [int(q[0]) for q in queries]
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     qlists = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [
+        (qid, qv, probe.astype(np.int64)) for qid, qv, probe in zip(qids, qmat, qlists)
+    ]
 
-    lists = ivf_assign(base, cent, vec_col, id_col)
-    base_l = base.join(lists.withColumnRenamed("id", id_col), id_col)
+    def assign(m: np.ndarray) -> np.ndarray:
+        return np.argmax(m @ cent.T, axis=1).astype(np.int64)
 
-    results = None
-    for (qid, vec), probe in zip(queries, qlists):
-        pruned = base_l.filter(F.col("list_id").isin([int(x) for x in probe]))
-        r = cosine_topk(spark, pruned, [(qid, vec)], k, vec_col, id_col)
-        results = r if results is None else results.unionAll(r)
-    return results
+    return _fused_ann_topk(spark, base, probe_sets, assign, k, vec_col, id_col)
 
 
 def lsh_topk(
@@ -248,33 +423,35 @@ def lsh_topk(
     """Approximate top-k: brute force restricted to the query's LSH
     bucket plus all buckets within Hamming distance ``probe_radius``
     (multi-probe LSH — recovers most of the recall a single-bucket probe
-    loses on near-orthogonal data). Same output shape as cosine_topk;
+    loses on near-orthogonal data).  Same output shape as cosine_topk;
     recall vs exact is a measured property (tests), not a promise.
 
-    At scale the bucketed index is a table written bucketed-by(bucket);
-    each query touches 1+bits partitions instead of the full corpus.
+    All queries run in ONE map-only Spark job (see _fused_ann_topk);
+    each query's candidate set is 1 + bits (at radius 1) of the 2^bits
+    buckets.  With the index materialized by hyperplane_lsh_buckets
+    (written bucketed-by(bucket)) the probe is a partition-pruned scan.
     """
     dim = len(queries[0][1])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits))
-    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
-    qmat = np.array([q[1] for q in queries], dtype=np.float64)
-    qbuckets = ((qmat @ planes) > 0).astype(np.int64) @ weights
+    planes = _lsh_planes(dim, bits, seed)
+    weights = _bucket_weights(bits)
+    qids = [int(q[0]) for q in queries]
+    qraw = np.array([q[1] for q in queries], dtype=np.float64)
+    qmat = _normalize(qraw)
+    qbuckets = ((qraw @ planes) > 0).astype(np.int64) @ weights
 
-    def probe_set(b: int) -> set[int]:
+    def probe_set(b: int) -> np.ndarray:
         out = {b}
         frontier = {b}
         for _ in range(probe_radius):
             frontier = {x ^ (1 << i) for x in frontier for i in range(bits)}
             out |= frontier
-        return out
+        return np.array(sorted(out), dtype=np.int64)
 
-    buckets = hyperplane_lsh_buckets(base, bits, dim, seed, vec_col, id_col)
-    base_b = base.join(buckets.withColumnRenamed("id", id_col), id_col)
+    probe_sets = [
+        (qid, qv, probe_set(int(b))) for qid, qv, b in zip(qids, qmat, qbuckets)
+    ]
 
-    results = None
-    for (qid, vec), b in zip(queries, qbuckets):
-        pruned = base_b.filter(F.col("bucket").isin(list(probe_set(int(b)))))
-        r = cosine_topk(spark, pruned, [(qid, vec)], k, vec_col, id_col)
-        results = r if results is None else results.unionAll(r)
-    return results
+    def assign(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes) > 0).astype(np.int64) @ weights
+
+    return _fused_ann_topk(spark, base, probe_sets, assign, k, vec_col, id_col)

@@ -246,3 +246,59 @@ def test_multimodal_resize_and_feature_stubs(spark, sf_dir):
     q = [(r.vec_id, list(r.embedding)) for r in emb.limit(2).collect()]
     top = similarity.cosine_topk(spark, emb, q, k=3).collect()
     assert len(top) == 6
+
+
+# ---- exact blocked near-dup + single-job ANN ---------------------------------
+
+
+def _np_near_dup_pairs(rows, threshold=0.4):
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+    return {(int(ids[i]), int(ids[j])) for i, j in zip(ia, ib)}
+
+
+def test_embedding_near_dup_blocked_matches_bruteforce(spark, emb):
+    expected = _np_near_dup_pairs(emb.collect(), 0.4)
+    # forced multi-block plan: the exact block-pair join must partition
+    # the O(n^2) work without losing or duplicating any pair
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(spark, emb, 0.4, n_blocks=3).collect()
+    }
+    assert got == expected
+    # default (auto n_blocks) takes the same distributed path
+    got_auto = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(spark, emb, 0.4).collect()
+    }
+    assert got_auto == expected
+
+
+def test_embedding_near_dup_lsh_subset_with_recall(spark, emb):
+    exact = _np_near_dup_pairs(emb.collect(), 0.4)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            spark, emb, 0.4, bits=4, n_tables=8
+        ).collect()
+    }
+    # exact verify => no false positives; banding => measured recall
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.5, (len(got), len(exact))
+
+
+def test_ann_runs_as_single_job_plan(spark, emb):
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    for df in (
+        similarity.ivf_topk(spark, emb, queries, k=10, n_lists=8, nprobe=3),
+        similarity.lsh_topk(spark, emb, queries, k=10, bits=6),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the per-query driver loop unioned Q subplans; the fused path
+        # must be ONE scan -> mapInPandas -> window, no Union
+        assert "Union" not in plan
+        assert plan.count("MapInPandas") == 1
