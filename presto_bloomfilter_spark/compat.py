@@ -15,6 +15,8 @@ from __future__ import annotations
 import base64
 import os
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from presto_bloomfilter_spark.functions import serialization as ser
@@ -132,3 +134,81 @@ def bloom_filter_persist(bf, path: str) -> bool:
     store = SketchStore(os.path.dirname(path) or ".")
     key = os.path.basename(path).removesuffix(".sketch")
     return store.put(key, bf)
+
+
+# ---- SQL surface ---------------------------------------------------------------
+#
+# Every reference use-site is SQL text (reference README.md:21-29,
+# run_tests.sh:123-125).  PySpark can register SCALAR functions but not
+# UDAFs, so the surface is a documented hybrid: aggregations
+# (bloom_filter, bloom_filter_from_string, bloom_filter_load) run
+# through the Python API above and publish their result as a one-row
+# temp view / binary literal; every scalar function then works inside
+# spark.sql text, so the reference's CTE probe query shape runs as-is.
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the reference's scalar functions for spark.sql text:
+
+    - ``bloom_filter_contains(bf binary, el string) -> boolean``
+    - ``to_string(bf binary) -> string`` (base64)
+    - ``get_expected_insertions(bf binary) -> bigint``
+    - ``get_false_positive_percentage(bf binary) -> double``
+    - ``bloom_filter_from_string(s string) -> binary`` (scalar decode)
+
+    ``bloom_filter_contains`` is an Arrow-vectorized pandas UDF with the
+    executor-local sha256-keyed LRU (same dedup cache as the Python-API
+    probe); the header getters read only the serialized header.  Safe to
+    call more than once (re-registration replaces)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from presto_bloomfilter_spark.operators.probe import _cached_sketch
+
+    @pandas_udf("boolean")
+    def _sql_contains(blobs: pd.Series, els: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(els), dtype=bool)
+        if len(els):
+            # the blob is usually a scalar subquery (one distinct value
+            # per batch); factorize handles the general case
+            codes, uniques = pd.factorize(blobs.map(lambda b: bytes(b) if b is not None else None))
+            for u in range(len(uniques)):
+                if uniques[u] is None:
+                    continue
+                mask = codes == u
+                sk = _cached_sketch(uniques[u])
+                out[mask] = sk.might_contain_strings(els[mask])
+        return pd.Series(out)
+
+    @pandas_udf("string")
+    def _sql_to_string(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: None if b is None else base64.b64encode(bytes(b)).decode("ascii")
+        )
+
+    @pandas_udf("long")
+    def _sql_n(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: None if b is None else int(ser.read_params(bytes(b))["n"]))
+
+    @pandas_udf("double")
+    def _sql_p(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: None if b is None else float(ser.read_params(bytes(b))["p"]))
+
+    @pandas_udf("binary")
+    def _sql_from_string(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else base64.b64decode(x))
+
+    spark.udf.register("bloom_filter_contains", _sql_contains)
+    spark.udf.register("to_string", _sql_to_string)
+    spark.udf.register("get_expected_insertions", _sql_n)
+    spark.udf.register("get_false_positive_percentage", _sql_p)
+    spark.udf.register("bloom_filter_from_string", _sql_from_string)
+
+
+def publish_sketch_view(spark: SparkSession, bf, view: str = "bloom_bf") -> None:
+    """Publish an aggregated sketch as a one-row temp view (``bf``
+    binary column) so SQL text can reference it via a scalar subquery —
+    the hybrid hand-off from the Python-API aggregation to the SQL
+    probe surface."""
+    spark.createDataFrame([(bytearray(_as_blob(bf)),)], "bf binary").createOrReplaceTempView(view)

@@ -91,3 +91,34 @@ def test_to_string_col_matches_driver_side(spark, names):
     df = spark.createDataFrame([(bf.to_bytes(),)], "sketch binary")
     jvm_b64 = df.select(compat.to_string_col("sketch").alias("s")).collect()[0].s
     assert jvm_b64 == compat.to_string(bf)
+
+
+def test_sql_surface_scalar_functions(spark):
+    """The reference's scalar functions usable from spark.sql TEXT
+    (reference README.md:21-29 probe shape; BloomFilterPlugin.java:42-55
+    registration)."""
+    from presto_bloomfilter_spark.functions.bloom import BloomFilter
+
+    compat.register_sql_functions(spark)
+    bf = BloomFilter(1000, 0.01).add_strings(["alice", "bob"])
+    compat.publish_sketch_view(spark, bf, "tv_bf")
+    row = spark.sql(
+        """
+        SELECT bloom_filter_contains((SELECT bf FROM tv_bf), 'alice') AS hit,
+               bloom_filter_contains((SELECT bf FROM tv_bf), 'not-there-xyz') AS miss,
+               get_expected_insertions((SELECT bf FROM tv_bf)) AS n,
+               get_false_positive_percentage((SELECT bf FROM tv_bf)) AS p,
+               to_string((SELECT bf FROM tv_bf)) AS s
+        """
+    ).collect()[0]
+    assert row.hit is True
+    assert row.miss is False
+    assert row.n == 1000
+    assert row.p == 0.01
+    assert row.s == compat.to_string(bf)
+    # decode path: from_string(to_string(bf)) probes identically
+    rt = spark.sql(
+        "SELECT bloom_filter_contains(bloom_filter_from_string((SELECT s FROM "
+        "(SELECT to_string((SELECT bf FROM tv_bf)) AS s))), 'bob') AS hit"
+    ).collect()[0]
+    assert rt.hit is True
