@@ -64,21 +64,39 @@ def bloom_filter_from_string(df: DataFrame, col: str) -> BloomFilter:
     return agg.merge_sketch_column(blobs, "sketch")
 
 
-def bloom_filter_load(source) -> BloomFilter:
+def bloom_filter_load(source, timeout: float = 10.0) -> BloomFilter:
     """``bloom_filter_load(url)`` aggregation — loads persisted filters
     and unions them (reference BloomFilterLoad.java:23-40 /
     BloomFilter.fromUrl BloomFilter.java:116-138).  ``source`` is one
-    path or a list of paths into a sketch store directory."""
+    path/URL or a list of them: ``http(s)://`` URLs are fetched with the
+    reference's 10 s timeout (BloomFilter.java:126) and accept either
+    raw PBFS bytes or base64 text (the persist-service wire form,
+    server.go:30-41); anything else is a sketch-store path."""
     paths = [source] if isinstance(source, (str, os.PathLike)) else list(source)
     if not paths:
         raise ValueError("no paths to load")
     out = None
     for p in paths:
-        store = SketchStore(os.path.dirname(os.fspath(p)) or ".")
-        key = os.path.basename(os.fspath(p)).removesuffix(".sketch")
-        sk = store.get(key)
+        p = os.fspath(p)
+        if p.startswith(("http://", "https://")):
+            sk = _sketch_from_url(p, timeout)
+        else:
+            store = SketchStore(os.path.dirname(p) or ".")
+            sk = store.get(os.path.basename(p).removesuffix(".sketch"))
         out = sk if out is None else out.merge(sk)
     return out
+
+
+def _sketch_from_url(url: str, timeout: float):
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310 — explicit http(s) scheme
+        body = resp.read()
+    try:
+        return ser.sketch_from_bytes(body)
+    except ValueError:
+        # persist-service stores base64 text; decode and retry
+        return ser.sketch_from_bytes(base64.b64decode(body))
 
 
 # ---- scalar functions --------------------------------------------------------

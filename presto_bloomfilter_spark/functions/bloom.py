@@ -15,9 +15,9 @@ src/main/java/com/facebook/presto/bloomfilter/BloomFilter.java):
 
 Deliberate departures (documented, SURVEY.md §4): no two-stage
 pre-filter (a CPU trick for per-row Java; our vectorized probe is
-already cheap — we keep a ``pre_miss``-style counter via ``probe_count``
-metrics instead), and a clean versioned serialization instead of
-gzip+Java object streams.
+already cheap — ``operators.probe.ProbeMetrics`` keeps the reference's
+``preMiss``-style probe/miss counters instead), and a clean versioned
+serialization instead of gzip+Java object streams.
 
 All update/probe paths are vectorized numpy over whole Arrow/pandas
 batches — no per-row Python.

@@ -52,11 +52,49 @@ def _cached_sketch(blob: bytes):
     return sk
 
 
-def contains_udf(spark: SparkSession, sketch, ints: bool = False):
+class ProbeMetrics:
+    """Probe-side counters over Spark accumulators — parity with the
+    reference's two-stage probe counters (``preMiss``/``mightContain``
+    counts, reference BloomFilter.java:58,184-205,306-313; asserted in
+    TestBloomFilterPerformanceContains.java:42).  The two-stage
+    pre-filter itself is deliberately dropped (the vectorized probe is
+    already cheap, functions/bloom.py module docs); this keeps its
+    observability: probe_count, miss_count, and miss_rate per job."""
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self._probes = sc.accumulator(0)
+        self._misses = sc.accumulator(0)
+
+    @property
+    def probe_count(self) -> int:
+        return self._probes.value
+
+    @property
+    def miss_count(self) -> int:
+        return self._misses.value
+
+    @property
+    def miss_rate(self) -> float:
+        n = self.probe_count
+        return self.miss_count / n if n else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "probe_count": self.probe_count,
+            "miss_count": self.miss_count,
+            "miss_rate": self.miss_rate,
+        }
+
+
+def contains_udf(spark: SparkSession, sketch, ints: bool = False,
+                 metrics: ProbeMetrics | None = None):
     """Vectorized membership predicate over a broadcast sketch.
 
     Returns a column function usable in ``df.filter`` — the Spark form
     of ``WHERE bloom_filter_contains(bf, col)`` (reference README.md:28).
+    Pass ``metrics`` to count probes/misses executor-side (the
+    reference's preMiss-style counters).
     """
     blob = sketch.to_bytes() if hasattr(sketch, "to_bytes") else bytes(sketch)
     bv = spark.sparkContext.broadcast(blob)
@@ -67,7 +105,11 @@ def contains_udf(spark: SparkSession, sketch, ints: bool = False):
         def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             sk = _cached_sketch(bv.value)
             for s in it:
-                yield pd.Series(sk.might_contain_ints(s.to_numpy()))
+                hits = sk.might_contain_ints(s.to_numpy())
+                if metrics is not None:
+                    metrics._probes.add(len(hits))
+                    metrics._misses.add(int(len(hits) - hits.sum()))
+                yield pd.Series(hits)
 
     else:
 
@@ -75,7 +117,11 @@ def contains_udf(spark: SparkSession, sketch, ints: bool = False):
         def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             sk = _cached_sketch(bv.value)
             for s in it:
-                yield pd.Series(sk.might_contain_strings(s))
+                hits = sk.might_contain_strings(s)
+                if metrics is not None:
+                    metrics._probes.add(len(hits))
+                    metrics._misses.add(int(len(hits) - hits.sum()))
+                yield pd.Series(hits)
 
     return probe
 

@@ -122,3 +122,60 @@ def test_sql_surface_scalar_functions(spark):
         "(SELECT to_string((SELECT bf FROM tv_bf)) AS s))), 'bob') AS hit"
     ).collect()[0]
     assert rt.hit is True
+
+
+def test_probe_metrics_miss_rate(spark):
+    """Mirror of the reference's probe-counter sanity (reference
+    TestBloomFilterPerformanceContains.java:42): build over half the
+    keys, probe all, expect ~50% misses and an exact probe count."""
+    from presto_bloomfilter_spark.operators.probe import ProbeMetrics, contains_udf
+    from pyspark.sql import functions as F
+
+    n = 2000
+    df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    keys = spark.range(0, n, 2).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bf = compat.bloom_filter(keys, "k", 10_000, 0.01)
+    m = ProbeMetrics(spark)
+    probed = df.withColumn("hit", contains_udf(spark, bf, metrics=m)(F.col("k")))
+    n_hits = probed.agg(F.sum(F.col("hit").cast("long"))).collect()[0][0]
+    assert m.probe_count == n
+    assert m.miss_count == n - n_hits
+    # no false negatives: every inserted key hits, so misses <= n/2;
+    # FPR 0.01 bounds how far below n/2 the misses can fall
+    assert 0.45 <= m.miss_rate <= 0.5, m.as_dict()
+
+
+def test_bloom_filter_load_http(tmp_path):
+    """bloom_filter_load over http(s) — reference BloomFilter.fromUrl
+    (BloomFilter.java:116-138) against a local server, raw and base64
+    bodies (the persist-service wire form)."""
+    import http.server
+    import threading
+
+    from presto_bloomfilter_spark.functions.bloom import BloomFilter
+
+    bf = BloomFilter(1000, 0.01).add_strings(["x", "y"])
+    (tmp_path / "raw.sketch").write_bytes(bf.to_bytes())
+    (tmp_path / "b64.sketch").write_text(bf.to_base64())
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        got_raw = compat.bloom_filter_load(f"http://127.0.0.1:{port}/raw.sketch")
+        got_b64 = compat.bloom_filter_load(f"http://127.0.0.1:{port}/b64.sketch")
+        assert got_raw == bf and got_b64 == bf
+        # merge of a URL and a store path, as the aggregation form does
+        store_p = tmp_path / "local.sketch"
+        bf2 = BloomFilter(1000, 0.01).add_strings(["z"])
+        compat.bloom_filter_persist(bf2, str(store_p))
+        merged = compat.bloom_filter_load(
+            [f"http://127.0.0.1:{port}/raw.sketch", str(store_p)]
+        )
+        assert merged.might_contain("x") and merged.might_contain("z")
+    finally:
+        srv.shutdown()
