@@ -4,16 +4,20 @@ Images/audio/video ride through Spark as ``binary`` columns with a
 metadata struct; decode / feature-extraction runs as Arrow-batched
 mapInPandas so bytes never round-trip through Python row objects.
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_stub`` derives deterministic fake dimensions from
-the payload so the Spark-side plumbing — schema, batch shape, UDF
-signatures, partitioning — is real and testable end-to-end.  Swapping
-in a real decoder is a one-function change.
+Decode is gated on library availability: when PIL is importable at
+runtime, ``extract_metadata_image`` / ``resize_image`` do REAL image
+decode/resize inside the same Arrow-batched dataflow; in containers
+without media libs (like this one), the ``*_stub`` forms derive
+deterministic fake dimensions from the payload so the Spark-side
+plumbing — schema, batch shape, UDF signatures, partitioning — stays
+real and testable end-to-end, and the real forms raise
+NotImplementedError eagerly on the driver.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -23,6 +27,27 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = "id string, media binary, media_type string"
 META_SCHEMA = "id string, n_bytes int, first_byte int, fake_width int, fake_height int"
+
+
+def _pil():
+    """PIL.Image when installed, else None — the runtime feature gate."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _require_pil():
+    img = _pil()
+    if img is None:
+        raise NotImplementedError(
+            "real image decode requires Pillow (PIL) at runtime; this "
+            "environment has no media libraries — use the *_stub forms, "
+            "which exercise the identical Spark dataflow"
+        )
+    return img
 
 
 def attach_media(df: DataFrame, payload_col: str, id_col: str = "doc_id",
@@ -65,6 +90,60 @@ def extract_metadata(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.select("id", "media").mapInPandas(fn, META_SCHEMA)
+
+
+def extract_metadata_image(media_df: DataFrame) -> DataFrame:
+    """REAL image metadata via PIL (gated: NotImplementedError on the
+    driver when Pillow is absent).  Same Arrow-batched dataflow as the
+    stub; output (id, n_bytes, width, height, mode)."""
+    _require_pil()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _require_pil()
+        for pdf in it:
+            ns, ws, hs, modes = [], [], [], []
+            for blob in pdf["media"]:
+                blob = bytes(blob) if blob is not None else b""
+                img = image_mod.open(io.BytesIO(blob))
+                ns.append(len(blob))
+                ws.append(img.width)
+                hs.append(img.height)
+                modes.append(img.mode)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_bytes": ns, "width": ws, "height": hs, "mode": modes}
+            )
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, n_bytes int, width int, height int, mode string"
+    )
+
+
+def resize_image(media_df: DataFrame, width: int = 224, height: int = 224,
+                 fmt: str = "PNG") -> DataFrame:
+    """REAL image resize via PIL (gated like extract_metadata_image):
+    binary in, re-encoded fixed-dimension binary out — identical schema
+    and batch shape to resize_stub, so pipelines swap decoder by
+    function name only."""
+    _require_pil()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _require_pil()
+        for pdf in it:
+            payloads = []
+            for blob in pdf["media"]:
+                img = image_mod.open(io.BytesIO(bytes(blob)))
+                out = io.BytesIO()
+                img.resize((width, height)).save(out, format=fmt)
+                payloads.append(out.getvalue())
+            yield pd.DataFrame(
+                {"id": pdf["id"], "resized": payloads,
+                 "width": np.full(len(pdf), width, dtype=np.int32),
+                 "height": np.full(len(pdf), height, dtype=np.int32)}
+            )
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, resized binary, width int, height int"
+    )
 
 
 def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -302,3 +302,34 @@ def test_ann_runs_as_single_job_plan(spark, emb):
         # must be ONE scan -> mapInPandas -> window, no Union
         assert "Union" not in plan
         assert plan.count("MapInPandas") == 1
+
+
+def test_multimodal_real_decode_gate(spark, sf_dir):
+    """The real-decode forms are feature-gated: with Pillow installed
+    they decode/resize actual images; without it they raise
+    NotImplementedError eagerly on the driver (this container)."""
+    from presto_bloomfilter_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = multimodal.attach_media(docs, "text")
+    if multimodal._pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_metadata_image(media)
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_image(media)
+    else:  # pragma: no cover — container has no PIL; runs where it does
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.new("RGB", (32, 16))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        mdf = spark.createDataFrame(
+            [("a", bytearray(buf.getvalue()), "image/png")],
+            "id string, media binary, media_type string",
+        )
+        meta = multimodal.extract_metadata_image(mdf).collect()[0]
+        assert (meta.width, meta.height) == (32, 16)
+        rs = multimodal.resize_image(mdf, 8, 8).collect()[0]
+        assert (rs.width, rs.height) == (8, 8)
