@@ -92,16 +92,20 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
         spark, tokens_path, agg.token_family_over_tokens("tokens"), n_tasks=CPUS)
 
     timings = {}
+    timings_all = {}
 
-    def run(name, fn):
-        # min-of-2: the first pass can eat this host's erratic
-        # page-fault stalls; the second runs at steady state
-        best = float("inf")
-        for _ in range(2):
+    def run(name, fn, n=3):
+        # median-of-n (n>=3): robust to this host's erratic page-fault
+        # stalls in either direction; per-query medians persist so the
+        # next round can detect per-query regressions
+        samples = []
+        for _ in range(n):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        timings_all[name] = [round(s, 3) for s in samples]
 
     # fused family: bloom+CMS+HLL in ONE scan — the flagship build path.
     # bloom sized to the workload (~50k distinct token ids → n=1M keeps
@@ -123,7 +127,17 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
         tokens, agg.kll_over_column("n_tok"), target_partials=CPUS))
     run("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect())
     run("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect())
-    return timings, int(total_tokens)
+
+    # dedup signature generation over the documents table — the hottest
+    # per-byte pass of a training pipeline (batch-vectorized kernels)
+    from presto_bloomfilter_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    run("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count())
+    run("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count())
+    timings["_sig_docs_per_sec"] = round(n_docs / max(timings["minhash_signatures"], 1e-9))
+    return timings, timings_all, int(total_tokens)
 
 
 def scale_worker(cpus: int) -> None:
@@ -162,16 +176,64 @@ def scale_worker(cpus: int) -> None:
         spark.stop()
 
 
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+def _dram_touch_worker(args) -> float:
+    """One bandwidth-probe worker: stream-sum over a fresh array; returns
+    bytes touched.  Module-level so multiprocessing can fork/pickle it."""
+    mb, reps = args
+    import numpy as np
+
+    x = np.ones((mb * (1 << 20)) // 8, dtype=np.float64)
+    acc = 0.0
+    for _ in range(reps):
+        acc += float(x.sum())
+    return float(x.nbytes * reps + acc * 0.0)
+
+
+def dram_bandwidth_probe(widths=(1, 4, 16), mb=512, reps=4) -> dict:
+    """Aggregate DRAM read bandwidth at several process counts — the
+    hardware-ceiling artifact for the scaling story: if aggregate GB/s
+    plateaus from 4 to 16 workers, wide-pair efficiency on this box
+    measures the shared memory bus, not the engine (each node of a real
+    cluster brings its own bus)."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in widths:
+        with mp.get_context("fork").Pool(w) as pool:
+            t0 = time.time()
+            sizes = pool.map(_dram_touch_worker, [(mb, reps)] * w)
+            dt = time.time() - t0
+        out[str(w)] = round(sum(sizes) / dt / (1 << 30), 2)
+    return out
+
+
+N_SWEEPS = 3  # fixed, unconditional — no result-dependent extra sweeps
+
+
 def scaling_run() -> dict:
     """Fused bloom+CMS+HLL token-sketch build (one job) at each width
     over the same ~2.4B-token corpus; efficiency(N→4N) = speedup / 4.
 
-    Each width runs in a FRESH subprocess — fresh JVM, fresh python
-    workers, no session carry-over (the in-sandbox analogue of separate
-    cluster deployments) — and the width sweep runs twice, interleaved,
-    keeping the best per width: this host's page-fault throughput swings
-    by minutes-long episodes, and interleaving keeps any episode from
-    landing on just one width of a compared pair.
+    Methodology (pre-declared, result-independent):
+    - each width runs in a FRESH subprocess — fresh JVM, fresh python
+      workers, no session carry-over (the in-sandbox analogue of
+      separate cluster deployments);
+    - exactly N_SWEEPS interleaved sweeps run unconditionally (this
+      host's page-fault throughput swings in minutes-long episodes;
+      interleaving spreads any episode across widths, and a fixed sweep
+      count cannot ratchet the result);
+    - every 4x-pair efficiency is computed from the two widths of the
+      SAME sweep; the headline ``scaling_efficiency`` is the MEDIAN of
+      all (sweep, pair) efficiencies — declared up front, symmetric,
+      and not inflatable by a lucky sweep;
+    - a DRAM bandwidth probe (stream-sum at 1/4/16 processes) records
+      the hardware ceiling next to the engine numbers.
     """
     import subprocess
 
@@ -180,11 +242,12 @@ def scaling_run() -> dict:
 
     ensure_tokens_parquet(SCALE_DIR)
 
-    results: dict[int, dict] = {}
+    sweeps: list[dict[int, dict]] = []
     total = None
 
     def sweep():
         nonlocal total
+        res: dict[int, dict] = {}
         for cpus in SCALE_WIDTHS:
             proc = subprocess.run(
                 [sys.executable, str(_REPO / "bench.py"), "--scale-worker", str(cpus)],
@@ -195,57 +258,84 @@ def scaling_run() -> dict:
                 raise RuntimeError(f"scale worker {cpus} failed: {proc.stderr[-2000:]}")
             rec = json.loads(line)
             total = rec["total_tokens"]
-            prev = results.get(cpus)
-            if prev is None or rec["sec"] < prev["sec"]:
-                results[cpus] = {"sec": rec["sec"],
-                                 "tokens_per_sec": round(total / rec["sec"])}
+            res[cpus] = {"sec": rec["sec"], "tokens_per_sec": round(total / rec["sec"])}
+        sweeps.append(res)
 
-    def best_pair_eff():
-        effs = [results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"] / 4.0
-                for n in SCALE_WIDTHS if 4 * n in results]
-        return max(effs) if effs else 0.0
-
-    sweep()
-    sweep()
-    if best_pair_eff() < 0.8:
-        # one more interleaved sweep: a single bad host episode should
-        # not be the recorded number
+    for _ in range(N_SWEEPS):
         sweep()
 
-    pairs = {}
-    for n in SCALE_WIDTHS:
-        if 4 * n in results:
-            pairs[f"{n}to{4*n}"] = round(
-                results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"] / 4.0, 3)
+    # same-sweep pair efficiencies
+    pair_names = [f"{n}to{4*n}" for n in SCALE_WIDTHS if 4 * n in SCALE_WIDTHS]
+    pair_sweep_effs: dict[str, list[float]] = {p: [] for p in pair_names}
+    for res in sweeps:
+        for n in SCALE_WIDTHS:
+            if 4 * n in res:
+                pair_sweep_effs[f"{n}to{4*n}"].append(
+                    res[4 * n]["tokens_per_sec"] / res[n]["tokens_per_sec"] / 4.0
+                )
+    pairs = {p: round(_median(v), 3) for p, v in pair_sweep_effs.items()}
+    all_effs = [e for v in pair_sweep_effs.values() for e in v]
+    headline = round(_median(all_effs), 3) if all_effs else 0.0
+
+    width_median = {
+        c: {
+            "sec": round(_median([s[c]["sec"] for s in sweeps]), 3),
+            "tokens_per_sec": round(_median([s[c]["tokens_per_sec"] for s in sweeps])),
+        }
+        for c in SCALE_WIDTHS
+    }
+    dram = dram_bandwidth_probe()
+
     out = {
-        "widths": {str(c): results[c] for c in SCALE_WIDTHS},
+        "widths": {str(c): width_median[c] for c in SCALE_WIDTHS},
+        "sweeps": [
+            {str(c): s[c]["tokens_per_sec"] for c in SCALE_WIDTHS} for s in sweeps
+        ],
         "total_tokens": int(total),
         "efficiency_4x_pairs": pairs,
+        "efficiency_4x_pairs_per_sweep": {
+            p: [round(e, 3) for e in v] for p, v in pair_sweep_effs.items()
+        },
+        "scaling_efficiency": headline,
+        "scaling_pair": f"median of {len(all_effs)} same-sweep 4x-pair effs "
+                        f"({N_SWEEPS} sweeps x {len(pair_names)} pairs)",
+        "dram_bandwidth_gbps": dram,
     }
-    best_pair = max(pairs, key=pairs.get) if pairs else None
-    if best_pair:
-        out["scaling_efficiency"] = pairs[best_pair]
-        out["scaling_pair"] = best_pair
+
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['sec']} | {results[c]['tokens_per_sec']:,} |"
+        f"| local[{c}] | {width_median[c]['sec']} | {width_median[c]['tokens_per_sec']:,} |"
         for c in SCALE_WIDTHS
     )
-    prs = "\n".join(f"| {k.replace('to', ' → ')} | {v:.3f} |" for k, v in pairs.items())
+    prs = "\n".join(
+        f"| {p.replace('to', ' → ')} | "
+        + " / ".join(f"{e:.3f}" for e in pair_sweep_effs[p])
+        + f" | **{pairs[p]:.3f}** |"
+        for p in pair_names
+    )
+    drs = " | ".join(f"{w}p: {v} GB/s" for w, v in dram.items())
     md = (
         "# BENCH_SCALING — throughput at multiple parallelism levels\n\n"
         "In-sandbox stand-in for N vs 4N executors (north_rule): the fused\n"
         "bloom+CMS+HLL token-sketch build — one Spark job, pyarrow row-group\n"
         "scan inside the workers, tree-merged sketch blobs — over the same\n"
         f"{int(total):,}-token corpus at several local[N] widths.\n\n"
-        "All widths share one DRAM controller on this single box, so wide\n"
-        "pairs converge on the host's memory-bandwidth ceiling (~5 GB/s;\n"
-        "parquet-decode writes ~6 B/token) rather than engine overhead —\n"
-        "on a real multi-executor cluster each node brings its own memory\n"
-        "bus. The cross-node costs of this job are O(sketch bytes) blob\n"
-        "merges, independent of row count. The full width curve:\n\n"
+        "## Methodology (pre-declared, result-independent)\n\n"
+        f"Exactly {N_SWEEPS} interleaved sweeps, fresh subprocess per width,\n"
+        "every 4x-pair efficiency computed from the SAME sweep's two widths,\n"
+        "headline = median of all (sweep, pair) efficiencies. No\n"
+        "result-conditioned re-runs.\n\n"
+        "## Width curve (median across sweeps)\n\n"
         f"| parallelism | wall sec | tokens/sec |\n|---|---|---|\n{rows}\n\n"
-        f"**4x-pair scaling efficiency** (target ≥ 0.8):\n\n"
-        f"| pair | efficiency |\n|---|---|\n{prs}\n"
+        f"## 4x-pair scaling efficiency (target ≥ 0.8)\n\n"
+        f"| pair | per-sweep | median |\n|---|---|---|\n{prs}\n\n"
+        f"**Headline (median of all same-sweep pair effs): {headline}**\n\n"
+        "## Hardware ceiling\n\n"
+        f"Measured aggregate DRAM stream-read bandwidth: {drs}.\n"
+        "All widths share one memory controller on this box: when the\n"
+        "4→16 aggregate bandwidth gain is far below 4x, the wide pair\n"
+        "measures the bus, not the engine — a real cluster adds one\n"
+        "memory bus per node, and this job's cross-node traffic is\n"
+        "O(sketch bytes) blob merges, independent of row count.\n"
     )
     (_REPO / "BENCH_SCALING.md").write_text(md)
     return out
@@ -264,7 +354,7 @@ def main() -> None:
     spark = make_spark(CPUS)
     try:
         t0 = time.time()
-        timings, total_tokens = bench_queries(spark, SF_DIR)
+        timings, timings_all, total_tokens = bench_queries(spark, SF_DIR)
         total = round(time.time() - t0, 3)
     finally:
         spark.stop()
@@ -274,7 +364,9 @@ def main() -> None:
         "metric": "sketch_suite_sec",
         "value": total,
         "unit": "sec",
+        "n": 3,
         "queries": timings,
+        "query_samples": timings_all,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "total_tokens": total_tokens,
         "tokens_per_sec": round(total_tokens / build_sec) if build_sec else None,
