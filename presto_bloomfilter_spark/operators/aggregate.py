@@ -565,13 +565,23 @@ def grouped_sketch_from_parquet(
     return grouped_merge_sketch_column(partials, key)
 
 
-def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAULT_FAN_IN):
+def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAULT_FAN_IN,
+                        target_partials: int | None = None):
     """Aggregate *pre-built* sketches stored in a binary column — parity
     with the reference's bloom_filter_from_string / bloom_filter(bf)
-    merge aggregation (BloomFilterFromString.java:23-38)."""
+    merge aggregation (BloomFilterFromString.java:23-38).
+
+    Same tree-merge dataflow as aggregate_sketch: partial count pinned
+    to defaultParallelism by default (coalesce, no shuffle, no
+    driver-side getNumPartitions), bounded fan-in above it.
+    """
+    if target_partials is None:
+        target_partials = df.sparkSession.sparkContext.defaultParallelism
     pruned = df.select(F.col(col).alias("sketch"))
+    if target_partials:
+        pruned = pruned.coalesce(target_partials)
     partials = pruned.mapInArrow(_merge_blobs, "sketch binary")
-    n_parts = pruned.rdd.getNumPartitions()
+    n_parts = target_partials or pruned.rdd.getNumPartitions()
     while n_parts > fan_in:
         n_parts = -(-n_parts // fan_in)
         partials = partials.repartition(n_parts).mapInArrow(_merge_blobs, "sketch binary")

@@ -321,18 +321,22 @@ def _fused_ann_topk(
     k: int,
     vec_col: str,
     id_col: str,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """ONE map-only job for Q queries: each scan partition assigns its
-    rows to index cells (``assign_fn``), intersects with every query's
-    probe cells, and emits that query's per-partition BLAS top-k.  The
-    only shuffle is the final window over partitions x Q x k rows.
+    rows to index cells (``assign_fn``, or reads them from ``cell_col``
+    of a materialized index), intersects with every query's probe
+    cells, and emits that query's per-partition BLAS top-k.  The only
+    shuffle is the final window over partitions x Q x k rows.
 
     ``probe_sets``: (query_id, normalized qvec, probed cell ids) per
     query.  With a pre-materialized index table the same probe becomes
-    a partition-pruned scan join; this fused form computes assignments
-    on the fly so Q queries cost one corpus scan, not Q.
+    a partition-pruned scan (see ivf_topk_indexed); this fused form
+    computes assignments on the fly so Q queries cost one corpus scan,
+    not Q.
     """
     bq = spark.sparkContext.broadcast(probe_sets)
+    cols = [id_col, vec_col] + ([cell_col] if cell_col else [])
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         probes = bq.value
@@ -341,7 +345,9 @@ def _fused_ann_topk(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             m = _normalize(_to_matrix(pdf[vec_col]))
-            cells = assign_fn(m)
+            cells = (
+                pdf[cell_col].to_numpy(dtype=np.int64) if cell_col else assign_fn(m)
+            )
             frames = []
             for qid, qv, probe in probes:
                 mask = np.isin(cells, probe) & (ids != qid)
@@ -362,10 +368,68 @@ def _fused_ann_topk(
             if frames:
                 yield pd.concat(frames)
 
-    partials = base.select(id_col, vec_col).mapInPandas(
+    partials = base.select(*cols).mapInPandas(
         partial, "query_id long, neighbor_id long, sim double"
     )
     return _rank_topk(partials, k)
+
+
+def write_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF index: (id, vector, list_id) parquet table
+    PARTITIONED BY list_id — the probe side then reads only the nprobe
+    matching directories (partition pruning at the scan, asserted in
+    tests), which is how the index survives 100 TB: probe cost tracks
+    nprobe/n_lists of the corpus, not the corpus.
+
+    One mapInPandas pass carries the vector alongside its assignment
+    (no post-hoc self-join against ivf_assign)."""
+    cent = centroids.copy()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _normalize(_to_matrix(pdf[vec_col]))
+            out = pdf[[id_col, vec_col]].copy()
+            out["list_id"] = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {vec_col} array<float>, list_id long"
+    )
+    assigned.write.mode(mode).partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN probe against a MATERIALIZED index (write_ivf_index): the
+    scan reads only the union of all queries' nprobe lists via
+    partition pruning — `.explain` shows the list_id PartitionFilters —
+    then one map-only pass computes per-partition top-k per query.
+    Same output shape and assignment rule as ivf_topk."""
+    qids = [int(q[0]) for q in queries]
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    qlists = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [
+        (qid, qv, probe.astype(np.int64)) for qid, qv, probe in zip(qids, qmat, qlists)
+    ]
+    probed_lists = sorted({int(x) for probe in qlists for x in probe})
+    pruned = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(probed_lists)
+    )
+    return _fused_ann_topk(
+        spark, pruned, probe_sets, None, k, vec_col, id_col, cell_col="list_id"
+    )
 
 
 def ivf_topk(

@@ -16,8 +16,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from presto_bloomfilter_spark.functions.hashing import hash_strings64, splitmix64
-
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 

@@ -333,3 +333,41 @@ def test_multimodal_real_decode_gate(spark, sf_dir):
         assert (meta.width, meta.height) == (32, 16)
         rs = multimodal.resize_image(mdf, 8, 8).collect()[0]
         assert (rs.width, rs.height) == (8, 8)
+
+
+def test_ivf_indexed_probe_partition_prunes(spark, emb, tmp_path):
+    """The materialized IVF index is partitioned by list_id; a probe
+    must (a) show list_id partition pruning at the scan and (b) return
+    exactly what the on-the-fly ivf_topk returns (same assignment rule,
+    same centroids)."""
+    sample = np.array([r.embedding for r in emb.orderBy("vec_id").limit(512).collect()],
+                      dtype=np.float64)
+    cent = similarity.spherical_kmeans(sample, 8, seed=7)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb, cent, path)
+
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(3).collect()]
+    res = similarity.ivf_topk_indexed(spark, path, queries, cent, k=10, nprobe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in res.collect()}
+    # parity with the fused on-the-fly path under identical centroids
+    direct = similarity._fused_ann_topk(
+        spark, emb, [
+            (int(q[0]),
+             v,
+             p.astype(np.int64))
+            for (q, v, p) in zip(
+                queries,
+                similarity._normalize(np.array([q[1] for q in queries], dtype=np.float64)),
+                np.argsort(-(similarity._normalize(
+                    np.array([q[1] for q in queries], dtype=np.float64)) @ cent.T),
+                    axis=1)[:, :3],
+            )
+        ],
+        lambda m: np.argmax(m @ cent.T, axis=1).astype(np.int64),
+        10, "embedding", "vec_id",
+    )
+    expect = {(r.query_id, r.neighbor_id, r.rank) for r in direct.collect()}
+    assert got == expect
