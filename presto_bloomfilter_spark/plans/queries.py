@@ -505,6 +505,68 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q_drop_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-keeping exact dedup (min id per content hash wins,
+    deterministic under any partitioning) — the filter form of
+    dedup_exact."""
+    kept = dedup.drop_exact_dups(_aug_documents(spark, sf_dir), "text", "id")
+    return kept.select("id")
+
+
+ORACLE_DROP_EXACT_DUPS = f"""
+SELECT id FROM (
+  SELECT id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY id) AS rn
+  FROM ({_AUG_SQL})
+) WHERE rn = 1
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering (min word count) — predicate stays JVM-side so
+    it pushes into the scan pipeline; output is the surviving ids."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_filter(d, "text", min_words=40).select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+WHERE len(string_split(text, ' ')) >= 40
+"""
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-banded APPROXIMATE near-dup path (the corpus-scale
+    sibling of embedding_near_dup): exact verify ⇒ zero false
+    positives (subset check), banding ⇒ measured recall ≥ 0.5 —
+    both asserted as booleans against the exact pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.embedding_near_dup_pairs(spark, emb, threshold=0.4)
+    approx = similarity.embedding_near_dup_pairs_lsh(
+        spark, emb, threshold=0.4, bits=4, n_tables=8
+    )
+    e = exact.withColumn("__e", F.lit(1))
+    a = approx.withColumn("__a", F.lit(1))
+    j = e.join(a, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__e"), F.lit(0))).alias("n_exact"),
+        (F.sum(F.when(F.col("__a").isNotNull() & F.col("__e").isNull(), 1).otherwise(0)) == 0).alias("no_fp"),
+        (
+            F.sum(F.when(F.col("__a").isNotNull() & F.col("__e").isNotNull(), 1).otherwise(0))
+            / F.sum(F.coalesce(F.col("__e"), F.lit(0)))
+            >= F.lit(0.5)
+        ).alias("recall_ok"),
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP_LSH = """
+SELECT COUNT(*) AS n_exact, TRUE AS no_fp, TRUE AS recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_quality(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -725,7 +787,10 @@ QUERIES = {
     "distinct_users_by_event": q_distinct_users_by_event,
     "nation_region_join": q_nation_region_join,
     "dedup_exact": q_dedup_exact,
+    "drop_exact_dups": q_drop_exact_dups,
+    "quality_filter": q_quality_filter,
     "dedup_minhash": q_dedup_minhash,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
@@ -755,7 +820,10 @@ ORACLES = {
     "distinct_users_by_event": ORACLE_DISTINCT_USERS_BY_EVENT,
     "nation_region_join": ORACLE_NATION_REGION_JOIN,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
+    "quality_filter": ORACLE_QUALITY_FILTER,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,

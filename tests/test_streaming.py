@@ -113,3 +113,70 @@ def test_windowed_stateful_sketch_stream(spark, tmp_path):
     assert got.get(10) == 2, got
     assert got.get(20) == 1, got
     assert 40 not in got, got
+
+
+def test_streaming_bloom_dedup_bounded_state(spark, tmp_path):
+    """Bounded-state streaming dedup: duplicates never survive (bloom
+    has no false negatives), state is one fixed-size filter, and a
+    re-delivered epoch is a no-op (idempotent)."""
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import StreamingBloomDedup
+
+    store = SketchStore(str(tmp_path / "store"))
+    sink = str(tmp_path / "sink")
+    d = StreamingBloomDedup(store, "dd", sink, expected_insertions=10_000,
+                            fpp=0.001, text_col="text", id_col="doc_id")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string",
+    )
+    # batch 0: in-batch dup 'alpha' collapses to min id
+    assert d.process_batch(b0, 0) == 3
+    # batch 1: all previously seen -> nothing emitted
+    b1 = spark.createDataFrame([(5, "beta"), (6, "gamma")], "doc_id long, text string")
+    assert d.process_batch(b1, 1) == 0
+    # batch 2: mix of seen and fresh
+    b2 = spark.createDataFrame([(7, "alpha"), (8, "delta")], "doc_id long, text string")
+    assert d.process_batch(b2, 2) == 1
+    # epoch redelivery is a no-op
+    assert d.process_batch(b2, 2) == 0
+
+    out = spark.read.parquet(sink)
+    rows = {(r.doc_id, r.text) for r in out.collect()}
+    assert rows == {(1, "alpha"), (2, "beta"), (4, "gamma"), (8, "delta")}
+    # exactly one duplicate of each text, and the representative is min-id
+    assert out.count() == out.select("text").distinct().count()
+    # state = one filter of fixed geometry regardless of stream length
+    seen = store.get("dd.seen")
+    assert seen.expected_insertions == 10_000
+
+
+def test_streaming_bloom_dedup_via_stream_api(spark, tmp_path):
+    """End-to-end through readStream/writeStream with availableNow."""
+    import os as _os
+
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import StreamingBloomDedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(indir / "f0.parquet"))
+    spark.createDataFrame(
+        [(4, "bb"), (5, "cc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(indir / "f1.parquet"))
+
+    store = SketchStore(str(tmp_path / "store2"))
+    sink = str(tmp_path / "sink2")
+    d = StreamingBloomDedup(store, "dd2", sink, expected_insertions=10_000,
+                            fpp=0.001)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(indir / "*")
+    )
+    q = d.attach(stream, str(tmp_path / "ckpt_dd"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == out.select("text").distinct().count() == 3
