@@ -331,6 +331,63 @@ def minhash_near_dup_pairs(
     return verify_pairs_exact(cands, df, text_col, id_col, threshold)
 
 
+# ---- exact n-gram Jaccard (set-similarity join, pure Catalyst) ----------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, n: int = 3,
+                        max_gram_docs: int | None = None) -> DataFrame:
+    """EXACT word-n-gram Jaccard pairs (id_a < id_b, jaccard >= t) as a
+    classic set-similarity join, entirely in Catalyst (whole-stage
+    codegen, no Python):
+
+    gram construction (split → sliding concat → array_distinct) →
+    explode → self-join on gram (co-occurrence counts) → join per-doc
+    set sizes → jaccard = c / (|A| + |B| - c).
+
+    Shuffles are keyed on gram hashes (uniform except stop-gram
+    hotspots) and on the pair key.  ``max_gram_docs`` optionally drops
+    grams appearing in more than that many docs — the standard
+    frequency filter for corpus scale (a gram shared by half the corpus
+    carries no discriminative signal but quadratic join cost); leaving
+    it None keeps the result exact, which is what the oracle checks.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    sets = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(grams).alias("grams"),
+    )
+    sizes = sets.select("id", F.size("grams").alias("sz"))
+    tokens = sets.select("id", F.explode("grams").alias("g"))
+    if max_gram_docs is not None:
+        w = Window.partitionBy("g")
+        tokens = (
+            tokens.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_gram_docs)
+            .drop("__df")
+        )
+    a, b = tokens.alias("a"), tokens.alias("b")
+    co = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---- simhash ------------------------------------------------------------------
 
 

@@ -153,6 +153,27 @@ FROM {_TOKENS_SQL} GROUP BY source
 """
 
 
+def q_hll_docs_by_source_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as hll_docs_by_source through the SALTED grouped
+    strategy (north_rule: explicit salting/repartitioning for skewed
+    sources): rows group by (source, salt) first, per-key partials
+    merge second — no task ever owns all of the 55%-skewed 'web' key."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_strings("doc_id"),
+                                 strategy="salted", salt=8)
+    ests = [(r[0], float(sketch_from_bytes(r.sketch).estimate())) for r in per_src.collect()]
+    lit = spark.createDataFrame(ests, "source string, est double")
+    exact = tokens.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return exact.join(F.broadcast(lit), "source").select(
+        "source",
+        "n_docs",
+        (F.abs(F.col("est") - F.col("n_docs")) / F.col("n_docs") <= F.lit(0.025)).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_DOCS_BY_SOURCE_SALTED = ORACLE_HLL_DOCS_BY_SOURCE
+
+
 def q_hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct token ids per (skewed) source — map-side partial build:
     skew costs nothing because a task only sees its own partition's
@@ -480,6 +501,33 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard set-similarity join, pure Catalyst (no
+    Python, no approximation) — the ground-truth sibling of
+    dedup_minhash, value-checked including the jaccard itself (integer
+    operands ⇒ bit-identical IEEE division on both engines)."""
+    return dedup.ngram_jaccard_pairs(_aug_documents(spark, sf_dir), "text", "id", threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT id, CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+           string_split(text,' ')[i+2]))
+    ELSE [array_to_string(string_split(text, ' '), ' ')] END AS shingles
+  FROM ({_AUG_SQL})
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+         AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup containment check: every constructed exact-dup
     pair (doc, 'dup-'+doc) has Hamming distance 0, so the full pair
@@ -777,6 +825,7 @@ QUERIES = {
     "bloom_member_recall": q_bloom_member_recall,
     "bloom_merge_prebuilt": q_bloom_merge_prebuilt,
     "hll_docs_by_source": q_hll_docs_by_source,
+    "hll_docs_by_source_salted": q_hll_docs_by_source_salted,
     "hll_tokens_by_source": q_hll_tokens_by_source,
     "cms_top_tokens": q_cms_top_tokens,
     "token_family_fused": q_token_family_fused,
@@ -790,6 +839,7 @@ QUERIES = {
     "drop_exact_dups": q_drop_exact_dups,
     "quality_filter": q_quality_filter,
     "dedup_minhash": q_dedup_minhash,
+    "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
@@ -810,6 +860,7 @@ ORACLES = {
     "bloom_member_recall": ORACLE_BLOOM_MEMBER_RECALL,
     "bloom_merge_prebuilt": ORACLE_BLOOM_MERGE_PREBUILT,
     "hll_docs_by_source": ORACLE_HLL_DOCS_BY_SOURCE,
+    "hll_docs_by_source_salted": ORACLE_HLL_DOCS_BY_SOURCE_SALTED,
     "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
@@ -823,6 +874,7 @@ ORACLES = {
     "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "text_quality": ORACLE_TEXT_QUALITY,

@@ -371,3 +371,17 @@ def test_ivf_indexed_probe_partition_prunes(spark, emb, tmp_path):
     )
     expect = {(r.query_id, r.neighbor_id, r.rank) for r in direct.collect()}
     assert got == expect
+
+
+def test_ngram_jaccard_exact_matches_minhash_verified(spark, aug):
+    """The exact Catalyst set-similarity join and the MinHash+LSH+verify
+    pipeline define the same pair set at this threshold (LSH candidate
+    recall ~1 at sim >= 0.5 with these band settings), and the exact
+    plan must stay entirely JVM-side (no Python eval nodes)."""
+    exact_df = dedup.ngram_jaccard_pairs(aug, "text", "id", threshold=0.5)
+    plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan
+    exact = {(r.id_a, r.id_b) for r in exact_df.collect()}
+    mh = {(r.id_a, r.id_b)
+          for r in dedup.minhash_near_dup_pairs(aug, "text", "id", 0.5).collect()}
+    assert exact == mh
