@@ -121,3 +121,51 @@ def test_empty_is_identity(vals):
     assert e.copy().merge(s).sha256 == s.sha256
     eh, sh = _hll([]), _hll(vals)
     assert np.array_equal(eh.merge(sh).registers, sh.registers)
+
+
+# ---- batch text kernels vs a straightforward per-doc reference ----------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy)
+def test_split_words_batch_matches_python_split(texts):
+    import pandas as pd
+
+    from presto_bloomfilter_spark.functions.hashing import hash_strings64
+    from presto_bloomfilter_spark.operators.dedup import _split_words_batch
+
+    wh, lengths = _split_words_batch(pd.Series(texts, dtype=object))
+    expected_words = [w for t in texts for w in t.split()]
+    assert list(lengths) == [len(t.split()) for t in texts]
+    assert len(wh) == len(expected_words)
+    if expected_words:
+        ref = hash_strings64(pd.Series(expected_words, dtype=object))
+        assert np.array_equal(wh, ref)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_strategy)
+def test_shingle_sets_batch_matches_single_doc(texts):
+    import pandas as pd
+
+    from presto_bloomfilter_spark.operators.dedup import (
+        _shingle_hashes,
+        _shingle_sets_batch,
+    )
+
+    flat, offsets = _shingle_sets_batch(pd.Series(texts, dtype=object))
+    assert len(offsets) == len(texts) + 1
+    for i, t in enumerate(texts):
+        seg = flat[offsets[i] : offsets[i + 1]]
+        assert len(seg) >= 1  # every doc owns >= 1 shingle
+        assert np.all(np.diff(seg.view(np.uint64)) > 0)  # sorted unique
+        assert np.array_equal(seg, _shingle_hashes(t))
