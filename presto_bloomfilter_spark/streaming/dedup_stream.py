@@ -81,7 +81,11 @@ class StreamingBloomDedup:
         ).cache()
         emitted = fresh.count()
         if emitted:
-            fresh.drop("__digest").write.mode("append").parquet(
+            # overwrite the per-epoch dir, not append: a retry after a
+            # completed sink write but before the filter persisted
+            # re-emits the same rows — overwrite makes that idempotent
+            # (exactly-once sink content per epoch)
+            fresh.drop("__digest").write.mode("overwrite").parquet(
                 f"{self.sink_path}/epoch={epoch_id}"
             )
             new_digests = [r[0] for r in fresh.select("__digest").collect()] \
