@@ -1,0 +1,146 @@
+"""Sharded bloom filters — membership state beyond one machine.
+
+The north-star scale is 10^12 sequences.  A single bloom at n=10^12,
+p=0.01 is a ~1.5 TB bitset: it cannot be built in one accumulator,
+broadcast to executors, or merged on a driver.  The scale shape is a
+FAMILY of S independent filters sharded by key hash:
+
+- build: route each key to shard = xxhash64(key) mod S, then the
+  existing grouped machinery (map-side per-(partition, shard) partials,
+  blob-only shuffle) builds all S filters in one job; each filter is
+  sized n/S so every task and every store object stays bounded;
+- persist: one store object per shard (``{name}.s{shard}``) — the
+  sketch-table/store layer already handles atomic publish;
+- probe: repartition probe rows by the SAME shard function, so each
+  task touches exactly one shard; the task lazily loads that one
+  filter from the store (executor-local sha256-keyed LRU) and probes
+  its whole partition vectorized.  No executor ever holds more than
+  one shard (plus cache), no broadcast of the full family exists.
+
+Union semantics per shard are unchanged (bitset OR), so the family
+keeps the merge algebra: two sharded families with identical (S, n, p)
+merge shard-wise.  Reference parity: this is ``bloom_filter`` /
+``bloom_filter_contains`` (BloomFilterAggregation.java:31-62,
+BloomFilterContainsScalarFunction.java:33-42) lifted to a key space no
+single filter can hold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.operators import aggregate as agg
+from presto_bloomfilter_spark.store import SketchStore
+
+
+def _shard_col(col, shards: int):
+    return F.pmod(F.xxhash64(col), F.lit(shards)).cast("int")
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str,
+    shards: int,
+    expected_insertions_per_shard: int,
+    fpp: float = BloomFilter.DEFAULT_FPP,
+) -> DataFrame:
+    """One job → DataFrame[shard string, sketch binary] with S filters.
+
+    Uses the grouped map-side partial path: raw rows never shuffle,
+    only (partitions x shards) sketch blobs do; a skewed key column
+    cannot skew shards because the shard function is a hash."""
+    keyed = df.select(F.col(col).cast("string").alias("__k")).withColumn(
+        "__shard", _shard_col(F.col("__k"), shards)
+    )
+    return agg.grouped_sketch(
+        keyed, "__shard", agg.bloom_over_strings("__k", expected_insertions_per_shard, fpp)
+    ).withColumnRenamed("__shard", "shard")
+
+
+def persist_sharded_bloom(family: DataFrame, store: SketchStore, name: str) -> int:
+    """Persist DataFrame[shard, sketch] as one store object per shard;
+    returns the shard count.  The rows are S small blobs — collecting
+    them is O(S * filter_bytes/S) = O(total filter bytes) streamed
+    through the driver once at build time; probes never do this."""
+    rows = family.collect()
+    for r in rows:
+        store.put(f"{name}.s{r.shard}", bytes(r.sketch))
+    return len(rows)
+
+
+def sharded_contains(
+    spark: SparkSession,
+    probe_df: DataFrame,
+    probe_col: str,
+    store_root: str,
+    name: str,
+    shards: int,
+) -> DataFrame:
+    """Filter probe_df to rows whose key (probably) belongs to the
+    family — no false negatives, per-shard FP bound.
+
+    The probe repartitions by shard so each task owns exactly one
+    shard, lazily loads THAT filter from the store (executor-local LRU
+    keyed by blob sha256), and probes the whole partition vectorized.
+    Peak executor memory: one shard filter, regardless of S.
+    """
+    from presto_bloomfilter_spark.operators.probe import _cached_sketch
+
+    with_shard = probe_df.withColumn(
+        "__shard", _shard_col(F.col(probe_col).cast("string"), shards)
+    ).repartition(shards, "__shard")
+    out_fields = probe_df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    keep_cols = [f.name for f in out_fields]
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store = SketchStore(store_root)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            for shard, sub in pdf.groupby("__shard"):
+                blob = store.get_bytes(f"{name}.s{int(shard)}")
+                sk = _cached_sketch(blob)
+                mask = sk.might_contain_strings(sub[probe_col].astype(str))
+                yield sub.loc[mask, keep_cols]
+
+    return with_shard.mapInPandas(probe, out_schema)
+
+
+def sharded_bloom_semi_join(
+    spark: SparkSession,
+    probe_df: DataFrame,
+    probe_col: str,
+    build_df: DataFrame,
+    build_col: str,
+    store_root: str,
+    shards: int = 16,
+    expected_insertions_per_shard: int = 1_000_000,
+    fpp: float = BloomFilter.DEFAULT_FPP,
+    name: str = "sharded_bloom",
+    exact: bool = True,
+) -> DataFrame:
+    """bloom_semi_join for key spaces beyond one filter: build the
+    sharded family (one grouped job), persist per shard, pre-filter the
+    probe side shard-locally, then (optionally) remove false positives
+    with a broadcast exact semi join — equals the exact semi join."""
+    store = SketchStore(store_root)
+    family = build_sharded_bloom(build_df, build_col, shards,
+                                 expected_insertions_per_shard, fpp)
+    persist_sharded_bloom(family, store, name)
+    pre = sharded_contains(spark, probe_df, probe_col, store_root, name, shards)
+    if not exact:
+        return pre
+    build_keys = build_df.select(
+        F.col(build_col).cast("string").alias("__bk")
+    ).distinct()
+    return pre.join(
+        F.broadcast(build_keys),
+        F.col(probe_col).cast("string") == F.col("__bk"),
+        "left_semi",
+    )

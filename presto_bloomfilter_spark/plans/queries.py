@@ -59,6 +59,35 @@ GROUP BY l_returnflag
 """
 
 
+def q_sharded_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_semijoin at the 10^12-key posture: the membership state is
+    a FAMILY of hash-sharded filters (operators/sharded.py) — built in
+    one grouped job, persisted one object per shard, probed
+    shard-locally (each task loads exactly one filter) — because a
+    single filter at n=10^12 would be a ~1.5 TB bitset no executor
+    could hold.  Same exact-verify semantics, same oracle as
+    bloom_semijoin."""
+    import tempfile
+
+    from presto_bloomfilter_spark.operators.sharded import sharded_bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 300_000).select("o_orderkey")
+    filtered = sharded_bloom_semi_join(
+        spark, lineitem, "l_orderkey", big, "o_orderkey",
+        store_root=tempfile.mkdtemp(prefix="pbs_shard_"),
+        shards=8, expected_insertions_per_shard=10_000, fpp=0.001,
+    )
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_SHARDED_BLOOM_SEMIJOIN = ORACLE_BLOOM_SEMIJOIN
+
+
 def q_sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's SQL use-site shape (reference README.md:21-29:
     build a filter over a key set, probe with bloom_filter_contains in a
@@ -821,6 +850,7 @@ FROM documents
 
 QUERIES = {
     "bloom_semijoin": q_bloom_semijoin,
+    "sharded_bloom_semijoin": q_sharded_bloom_semijoin,
     "sql_surface_cte": q_sql_surface_cte,
     "bloom_member_recall": q_bloom_member_recall,
     "bloom_merge_prebuilt": q_bloom_merge_prebuilt,
@@ -856,6 +886,7 @@ QUERIES = {
 
 ORACLES = {
     "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
+    "sharded_bloom_semijoin": ORACLE_SHARDED_BLOOM_SEMIJOIN,
     "sql_surface_cte": ORACLE_SQL_SURFACE_CTE,
     "bloom_member_recall": ORACLE_BLOOM_MEMBER_RECALL,
     "bloom_merge_prebuilt": ORACLE_BLOOM_MERGE_PREBUILT,
