@@ -230,6 +230,32 @@ GROUP BY source
 """
 
 
+def q_hll_tokens_by_source_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as hll_tokens_by_source through the FUSED grouped
+    scan (grouped_sketch_from_parquet): pyarrow row-group shards inside
+    the Python workers, per-(shard, key) partials, blob-only grouped
+    merge — raw token rows never cross a process boundary."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch_from_parquet(
+        spark, tokens_parquet_path(sf_dir), "source", agg.hll_over_tokens("tokens"), n_tasks=8
+    )
+    ests = [(r[0], float(sketch_from_bytes(r.sketch).estimate())) for r in per_src.collect()]
+    lit = spark.createDataFrame(ests, "source string, est double")
+    exact = (
+        tokens.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n_distinct_tokens"))
+    )
+    return exact.join(F.broadcast(lit), "source").select(
+        "source",
+        "n_distinct_tokens",
+        (F.abs(F.col("est") - F.col("n_distinct_tokens")) / F.col("n_distinct_tokens") <= F.lit(0.025)).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_TOKENS_BY_SOURCE_FUSED = ORACLE_HLL_TOKENS_BY_SOURCE
+
+
 def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for the exact top-20 tokens: never
     underestimates, within eps*N above."""
@@ -857,6 +883,7 @@ QUERIES = {
     "hll_docs_by_source": q_hll_docs_by_source,
     "hll_docs_by_source_salted": q_hll_docs_by_source_salted,
     "hll_tokens_by_source": q_hll_tokens_by_source,
+    "hll_tokens_by_source_fused": q_hll_tokens_by_source_fused,
     "cms_top_tokens": q_cms_top_tokens,
     "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -893,6 +920,7 @@ ORACLES = {
     "hll_docs_by_source": ORACLE_HLL_DOCS_BY_SOURCE,
     "hll_docs_by_source_salted": ORACLE_HLL_DOCS_BY_SOURCE_SALTED,
     "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
+    "hll_tokens_by_source_fused": ORACLE_HLL_TOKENS_BY_SOURCE_FUSED,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
