@@ -69,6 +69,23 @@ def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
     return df.filter(F.size(words) >= min_words)
 
 
+def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5(key) bucket
+    (first 8 hex digits mod 100) falls below ``percent``.
+
+    The pipeline-correct alternative to rand()-based sampling: the
+    sample is a pure function of the key, so it is reproducible across
+    runs/engines/partitionings, stable under retries, and consistent
+    across tables sampled on the same key (joinable samples).  md5 is
+    engine-portable (identical hex in Spark and ANSI SQL), so the same
+    predicate defines the same sample everywhere.  Pure built-ins ⇒
+    whole-stage codegen, pushes into the scan."""
+    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return df.filter(bucket < percent)
+
+
 # ---- language ID (heuristic, not SQL-expressible) -----------------------------
 
 # character trigram profiles per language — tiny, deterministic, built

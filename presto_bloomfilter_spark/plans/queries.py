@@ -639,6 +639,22 @@ WHERE len(string_split(text, ' ')) >= 40
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of documents by doc_id — the
+    reproducible, engine-portable sampling a training pipeline needs
+    (pure function of the key: identical sample in Spark and SQL)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.hash_sample(d, "doc_id", 10).select(
+        F.col("doc_id").cast("string").alias("id")
+    )
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+"""
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-banded APPROXIMATE near-dup path (the corpus-scale
     sibling of embedding_near_dup): exact verify ⇒ zero false
@@ -895,6 +911,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "drop_exact_dups": q_drop_exact_dups,
     "quality_filter": q_quality_filter,
+    "hash_sample": q_hash_sample,
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -932,6 +949,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
     "quality_filter": ORACLE_QUALITY_FILTER,
+    "hash_sample": ORACLE_HASH_SAMPLE,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,
