@@ -431,6 +431,12 @@ def aggregate_sketch(
         pruned = pruned.coalesce(target_partials)
     with _tuned_arrow_batches(df):
         partials = pruned.mapInArrow(_partial_build(spec, metrics), "sketch binary")
+        # coalesce never INCREASES partition count, so n_parts may
+        # overstate the real partial count for narrow inputs; the cost
+        # is at most log_fan_in(target) extra repartition rounds over a
+        # handful of sketch blobs (milliseconds) — cheaper than the
+        # driver-side DAG build getNumPartitions() would need to know
+        # the true count
         n_parts = target_partials or pruned.rdd.getNumPartitions()
         return _tree_merge_collect(partials, n_parts, fan_in, spec, metrics)
 

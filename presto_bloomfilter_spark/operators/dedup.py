@@ -351,8 +351,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     frequency filter for corpus scale (a gram shared by half the corpus
     carries no discriminative signal but quadratic join cost); leaving
     it None keeps the result exact, which is what the oracle checks.
+
+    Word definition matches every other dedup consumer (runs of
+    whitespace, no empty words — Python ``str.split()`` semantics), so
+    this Jaccard is the same similarity verify_pairs_exact computes.
     """
-    words = F.split(F.col(text_col), " ")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     grams = F.when(
         F.size(words) >= n,
         F.transform(

@@ -59,10 +59,24 @@ class ProbeMetrics:
     TestBloomFilterPerformanceContains.java:42).  The two-stage
     pre-filter itself is deliberately dropped (the vectorized probe is
     already cheap, functions/bloom.py module docs); this keeps its
-    observability: probe_count, miss_count, and miss_rate per job."""
+    observability: probe_count, miss_count, and miss_rate per job.
+
+    Semantics note (standard Spark accumulator caveat): updates happen
+    inside the probe UDF, which is a TRANSFORMATION — counts reflect
+    UDF executions, not logical rows.  Running multiple actions over
+    the same un-cached result, stage retries, or speculative tasks
+    re-execute the UDF and inflate the counters (the ratio miss_rate
+    stays meaningful).  For exact per-job counts, read the metrics
+    after exactly one action, or call reset() between actions — the
+    bench and tests do the former.
+    """
 
     def __init__(self, spark: SparkSession):
-        sc = spark.sparkContext
+        self._spark = spark
+        self.reset()
+
+    def reset(self) -> None:
+        sc = self._spark.sparkContext
         self._probes = sc.accumulator(0)
         self._misses = sc.accumulator(0)
 

@@ -104,8 +104,13 @@ def sharded_contains(
             if not len(pdf):
                 continue
             for shard, sub in pdf.groupby("__shard"):
-                blob = store.get_bytes(f"{name}.s{int(shard)}")
-                sk = _cached_sketch(blob)
+                key = f"{name}.s{int(shard)}"
+                if not store.exists(key):
+                    # a shard that received no build keys has no store
+                    # object — it has no members, so all its probe rows
+                    # are definite misses
+                    continue
+                sk = _cached_sketch(store.get_bytes(key))
                 mask = sk.might_contain_strings(sub[probe_col].astype(str))
                 yield sub.loc[mask, keep_cols]
 
@@ -136,11 +141,16 @@ def sharded_bloom_semi_join(
     pre = sharded_contains(spark, probe_df, probe_col, store_root, name, shards)
     if not exact:
         return pre
+    # NO forced broadcast: at the key scales that motivate sharding, the
+    # distinct build keys do not fit one executor — a shuffle left-semi
+    # join over the bloom-thinned probe side is the scale-safe verify,
+    # and AQE still picks a broadcast join on its own when the build
+    # side happens to be small
     build_keys = build_df.select(
         F.col(build_col).cast("string").alias("__bk")
     ).distinct()
     return pre.join(
-        F.broadcast(build_keys),
+        build_keys,
         F.col(probe_col).cast("string") == F.col("__bk"),
         "left_semi",
     )

@@ -189,6 +189,7 @@ def embedding_near_dup_pairs_lsh(
     bits: int = 8,
     n_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates share a hyperplane-LSH
     bucket in ANY of ``n_tables`` independent tables, then an exact
@@ -197,10 +198,16 @@ def embedding_near_dup_pairs_lsh(
     recall measured in tests) with shuffle keyed on uniform bucket
     hashes — the practical 100 TB path, O(n * n_tables) shuffle instead
     of O(n * n_blocks) with quadratic verify work only inside buckets.
+
+    ``dim`` defaults to the corpus's embedding dimension (read from one
+    row) — hyperplanes must match it or every batch fails the matmul.
     """
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
     idx = None
     for t in range(n_tables):
-        b = hyperplane_lsh_buckets(df, bits=bits, seed=seed + 101 * t,
+        b = hyperplane_lsh_buckets(df, bits=bits, dim=dim, seed=seed + 101 * t,
                                    vec_col=vec_col, id_col=id_col)
         b = b.select("id", "bucket", F.lit(t).alias("table"))
         idx = b if idx is None else idx.unionAll(b)

@@ -565,13 +565,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD = f"""
-WITH sh AS (
-  SELECT id, CASE WHEN len(string_split(text, ' ')) >= 3 THEN
-    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
-           string_split(text,' ')[i+2]))
-    ELSE [array_to_string(string_split(text, ' '), ' ')] END AS shingles
+WITH w AS (
+  SELECT id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
   FROM ({_AUG_SQL})
+),
+sh AS (
+  SELECT id, CASE WHEN len(words) >= 3 THEN
+    list_distinct(list_transform(range(1, len(words) - 1),
+      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM w
 )
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

@@ -63,6 +63,14 @@ class SketchStore:
     def exists(self, key: str) -> bool:
         return os.path.exists(self._path(key))
 
+    def delete(self, key: str) -> bool:
+        """Remove a persisted sketch; True if it existed."""
+        try:
+            os.remove(self._path(key))
+            return True
+        except FileNotFoundError:
+            return False
+
     def keys(self) -> list[str]:
         return sorted(
             f[: -len(".sketch")] for f in os.listdir(self.root) if f.endswith(".sketch")

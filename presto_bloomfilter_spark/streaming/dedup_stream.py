@@ -10,9 +10,10 @@ filter (m bits, fixed) as the seen-set.  Per micro-batch:
 2. dedupe within the batch (first id per digest wins — deterministic);
 3. probe the persisted filter: digests that probe TRUE are dropped as
    probably-seen; the rest are emitted and inserted into the filter;
-4. persist the filter keyed by epoch id — re-delivered batches reuse
-   the already-merged filter, so the sink append can be guarded
-   idempotently downstream (exactly-once effect on the filter itself).
+4. write a tiny per-epoch marker (pruned after keep_markers epochs) —
+   a re-delivered epoch is detected and skipped, and the per-epoch
+   sink directory is written with overwrite, so redelivery is
+   idempotent end to end.
 
 Semantics: NO duplicate ever survives (bloom has no false negatives —
 a seen digest always probes true); a bounded fraction of UNIQUE docs
@@ -52,9 +53,25 @@ class StreamingBloomDedup:
         self.text_col = text_col
         self.id_col = id_col
         self.current_key = f"{job_id}.seen"
+        self.keep_markers = 64  # epoch markers retained for redelivery checks
 
     def _epoch_key(self, epoch_id: int) -> str:
         return f"{self.job_id}.seen.epoch{epoch_id}"
+
+    def _mark_epoch(self, epoch_id: int) -> None:
+        """Write a TINY idempotency marker (a 1-capacity bloom, a few
+        bytes) — only existence is ever checked, so persisting the full
+        seen-filter per epoch would grow the store without bound for no
+        benefit.  Markers older than ``keep_markers`` epochs are pruned;
+        Spark's checkpoint never re-delivers epochs that far back."""
+        self.store.put(self._epoch_key(epoch_id), BloomFilter(1, 0.5))
+        prefix = f"{self.job_id}.seen.epoch"
+        stale = sorted(
+            (int(k[len(prefix):]) for k in self.store.keys()
+             if k.startswith(prefix) and k[len(prefix):].isdigit()),
+        )[: -self.keep_markers]
+        for e in stale:
+            self.store.delete(f"{prefix}{e}")
 
     def _load_seen(self) -> BloomFilter:
         if self.store.exists(self.current_key):
@@ -106,7 +123,7 @@ class StreamingBloomDedup:
                 seen.merge(part)
         fresh.unpersist()
         self.store.put(self.current_key, seen)
-        self.store.put(self._epoch_key(epoch_id), seen)
+        self._mark_epoch(epoch_id)
         return emitted
 
     def attach(self, stream_df: DataFrame, checkpoint: str):

@@ -385,3 +385,20 @@ def test_ngram_jaccard_exact_matches_minhash_verified(spark, aug):
     mh = {(r.id_a, r.id_b)
           for r in dedup.minhash_near_dup_pairs(aug, "text", "id", 0.5).collect()}
     assert exact == mh
+
+
+def test_ngram_jaccard_whitespace_runs(spark):
+    """Word definition must match str.split() (whitespace runs): texts
+    with tabs/doubled spaces agree between the Catalyst exact join and
+    the hash-shingle verify path."""
+    rows = [
+        ("a", "the quick\tbrown  fox jumps over"),
+        ("b", "the quick brown fox jumps over"),
+        ("c", "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    exact = {(r.id_a, r.id_b, round(r.jaccard, 9))
+             for r in dedup.ngram_jaccard_pairs(df, "text", "id", threshold=0.1).collect()}
+    # a and b are identical after whitespace normalization -> jaccard 1.0
+    assert ("a", "b", 1.0) in exact
+    assert all(p[:2] == ("a", "b") for p in exact)
