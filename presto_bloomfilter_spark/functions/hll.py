@@ -153,3 +153,31 @@ class HyperLogLog:
 
     def __repr__(self) -> str:
         return f"HyperLogLog(p={self.precision}, est={self.estimate():.1f})"
+
+
+# ---- set-operation estimates (inclusion-exclusion) ----------------------------
+
+
+def union_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∪ B| — exact HLL semantics (register max is the sketch of the
+    union), same error bound as a single estimate."""
+    return a.copy().merge(b).estimate()
+
+
+def intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| - |A ∪ B|.
+
+    Error is ADDITIVE in the three estimates, so the absolute error is
+    O(rel_err * (|A| + |B| + |A∪B|)) — relative accuracy degrades as
+    the true intersection shrinks relative to the union (the standard
+    HLL intersection caveat; use a theta/KMV sketch family when small
+    intersections of huge sets must be accurate)."""
+    return max(0.0, a.estimate() + b.estimate() - union_estimate(a, b))
+
+
+def jaccard_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∩ B| / |A ∪ B| from the same three estimates."""
+    u = union_estimate(a, b)
+    if u <= 0:
+        return 1.0
+    return intersection_estimate(a, b) / u

@@ -256,6 +256,41 @@ def q_hll_tokens_by_source_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HLL_TOKENS_BY_SOURCE_FUSED = ORACLE_HLL_TOKENS_BY_SOURCE
 
 
+def q_hll_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set operations: distinct-token overlap between the 'web' and
+    'books' sources by inclusion-exclusion over the SAME per-source
+    sketches the grouped build produces — no re-scan, no exact join at
+    sketch time.  Asserted within the additive 3-sigma envelope
+    (rel_err * (|A|+|B|+|A∪B|)) against the exact intersection."""
+    from presto_bloomfilter_spark.functions.hll import (
+        intersection_estimate,
+        union_estimate,
+    )
+
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_tokens("tokens"))
+    sk = {r[0]: sketch_from_bytes(r.sketch) for r in per_src.collect()}
+    a, b = sk["web"], sk["books"]
+    est = intersection_estimate(a, b)
+    bound = 3.0 * a.relative_error * (a.estimate() + b.estimate() + union_estimate(a, b))
+    webs = tokens.filter(F.col("source") == "web").select(F.explode("tokens").alias("t")).distinct()
+    books = tokens.filter(F.col("source") == "books").select(F.explode("tokens").alias("t")).distinct()
+    exact = webs.join(books, "t")
+    return exact.agg(
+        F.count("*").alias("n_overlap"),
+        (F.abs(F.lit(est) - F.count("*")) <= F.lit(bound)).alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_TOKEN_OVERLAP = f"""
+SELECT COUNT(*) AS n_overlap, TRUE AS hll_ok FROM (
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'web')
+  INTERSECT
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'books')
+)
+"""
+
+
 def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for the exact top-20 tokens: never
     underestimates, within eps*N above."""
@@ -903,6 +938,7 @@ QUERIES = {
     "hll_docs_by_source_salted": q_hll_docs_by_source_salted,
     "hll_tokens_by_source": q_hll_tokens_by_source,
     "hll_tokens_by_source_fused": q_hll_tokens_by_source_fused,
+    "hll_token_overlap": q_hll_token_overlap,
     "cms_top_tokens": q_cms_top_tokens,
     "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -941,6 +977,7 @@ ORACLES = {
     "hll_docs_by_source_salted": ORACLE_HLL_DOCS_BY_SOURCE_SALTED,
     "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
     "hll_tokens_by_source_fused": ORACLE_HLL_TOKENS_BY_SOURCE_FUSED,
+    "hll_token_overlap": ORACLE_HLL_TOKEN_OVERLAP,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,

@@ -202,3 +202,28 @@ def test_tdigest_roundtrip_and_mismatch():
     assert rt.min == td.min and rt.max == td.max
     with pytest.raises(ValueError):
         TDigest(100).add([1.0]).merge(TDigest(200).add([2.0]))
+
+
+def test_hll_set_operation_estimates():
+    import numpy as np
+
+    from presto_bloomfilter_spark.functions.hll import (
+        HyperLogLog,
+        intersection_estimate,
+        jaccard_estimate,
+        union_estimate,
+    )
+
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add_ints(np.arange(0, 60_000))
+    b.add_ints(np.arange(40_000, 100_000))
+    u, inter, j = union_estimate(a, b), intersection_estimate(a, b), jaccard_estimate(a, b)
+    tol = 3 * a.relative_error
+    assert abs(u - 100_000) / 100_000 <= tol
+    # additive envelope: |A| + |B| + |A∪B|
+    assert abs(inter - 20_000) <= tol * (60_000 + 60_000 + 100_000)
+    assert abs(j - 0.2) <= 0.05
+    # disjoint sets: intersection clamps at >= 0
+    c = HyperLogLog()
+    c.add_ints(np.arange(1_000_000, 1_050_000))
+    assert intersection_estimate(a, c) <= tol * (60_000 + 50_000 + 110_000)
