@@ -41,6 +41,7 @@ KIND_CMS = 3
 KIND_KLL = 4
 KIND_MULTI = 5
 KIND_TDIGEST = 6
+KIND_THETA = 7
 
 _REGISTRY: dict[int, type] = {}
 

@@ -326,6 +326,31 @@ def token_family_over_tokens(
     )
 
 
+def theta_over_strings(col: str, k: int | None = None) -> SketchSpec:
+    """KMV/theta distinct sketch over a string column — the sibling to
+    use when SET OPERATIONS (intersection/difference/Jaccard) on the
+    distinct sets must stay accurate (functions/theta.py)."""
+    from presto_bloomfilter_spark.functions.theta import ThetaSketch
+
+    kk = k or ThetaSketch.DEFAULT_K
+    return SketchSpec(
+        (col,),
+        lambda: ThetaSketch(kk),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def theta_over_tokens(col: str = "tokens", k: int | None = None) -> SketchSpec:
+    from presto_bloomfilter_spark.functions.theta import ThetaSketch
+
+    kk = k or ThetaSketch.DEFAULT_K
+    return SketchSpec(
+        (col,),
+        lambda: TokenDedupAccumulator(ThetaSketch(kk), weighted=False),
+        lambda sk, b: sk.add_flat(_col_flat_tokens(b, col)),
+    )
+
+
 def kll_over_column(col: str, k: int = KLLSketch.DEFAULT_K) -> SketchSpec:
     return SketchSpec(
         (col,),

@@ -291,6 +291,34 @@ SELECT COUNT(*) AS n_overlap, TRUE AS hll_ok FROM (
 """
 
 
+def q_theta_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same overlap as hll_token_overlap through the THETA (KMV) sketch,
+    whose intersection error scales with the intersection SAMPLE rather
+    than the union sizes — the accurate-set-operations sibling
+    (functions/theta.py).  Asserted within 10% of the exact overlap
+    (3-sigma of ~k*J common samples; measured ~2% on this data)."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.theta_over_tokens("tokens"))
+    sk = {r[0]: sketch_from_bytes(r.sketch) for r in per_src.collect()}
+    est = sk["web"].intersection_estimate(sk["books"])
+    webs = tokens.filter(F.col("source") == "web").select(F.explode("tokens").alias("t")).distinct()
+    books = tokens.filter(F.col("source") == "books").select(F.explode("tokens").alias("t")).distinct()
+    exact = webs.join(books, "t")
+    return exact.agg(
+        F.count("*").alias("n_overlap"),
+        (F.abs(F.lit(est) - F.count("*")) <= 0.1 * F.count("*")).alias("theta_ok"),
+    )
+
+
+ORACLE_THETA_TOKEN_OVERLAP = f"""
+SELECT COUNT(*) AS n_overlap, TRUE AS theta_ok FROM (
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'web')
+  INTERSECT
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'books')
+)
+"""
+
+
 def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for the exact top-20 tokens: never
     underestimates, within eps*N above."""
@@ -939,6 +967,7 @@ QUERIES = {
     "hll_tokens_by_source": q_hll_tokens_by_source,
     "hll_tokens_by_source_fused": q_hll_tokens_by_source_fused,
     "hll_token_overlap": q_hll_token_overlap,
+    "theta_token_overlap": q_theta_token_overlap,
     "cms_top_tokens": q_cms_top_tokens,
     "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
@@ -978,6 +1007,7 @@ ORACLES = {
     "hll_tokens_by_source": ORACLE_HLL_TOKENS_BY_SOURCE,
     "hll_tokens_by_source_fused": ORACLE_HLL_TOKENS_BY_SOURCE_FUSED,
     "hll_token_overlap": ORACLE_HLL_TOKEN_OVERLAP,
+    "theta_token_overlap": ORACLE_THETA_TOKEN_OVERLAP,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
