@@ -7,7 +7,10 @@ library:
 
 - pure-numpy, vectorized sketch cores with one mergeable algebra
   (``new / update_batch / merge / estimate / to_bytes / from_bytes``):
-  Bloom (reference parity), HyperLogLog, Count-Min, KLL quantiles;
+  Bloom (reference parity, plus hash-sharded families for key spaces
+  beyond one filter), HyperLogLog (with union/intersection/Jaccard
+  estimates), Count-Min, KLL and t-digest quantiles, and theta/KMV
+  (accurate distinct set operations);
 - a thin Spark dataflow layer that runs those cores inside
   ``mapInArrow`` / ``applyInPandas`` with explicit two-level tree merges,
   salting for skewed group keys, and broadcast probe UDFs;
@@ -24,6 +27,7 @@ from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.tdigest import TDigest
+from presto_bloomfilter_spark.functions.theta import ThetaSketch
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -33,6 +37,7 @@ __all__ = [
     "CountMinSketch",
     "KLLSketch",
     "TDigest",
+    "ThetaSketch",
     "sketch_from_bytes",
     "compat",
 ]
