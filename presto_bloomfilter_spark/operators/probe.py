@@ -72,11 +72,13 @@ class ProbeMetrics:
     """
 
     def __init__(self, spark: SparkSession):
-        self._spark = spark
-        self.reset()
+        # hold only the accumulators (picklable into UDF closures), not
+        # the session — a SparkSession reference would break pickling
+        self.reset(spark)
 
-    def reset(self) -> None:
-        sc = self._spark.sparkContext
+    def reset(self, spark: SparkSession) -> None:
+        """Fresh counters; call between actions for exact per-job counts."""
+        sc = spark.sparkContext
         self._probes = sc.accumulator(0)
         self._misses = sc.accumulator(0)
 
