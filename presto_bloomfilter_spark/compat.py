@@ -186,18 +186,21 @@ def register_sql_functions(spark: SparkSession) -> None:
     def _sql_contains(blobs: pd.Series, els: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(els), dtype=bool)
+        # nullable boolean: SQL semantics (and the reference scalar,
+        # BloomFilterContainsScalarFunction.java:33-42 via @SqlNullable)
+        # return NULL for a NULL filter argument, never false
+        out = pd.array(np.zeros(len(els), dtype=bool), dtype="boolean")
         if len(els):
             # the blob is usually a scalar subquery (one distinct value
-            # per batch); factorize handles the general case
+            # per batch); factorize handles the general case.  NULL
+            # blobs get code -1 (factorize drops None from uniques).
             codes, uniques = pd.factorize(blobs.map(lambda b: bytes(b) if b is not None else None))
+            out[codes == -1] = None
             for u in range(len(uniques)):
-                if uniques[u] is None:
-                    continue
                 mask = codes == u
                 sk = _cached_sketch(uniques[u])
                 out[mask] = sk.might_contain_strings(els[mask])
-        return pd.Series(out)
+        return pd.Series(out, dtype="boolean")
 
     @pandas_udf("string")
     def _sql_to_string(blobs: pd.Series) -> pd.Series:

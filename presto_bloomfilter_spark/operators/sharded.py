@@ -62,15 +62,44 @@ def build_sharded_bloom(
     ).withColumnRenamed("__shard", "shard")
 
 
-def persist_sharded_bloom(family: DataFrame, store: SketchStore, name: str) -> int:
-    """Persist DataFrame[shard, sketch] as one store object per shard;
-    returns the shard count.  The rows are S small blobs — collecting
-    them is O(S * filter_bytes/S) = O(total filter bytes) streamed
-    through the driver once at build time; probes never do this."""
+def persist_sharded_bloom(
+    family: DataFrame,
+    store: SketchStore,
+    name: str,
+    shards: int,
+    expected_insertions_per_shard: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+    fpp: float = BloomFilter.DEFAULT_FPP,
+) -> int:
+    """Persist DataFrame[shard, sketch] as one store object per shard,
+    plus a ``{name}.manifest`` JSON describing the family; returns the
+    number of shards written (always ``shards``).
+
+    Every shard id in [0, shards) gets a store object — shards that
+    received no build keys get a freshly-constructed EMPTY filter — so
+    a probe-side missing object is always an ERROR (wrong/un-shared
+    store_root, partial persist, deleted file), never "empty shard".
+    Without this, a mis-routed probe silently drops every row sent to
+    the absent shard, violating the no-false-negatives guarantee.
+
+    The rows are S small blobs — collecting them is
+    O(S * filter_bytes/S) = O(total filter bytes) streamed through the
+    driver once at build time; probes never do this."""
+    import json
+
     rows = family.collect()
+    written = set()
     for r in rows:
-        store.put(f"{name}.s{r.shard}", bytes(r.sketch))
-    return len(rows)
+        store.put(f"{name}.s{int(r.shard)}", bytes(r.sketch))
+        written.add(int(r.shard))
+    for s in range(shards):
+        if s not in written:
+            empty = BloomFilter(expected_insertions_per_shard, fpp)
+            store.put(f"{name}.s{s}", empty.to_bytes())
+    manifest = json.dumps(
+        {"name": name, "shards": shards, "format": "pbfs-sharded-v1"}
+    ).encode()
+    store.put_meta(f"{name}.manifest", manifest)
+    return shards
 
 
 def sharded_contains(
@@ -80,16 +109,44 @@ def sharded_contains(
     store_root: str,
     name: str,
     shards: int,
+    keep_hits: bool = True,
 ) -> DataFrame:
     """Filter probe_df to rows whose key (probably) belongs to the
-    family — no false negatives, per-shard FP bound.
+    family — no false negatives, per-shard FP bound.  With
+    ``keep_hits=False`` the complement is returned (rows that
+    DEFINITELY do not belong — the streaming-dedup "fresh rows" shape).
 
     The probe repartitions by shard so each task owns exactly one
     shard, lazily loads THAT filter from the store (executor-local LRU
     keyed by blob sha256), and probes the whole partition vectorized.
     Peak executor memory: one shard filter, regardless of S.
+
+    Fails LOUDLY on store misconfiguration: the family manifest
+    (written by :func:`persist_sharded_bloom`) is validated on the
+    driver before any task launches, and a missing shard object inside
+    a task raises instead of treating it as an empty shard — on a real
+    cluster a driver-local ``store_root`` that executors can't see
+    must be an error, not silent false negatives.
     """
+    import json
+
     from presto_bloomfilter_spark.operators.probe import _cached_sketch
+
+    driver_store = SketchStore(store_root)
+    manifest_key = f"{name}.manifest"
+    if not driver_store.meta_exists(manifest_key):
+        raise FileNotFoundError(
+            f"sharded bloom family '{name}' has no manifest under "
+            f"{store_root!r}; persist with persist_sharded_bloom first "
+            f"(or the store_root is wrong / not shared)"
+        )
+    manifest = json.loads(driver_store.get_meta(manifest_key))
+    if int(manifest["shards"]) != shards:
+        raise ValueError(
+            f"sharded bloom family '{name}' was persisted with "
+            f"{manifest['shards']} shards but probed with {shards}; "
+            f"the shard routing function would disagree with the build"
+        )
 
     with_shard = probe_df.withColumn(
         "__shard", _shard_col(F.col(probe_col).cast("string"), shards)
@@ -106,13 +163,19 @@ def sharded_contains(
             for shard, sub in pdf.groupby("__shard"):
                 key = f"{name}.s{int(shard)}"
                 if not store.exists(key):
-                    # a shard that received no build keys has no store
-                    # object — it has no members, so all its probe rows
-                    # are definite misses
-                    continue
+                    # persist_sharded_bloom writes EVERY shard in
+                    # [0, S) (empty filters included) — an absent
+                    # object means the store is broken or unreachable
+                    # from this executor, and returning "no rows"
+                    # here would be a silent false negative
+                    raise FileNotFoundError(
+                        f"shard object {key!r} missing from sketch store "
+                        f"{store_root!r} (manifest says {shards} shards "
+                        f"exist); store unreachable or partially persisted"
+                    )
                 sk = _cached_sketch(store.get_bytes(key))
                 mask = sk.might_contain_strings(sub[probe_col].astype(str))
-                yield sub.loc[mask, keep_cols]
+                yield sub.loc[mask if keep_hits else ~mask, keep_cols]
 
     return with_shard.mapInPandas(probe, out_schema)
 
@@ -137,7 +200,8 @@ def sharded_bloom_semi_join(
     store = SketchStore(store_root)
     family = build_sharded_bloom(build_df, build_col, shards,
                                  expected_insertions_per_shard, fpp)
-    persist_sharded_bloom(family, store, name)
+    persist_sharded_bloom(family, store, name, shards,
+                          expected_insertions_per_shard, fpp)
     pre = sharded_contains(spark, probe_df, probe_col, store_root, name, shards)
     if not exact:
         return pre

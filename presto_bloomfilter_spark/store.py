@@ -71,6 +71,23 @@ class SketchStore:
         except FileNotFoundError:
             return False
 
+    def put_meta(self, key: str, blob: bytes) -> bool:
+        """Persist raw metadata bytes (e.g. a sharded-family manifest)
+        next to the sketches — no PBFS validation, atomic overwrite."""
+        path = os.path.join(self.root, _safe_key(key) + ".json")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(bytes(blob))
+        os.replace(tmp, path)
+        return True
+
+    def get_meta(self, key: str) -> bytes:
+        with open(os.path.join(self.root, _safe_key(key) + ".json"), "rb") as f:
+            return f.read()
+
+    def meta_exists(self, key: str) -> bool:
+        return os.path.exists(os.path.join(self.root, _safe_key(key) + ".json"))
+
     def keys(self) -> list[str]:
         return sorted(
             f[: -len(".sketch")] for f in os.listdir(self.root) if f.endswith(".sketch")

@@ -19,16 +19,34 @@ Semantics: NO duplicate ever survives (bloom has no false negatives —
 a seen digest always probes true); a bounded fraction of UNIQUE docs
 (≤ fpp at capacity) is wrongly dropped.  That asymmetry is the right
 trade for training pipelines: losing 0.1% of unique docs is cheap,
-emitting dup clusters is not.  State is m bits forever, independent of
-stream length.
+emitting dup clusters is not.
 
-At 100 TB the same dataflow shards the digest space: route digests to
-S independent filters by prefix (groupBy shard → per-shard filter in
-the store) so no single filter exceeds memory; the single-filter form
-below is the S=1 case.
+**Saturation is observable, never silent**: nothing in a stream bounds
+inserts to ``expected_insertions``, and past capacity the filter's
+false-positive rate climbs toward 1 — an ever-growing fraction of
+genuinely NEW documents would be silently dropped.  Every batch
+therefore checks the live filter's fill-derived FPR estimate against
+the configured bound and applies ``on_capacity``:
+
+- ``"warn"`` (default): ``warnings.warn`` once per offending epoch;
+- ``"error"``: raise ``CapacityExceeded`` — the stream fails loudly;
+- ``"roll"``: open a NEW generation filter; subsequent inserts go to
+  the newest generation while probes check ALL generations (union of
+  no-false-negative probes stays a no-false-negative probe).  State
+  grows by one m-bit filter per roll — only when capacity was actually
+  exceeded, and each roll is logged.
+
+At 10^12-sequence scale one filter cannot hold the digest space at all:
+:class:`ShardedStreamingBloomDedup` routes digests to S independent
+per-shard filters (``operators/sharded.py`` family machinery — shard =
+xxhash64(digest) mod S on both build and probe), so every store object,
+probe task, and merge stays n/S-sized.  ``StreamingBloomDedup`` is the
+S=1 case.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -37,14 +55,56 @@ from presto_bloomfilter_spark.operators.probe import contains_udf
 from presto_bloomfilter_spark.store import SketchStore
 
 
+class CapacityExceeded(RuntimeError):
+    """The streaming seen-filter passed its configured capacity and
+    on_capacity='error' was requested."""
+
+
+def _mark_epoch(store: SketchStore, job_id: str, epoch_id: int,
+                keep_markers: int) -> None:
+    """Write a TINY idempotency marker (a 1-capacity bloom, a few
+    bytes) — only existence is ever checked, so persisting the full
+    seen-filter per epoch would grow the store without bound for no
+    benefit.  Markers older than ``keep_markers`` epochs are pruned;
+    Spark's checkpoint never re-delivers epochs that far back."""
+    prefix = f"{job_id}.seen.epoch"
+    store.put(f"{prefix}{epoch_id}", BloomFilter(1, 0.5))
+    stale = sorted(
+        (int(k[len(prefix):]) for k in store.keys()
+         if k.startswith(prefix) and k[len(prefix):].isdigit()),
+    )[:-keep_markers]
+    for e in stale:
+        store.delete(f"{prefix}{e}")
+
+
+def _epoch_marked(store: SketchStore, job_id: str, epoch_id: int) -> bool:
+    return store.exists(f"{job_id}.seen.epoch{epoch_id}")
+
+
+def _in_batch_first(batch_df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Digest + within-batch dedupe: first id per digest wins
+    (deterministic regardless of partitioning)."""
+    digested = batch_df.withColumn("__digest", F.md5(F.col(text_col)))
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+    return (
+        digested.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 class StreamingBloomDedup:
     """foreachBatch body: bounded-state streaming exact-dedup (bloom
-    seen-set; no false survivors, ≤ fpp unique-doc loss)."""
+    seen-set; no false survivors, ≤ fpp unique-doc loss at capacity,
+    saturation observable via ``on_capacity``)."""
 
     def __init__(self, store: SketchStore, job_id: str, sink_path: str,
                  expected_insertions: int = 10_000_000,
                  fpp: float = BloomFilter.DEFAULT_FPP,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 on_capacity: str = "warn"):
+        if on_capacity not in ("warn", "error", "roll"):
+            raise ValueError("on_capacity must be 'warn', 'error' or 'roll'")
         self.store = store
         self.job_id = job_id
         self.sink_path = sink_path
@@ -52,51 +112,94 @@ class StreamingBloomDedup:
         self.p = fpp
         self.text_col = text_col
         self.id_col = id_col
+        self.on_capacity = on_capacity
         self.current_key = f"{job_id}.seen"
         self.keep_markers = 64  # epoch markers retained for redelivery checks
+        self.capacity_events: list[dict] = []  # one dict per offending epoch
 
-    def _epoch_key(self, epoch_id: int) -> str:
-        return f"{self.job_id}.seen.epoch{epoch_id}"
+    # -- generation bookkeeping (only >1 after on_capacity='roll' fires)
 
-    def _mark_epoch(self, epoch_id: int) -> None:
-        """Write a TINY idempotency marker (a 1-capacity bloom, a few
-        bytes) — only existence is ever checked, so persisting the full
-        seen-filter per epoch would grow the store without bound for no
-        benefit.  Markers older than ``keep_markers`` epochs are pruned;
-        Spark's checkpoint never re-delivers epochs that far back."""
-        self.store.put(self._epoch_key(epoch_id), BloomFilter(1, 0.5))
-        prefix = f"{self.job_id}.seen.epoch"
-        stale = sorted(
-            (int(k[len(prefix):]) for k in self.store.keys()
-             if k.startswith(prefix) and k[len(prefix):].isdigit()),
-        )[: -self.keep_markers]
-        for e in stale:
-            self.store.delete(f"{prefix}{e}")
+    def _gen_key(self, g: int) -> str:
+        return self.current_key if g == 0 else f"{self.current_key}.gen{g}"
 
-    def _load_seen(self) -> BloomFilter:
-        if self.store.exists(self.current_key):
-            return self.store.get(self.current_key)
-        return BloomFilter(self.n, self.p)
+    def _generations(self) -> list[int]:
+        """Sorted generation ids present in the store (0 is implicit
+        once anything was persisted)."""
+        gens = [0] if self.store.exists(self.current_key) else []
+        prefix = f"{self.current_key}.gen"
+        gens += sorted(
+            int(k[len(prefix):]) for k in self.store.keys()
+            if k.startswith(prefix) and k[len(prefix):].isdigit()
+        )
+        return gens or [0]
+
+    def _load_seen(self) -> list[BloomFilter]:
+        """All generation filters, oldest first; the LAST one is the
+        insert target."""
+        out = []
+        for g in self._generations():
+            key = self._gen_key(g)
+            out.append(self.store.get(key) if self.store.exists(key)
+                       else BloomFilter(self.n, self.p))
+        return out
+
+    def _check_capacity(self, newest: BloomFilter, epoch_id: int) -> BloomFilter:
+        """Apply the on_capacity policy after inserts; returns the
+        filter future inserts should target (a fresh generation after a
+        roll)."""
+        est_fpr = newest.estimated_fpr()
+        if est_fpr <= self.p:
+            return newest
+        event = {
+            "epoch": int(epoch_id),
+            "estimated_fpr": float(est_fpr),
+            "configured_fpp": float(self.p),
+            "approx_items": float(newest.estimate()),
+            "capacity": int(self.n),
+            "action": self.on_capacity,
+        }
+        self.capacity_events.append(event)
+        if self.on_capacity == "error":
+            raise CapacityExceeded(
+                f"streaming seen-filter past capacity at epoch {epoch_id}: "
+                f"fill-estimated FPR {est_fpr:.4f} > configured {self.p} "
+                f"(~{newest.estimate():.0f} items in an n={self.n} filter); "
+                f"unique-doc loss is no longer bounded by fpp"
+            )
+        if self.on_capacity == "roll":
+            g = self._generations()[-1] + 1
+            fresh = BloomFilter(self.n, self.p)
+            self.store.put(self._gen_key(g), fresh)
+            warnings.warn(
+                f"streaming seen-filter rolled to generation {g} at epoch "
+                f"{epoch_id} (estimated FPR {est_fpr:.4f} > {self.p}); state "
+                f"is now {g + 1} filters", stacklevel=2)
+            return fresh
+        warnings.warn(
+            f"streaming seen-filter past capacity at epoch {epoch_id}: "
+            f"fill-estimated FPR {est_fpr:.4f} > configured {self.p}; "
+            f"new-doc loss now exceeds the fpp bound "
+            f"(on_capacity='warn' — consider 'roll' or a sharded family)",
+            stacklevel=2)
+        return newest
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> int:
         """Returns the number of rows emitted for this batch."""
         spark = batch_df.sparkSession
-        if self.store.exists(self._epoch_key(epoch_id)):
+        if _epoch_marked(self.store, self.job_id, epoch_id):
             # re-delivered epoch: filter state already reflects it; the
             # sink write below was epoch-keyed too, so nothing to do
             return 0
-        digested = batch_df.withColumn("__digest", F.md5(F.col(self.text_col)))
-        w = Window.partitionBy("__digest").orderBy(F.col(self.id_col))
-        in_batch_first = (
-            digested.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        in_batch_first = _in_batch_first(batch_df, self.text_col, self.id_col)
+        gens = self._generations()
         seen = self._load_seen()
-        fresh = in_batch_first.filter(
-            ~contains_udf(spark, seen)(F.col("__digest"))
-        ).cache()
+        newest_key = self._gen_key(gens[-1])
+        cond = ~contains_udf(spark, seen[0])(F.col("__digest"))
+        for g in seen[1:]:
+            cond &= ~contains_udf(spark, g)(F.col("__digest"))
+        fresh = in_batch_first.filter(cond).cache()
         emitted = fresh.count()
+        newest = seen[-1]
         if emitted:
             # overwrite the per-epoch dir, not append: a retry after a
             # completed sink write but before the filter persisted
@@ -108,7 +211,7 @@ class StreamingBloomDedup:
             new_digests = [r[0] for r in fresh.select("__digest").collect()] \
                 if emitted <= 100_000 else None
             if new_digests is not None:
-                seen.add_strings(new_digests)
+                newest.add_strings(new_digests)
             else:
                 # large batch: build the digest bloom distributed, then
                 # union into the seen-set (identical geometry)
@@ -120,10 +223,142 @@ class StreamingBloomDedup:
                 part = aggregate_sketch(
                     fresh.select("__digest"), bloom_over_strings("__digest", self.n, self.p)
                 )
-                seen.merge(part)
+                newest.merge(part)
         fresh.unpersist()
-        self.store.put(self.current_key, seen)
-        self._mark_epoch(epoch_id)
+        self.store.put(newest_key, newest)
+        self._check_capacity(newest, epoch_id)
+        _mark_epoch(self.store, self.job_id, epoch_id, self.keep_markers)
+        return emitted
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        """Wire onto a streaming DataFrame: returns the StreamingQuery."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda df, eid: self.process_batch(df, eid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class ShardedStreamingBloomDedup:
+    """Streaming exact-dedup whose seen-set is a SHARDED bloom family —
+    the S>1 scale form of :class:`StreamingBloomDedup`.
+
+    Digests route to shard = xxhash64(digest) mod S on both insert and
+    probe (``operators/sharded.py``), so:
+
+    - every store object is an n/S filter — no single filter exceeds
+      one task's memory at any total capacity;
+    - the probe is shard-local: each task loads exactly ONE shard
+      filter (executor LRU) and anti-probes its whole partition
+      vectorized — rows that probe true in their shard are dropped as
+      probably-seen, the complement is emitted (``keep_hits=False``);
+    - inserts build per-shard partial filters in one distributed
+      grouped job (raw digests never shuffle — only S blobs), then
+      merge shard-wise into the persisted family (bitset OR, same
+      merge algebra as everything else).
+
+    Semantics match S=1 exactly: no duplicate survives (each digest
+    deterministically probes the shard it was inserted into), unique
+    loss ≤ per-shard fpp, epochs are idempotent via the same marker
+    scheme.  Saturation is per-shard: any shard past its fill bound
+    triggers ``on_capacity`` ('warn' or 'error'; rolling a sharded
+    family means re-sharding — start a new family — so 'roll' is not
+    offered here)."""
+
+    def __init__(self, store_root: str, job_id: str, sink_path: str,
+                 shards: int = 4,
+                 expected_insertions_per_shard: int = 2_500_000,
+                 fpp: float = BloomFilter.DEFAULT_FPP,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 on_capacity: str = "warn"):
+        if on_capacity not in ("warn", "error"):
+            raise ValueError("on_capacity must be 'warn' or 'error'")
+        self.store_root = store_root
+        self.store = SketchStore(store_root)
+        self.job_id = job_id
+        self.sink_path = sink_path
+        self.shards = shards
+        self.n = expected_insertions_per_shard
+        self.p = fpp
+        self.text_col = text_col
+        self.id_col = id_col
+        self.on_capacity = on_capacity
+        self.family = f"{job_id}.seen"
+        self.keep_markers = 64
+        self.capacity_events: list[dict] = []
+
+    def _ensure_family(self) -> None:
+        """First batch: persist the empty S-shard family + manifest so
+        the probe path's loud-missing-shard guarantee holds from epoch
+        zero."""
+        from presto_bloomfilter_spark.operators import sharded
+
+        if not self.store.meta_exists(f"{self.family}.manifest"):
+            import json
+
+            for s in range(self.shards):
+                self.store.put(f"{self.family}.s{s}", BloomFilter(self.n, self.p))
+            self.store.put_meta(
+                f"{self.family}.manifest",
+                json.dumps({"name": self.family, "shards": self.shards,
+                            "format": "pbfs-sharded-v1"}).encode())
+        _ = sharded  # imported for parity; family layout matches persist_sharded_bloom
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> int:
+        """Returns the number of rows emitted for this batch."""
+        from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+        from presto_bloomfilter_spark.operators.sharded import (
+            build_sharded_bloom,
+            sharded_contains,
+        )
+
+        spark = batch_df.sparkSession
+        if _epoch_marked(self.store, self.job_id, epoch_id):
+            return 0
+        self._ensure_family()
+        in_batch_first = _in_batch_first(batch_df, self.text_col, self.id_col)
+        fresh = sharded_contains(
+            spark, in_batch_first, "__digest", self.store_root,
+            self.family, self.shards, keep_hits=False,
+        ).cache()
+        emitted = fresh.count()
+        if emitted:
+            fresh.drop("__digest").write.mode("overwrite").parquet(
+                f"{self.sink_path}/epoch={epoch_id}"
+            )
+            # distributed per-shard partial build: raw digests never
+            # shuffle, only S blobs reach the driver for the shard-wise
+            # bitset-OR into the persisted family
+            partial = build_sharded_bloom(
+                fresh.select("__digest"), "__digest", self.shards, self.n, self.p)
+            for r in partial.collect():
+                key = f"{self.family}.s{int(r.shard)}"
+                merged = self.store.get(key)
+                merged.merge(sketch_from_bytes(bytes(r.sketch)))
+                self.store.put(key, merged)
+                est_fpr = merged.estimated_fpr()
+                if est_fpr > self.p:
+                    event = {
+                        "epoch": int(epoch_id), "shard": int(r.shard),
+                        "estimated_fpr": float(est_fpr),
+                        "configured_fpp": float(self.p),
+                        "approx_items": float(merged.estimate()),
+                        "capacity_per_shard": int(self.n),
+                        "action": self.on_capacity,
+                    }
+                    self.capacity_events.append(event)
+                    msg = (f"sharded seen-family shard {r.shard} past capacity "
+                           f"at epoch {epoch_id}: estimated FPR {est_fpr:.4f} "
+                           f"> {self.p}")
+                    if self.on_capacity == "error":
+                        raise CapacityExceeded(msg)
+                    warnings.warn(msg + " (re-shard to a larger family)",
+                                  stacklevel=2)
+        fresh.unpersist()
+        _mark_epoch(self.store, self.job_id, epoch_id, self.keep_markers)
         return emitted
 
     def attach(self, stream_df: DataFrame, checkpoint: str):

@@ -124,6 +124,31 @@ def test_sql_surface_scalar_functions(spark):
     assert rt.hit is True
 
 
+def test_sql_contains_null_filter_is_null(spark):
+    """SQL semantics (and the reference's @SqlNullable scalar,
+    BloomFilterContainsScalarFunction.java:33-42): a NULL filter
+    argument yields NULL, never false."""
+    compat.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT bloom_filter_contains(CAST(NULL AS binary), 'alice') AS r"
+    ).collect()[0]
+    assert row.r is None
+    # mixed batch: null rows -> NULL, real rows still probe
+    from presto_bloomfilter_spark.functions.bloom import BloomFilter
+
+    bf = BloomFilter(100, 0.01).add_strings(["alice"])
+    compat.publish_sketch_view(spark, bf, "tv_bf_null")
+    rows = spark.sql(
+        """
+        SELECT bloom_filter_contains(
+                 CASE WHEN id = 1 THEN NULL ELSE (SELECT bf FROM tv_bf_null) END,
+                 'alice') AS r, id
+        FROM RANGE(3) ORDER BY id
+        """
+    ).collect()
+    assert [r.r for r in rows] == [True, None, True]
+
+
 def test_probe_metrics_miss_rate(spark):
     """Mirror of the reference's probe-counter sanity (reference
     TestBloomFilterPerformanceContains.java:42): build over half the

@@ -26,7 +26,8 @@ def test_build_and_probe_no_false_negatives(spark, keys_df, tmp_path):
     store_root = str(tmp_path / "store")
     fam = build_sharded_bloom(keys_df, "k", shards=8,
                               expected_insertions_per_shard=2000, fpp=0.001)
-    n = persist_sharded_bloom(fam, SketchStore(store_root), "fam")
+    n = persist_sharded_bloom(fam, SketchStore(store_root), "fam", shards=8,
+                              expected_insertions_per_shard=2000, fpp=0.001)
     assert n == 8
     # every shard filter is bounded to the per-shard geometry
     for r in fam.collect():
@@ -66,3 +67,63 @@ def test_shard_function_partitioning_invariance(spark, keys_df, tmp_path):
     f2 = {r.shard: sketch_from_bytes(bytes(r.sketch)).sha256
           for r in build_sharded_bloom(keys_df.repartition(13), "k", 4, 2000).collect()}
     assert f1 == f2
+
+def test_probe_missing_manifest_raises(spark, keys_df, tmp_path):
+    """A wrong / un-shared store_root must fail loudly, not return
+    silent false negatives (every probe row dropped)."""
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        sharded_contains(spark, keys_df, "k", str(tmp_path / "nowhere"),
+                         "fam", 8).count()
+
+
+def test_probe_shard_count_mismatch_raises(spark, keys_df, tmp_path):
+    store_root = str(tmp_path / "store")
+    fam = build_sharded_bloom(keys_df, "k", shards=4,
+                              expected_insertions_per_shard=2000)
+    persist_sharded_bloom(fam, SketchStore(store_root), "fam", shards=4,
+                          expected_insertions_per_shard=2000)
+    with pytest.raises(ValueError, match="4 shards but probed with 8"):
+        sharded_contains(spark, keys_df, "k", store_root, "fam", 8).count()
+
+
+def test_persist_writes_every_shard_even_keyless(spark, tmp_path):
+    """Shards that received no build keys still get an (empty) store
+    object, so a probe-side missing object is always an error."""
+    one = spark.createDataFrame([("only-key",)], "k string")
+    store_root = str(tmp_path / "store")
+    store = SketchStore(store_root)
+    fam = build_sharded_bloom(one, "k", shards=8,
+                              expected_insertions_per_shard=100, fpp=0.01)
+    assert fam.count() == 1  # only one shard has members
+    persist_sharded_bloom(fam, store, "fam", shards=8,
+                          expected_insertions_per_shard=100, fpp=0.01)
+    for s in range(8):
+        assert store.exists(f"fam.s{s}")
+    assert store.meta_exists("fam.manifest")
+    # probing keys routed to key-less shards returns definite misses,
+    # not an error, and the inserted key still hits
+    probe = spark.createDataFrame(
+        [("only-key",)] + [(f"absent-{i}",) for i in range(50)], "k string")
+    hits = [r.k for r in
+            sharded_contains(spark, probe, "k", store_root, "fam", 8).collect()]
+    assert "only-key" in hits
+
+
+def test_probe_deleted_shard_object_raises(spark, keys_df, tmp_path):
+    """A shard object that vanishes after persist (partial store,
+    deleted file) raises inside the task instead of dropping rows."""
+    import os
+    store_root = str(tmp_path / "store")
+    store = SketchStore(store_root)
+    fam = build_sharded_bloom(keys_df, "k", shards=4,
+                              expected_insertions_per_shard=2000)
+    persist_sharded_bloom(fam, store, "fam", shards=4,
+                          expected_insertions_per_shard=2000)
+    # remove one shard object behind the manifest's back
+    victim = [p for p in os.listdir(store_root) if ".s2" in p]
+    assert victim
+    os.remove(os.path.join(store_root, victim[0]))
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        sharded_contains(spark, keys_df, "k", store_root, "fam", 4).count()
+    assert "missing from sketch store" in str(ei.value)

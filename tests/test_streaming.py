@@ -2,6 +2,7 @@
 idempotent micro-batch folding, replay safety."""
 
 import numpy as np
+import pytest
 
 from presto_bloomfilter_spark.operators import aggregate as agg
 from presto_bloomfilter_spark.sources.corpus import generate_tokens_table
@@ -180,3 +181,143 @@ def test_streaming_bloom_dedup_via_stream_api(spark, tmp_path):
 
     out = spark.read.parquet(sink)
     assert out.count() == out.select("text").distinct().count() == 3
+
+def test_streaming_dedup_capacity_policies(spark, tmp_path):
+    """Saturation is observable, never silent: past-capacity fill
+    triggers warn / error / roll per on_capacity (ADVICE r02: an
+    unbounded stream would otherwise saturate the filter and silently
+    drop an ever-growing fraction of NEW docs)."""
+    import warnings as _w
+
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import (
+        CapacityExceeded,
+        StreamingBloomDedup,
+    )
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(lo, hi)], "doc_id long, text string")
+
+    # tiny capacity so 3x overfill is easy
+    store = SketchStore(str(tmp_path / "s_warn"))
+    d = StreamingBloomDedup(store, "w", str(tmp_path / "k_warn"),
+                            expected_insertions=50, fpp=0.01)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        d.process_batch(batch(0, 300), 0)
+    assert any("past capacity" in str(x.message) for x in rec)
+    assert d.capacity_events and d.capacity_events[0]["action"] == "warn"
+    assert d.capacity_events[0]["estimated_fpr"] > 0.01
+
+    store = SketchStore(str(tmp_path / "s_err"))
+    d = StreamingBloomDedup(store, "e", str(tmp_path / "k_err"),
+                            expected_insertions=50, fpp=0.01,
+                            on_capacity="error")
+    with pytest.raises(CapacityExceeded):
+        d.process_batch(batch(0, 300), 0)
+
+
+def test_streaming_dedup_roll_keeps_semantics(spark, tmp_path):
+    """on_capacity='roll': new generation opens past capacity; probes
+    check ALL generations so duplicates of pre-roll docs still never
+    survive, and new docs stop being lost to saturation."""
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import StreamingBloomDedup
+
+    store = SketchStore(str(tmp_path / "s_roll"))
+    sink = str(tmp_path / "k_roll")
+    d = StreamingBloomDedup(store, "r", sink, expected_insertions=50,
+                            fpp=0.01, on_capacity="roll")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # gradual saturation: 25 new docs per epoch into an n=50 filter;
+    # a roll fires once fill-estimated FPR passes the bound
+    import warnings as _w
+    emitted = 0
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        for e in range(4):
+            emitted += d.process_batch(
+                batch([(100 * e + i, f"doc-{100 * e + i}") for i in range(25)]), e)
+    assert store.exists("r.seen.gen1")
+    assert any(ev["action"] == "roll" for ev in d.capacity_events)
+    # dups of pre-roll docs never survive (old generations still probed)
+    seen_docs = [f"doc-{100 * e + i}" for e in range(4) for i in range(25)]
+    assert d.process_batch(
+        batch([(1000 + j, t) for j, t in enumerate(seen_docs)]), 10) == 0
+    # genuinely new docs insert into the fresh generation and mostly
+    # survive (loss bounded by the modestly-over-bound gen0 FPR, not
+    # the runaway saturation an un-rolled filter would exhibit)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        n2 = d.process_batch(
+            batch([(2000 + i, f"new-{i}") for i in range(40)]), 11)
+    assert n2 >= 30
+    # and re-sent copies of the survivors are dropped too
+    assert d.process_batch(
+        batch([(3000 + i, f"new-{i}") for i in range(40)]), 12) == 0
+
+
+def test_sharded_streaming_dedup_matches_single(spark, tmp_path):
+    """S=4 sharded streaming dedup has S=1 semantics: no false
+    survivors, in-batch dedupe, epoch idempotence — while every store
+    object stays n/S-sized (VERDICT r02 next-round #7)."""
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import (
+        ShardedStreamingBloomDedup,
+    )
+
+    root = str(tmp_path / "s4")
+    sink = str(tmp_path / "sink4")
+    d = ShardedStreamingBloomDedup(root, "sd", sink, shards=4,
+                                   expected_insertions_per_shard=2_000,
+                                   fpp=0.001)
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")],
+        "doc_id long, text string")
+    assert d.process_batch(b0, 0) == 3
+    b1 = spark.createDataFrame([(5, "beta"), (6, "gamma")],
+                               "doc_id long, text string")
+    assert d.process_batch(b1, 1) == 0
+    b2 = spark.createDataFrame([(7, "alpha"), (8, "delta")],
+                               "doc_id long, text string")
+    assert d.process_batch(b2, 2) == 1
+    # epoch redelivery is a no-op
+    assert d.process_batch(b2, 2) == 0
+
+    out = spark.read.parquet(sink)
+    rows = {(r.doc_id, r.text) for r in out.collect()}
+    assert rows == {(1, "alpha"), (2, "beta"), (4, "gamma"), (8, "delta")}
+    # family layout: every shard object exists (empty included), each
+    # bounded to the per-shard geometry, manifest present
+    store = SketchStore(root)
+    assert store.meta_exists("sd.seen.manifest")
+    for s in range(4):
+        assert store.get(f"sd.seen.s{s}").expected_insertions == 2_000
+
+
+def test_sharded_streaming_dedup_larger_corpus(spark, tmp_path):
+    """500 docs each sent twice across epochs: emitted set is exactly
+    the unique set minus (bounded) FP losses, zero dup survivors."""
+    from presto_bloomfilter_spark.streaming.dedup_stream import (
+        ShardedStreamingBloomDedup,
+    )
+
+    root = str(tmp_path / "s4b")
+    sink = str(tmp_path / "sink4b")
+    d = ShardedStreamingBloomDedup(root, "sd2", sink, shards=4,
+                                   expected_insertions_per_shard=1_000,
+                                   fpp=0.001)
+    docs = [(i, f"text-{i}") for i in range(500)]
+    n0 = d.process_batch(
+        spark.createDataFrame(docs, "doc_id long, text string"), 0)
+    assert n0 >= 500 * (1 - 0.01)  # ≤ fpp-bounded unique loss
+    # full replay as a NEW epoch: every doc already seen
+    assert d.process_batch(
+        spark.createDataFrame([(i + 10_000, t) for i, t in docs],
+                              "doc_id long, text string"), 1) == 0
+    out = spark.read.parquet(sink)
+    assert out.count() == out.select("text").distinct().count() == n0
