@@ -625,11 +625,18 @@ def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAUL
 # ---- heavy hitters (two-phase top-k) ------------------------------------------
 
 
+class TopKNotCertified(RuntimeError):
+    """top_k_tokens(certify=True): the coverage bound cannot prove the
+    returned rows are the exact top-k (a non-candidate item could be
+    heavier than the k-th candidate)."""
+
+
 def top_k_tokens(
     df: DataFrame,
     col: str = "tokens",
     k: int = 20,
     m_per_partition: int | None = None,
+    certify: bool = False,
 ) -> DataFrame:
     """Top-k most frequent token ids WITHOUT a full explode+groupBy
     shuffle: the two-phase heavy-hitters plan.
@@ -637,17 +644,28 @@ def top_k_tokens(
     Phase 1 (map-only): each partition counts its own tokens exactly
     (the same cache-resident bincount the sketch builds use) and emits
     only its local top-M (id, count) rows — O(partitions * M) rows
-    total instead of one shuffled row per token occurrence.
+    total instead of one shuffled row per token occurrence — plus ONE
+    threshold row per partition: the smallest emitted local count
+    (0 when the partition had ≤ M distinct ids, i.e. everything was
+    emitted).  Any id NOT in partition i's local top has local count
+    ≤ threshold_i, so sum_i(threshold_i) is a hard upper bound on the
+    global count of ANY non-candidate.
     Phase 2: the candidate union is counted exactly with a hash
     aggregate restricted to candidate ids (Catalyst's map-side partial
     aggregation makes the shuffle O(partitions * candidates)), then
     ranked.
 
-    Coverage: an item of global count C has count >= C/P in its
-    heaviest partition; with M = 8k (default) a true top-k item would
-    have to be locally out-ranked by 8k distinct heavier ids in EVERY
-    partition to be missed — the gate query verifies coverage against
-    the exact answer on every run rather than assuming it.
+    Coverage: WITHOUT ``certify`` this is heuristic (a true top-k item
+    locally out-ranked by M heavier ids in every partition would be
+    missed) — treat the default as approximate-with-high-probability;
+    the gate query additionally verifies against the exact answer.
+    WITH ``certify=True`` the standard bound is checked in-band: the
+    result is certified exact iff the k-th candidate's exact count
+    strictly exceeds sum_i(threshold_i); otherwise
+    :class:`TopKNotCertified` is raised with both numbers so the
+    caller can retry with a larger ``m_per_partition`` (the eager
+    check costs the two phase actions the caller was about to run
+    anyway plus one tiny threshold sum).
     Output: (token int, cnt long) for the deterministic top-k
     (count desc, token asc).
     """
@@ -660,14 +678,19 @@ def top_k_tokens(
                 acc.add_flat(_col_flat_tokens(b, col))
         sink = acc.finish()
         ids, counts = sink.top(m)
+        thr = int(min(counts)) if len(sink._ids) > m else 0
         yield pa.RecordBatch.from_arrays(
-            [pa.array(ids, pa.int64()), pa.array(counts, pa.int64())],
-            ["token", "cnt"],
+            [
+                pa.array(ids + [-1], pa.int64()),
+                pa.array(counts + [thr], pa.int64()),
+                pa.array([False] * len(ids) + [True], pa.bool_()),
+            ],
+            ["token", "cnt", "is_thr"],
         )
 
+    phase1 = df.select(col).mapInArrow(local_top, "token long, cnt long, is_thr boolean")
     candidates = (
-        df.select(col)
-        .mapInArrow(local_top, "token long, cnt long")
+        phase1.filter(~F.col("is_thr"))
         .groupBy("token")
         .agg(F.sum("cnt").alias("cnt_lb"))  # lower bound: only local-top rows
     )
@@ -682,10 +705,24 @@ def top_k_tokens(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
+    result = (
         exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(F.col("token").cast("int").alias("token"), "cnt")
+    )
+    if not certify:
+        return result
+    rows = result.collect()
+    kth = min((r.cnt for r in rows), default=0)
+    bound = phase1.filter(F.col("is_thr")).agg(F.sum("cnt")).collect()[0][0] or 0
+    if len(rows) == k and kth > bound:
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, result.schema)
+    raise TopKNotCertified(
+        f"cannot certify top-{k}: k-th candidate count {kth} does not "
+        f"strictly exceed the non-candidate bound {bound} "
+        f"(sum of per-partition M-th local counts, M={m}); retry with a "
+        f"larger m_per_partition"
     )
 
 

@@ -299,21 +299,54 @@ def verify_pairs_exact(pairs: DataFrame, docs: DataFrame, text_col: str = "text"
             ).drop_duplicates("id")
             flat, offsets = _shingle_sets_batch(docs["t"].reset_index(drop=True))
             pos = {d: i for i, d in enumerate(docs["id"])}
-            sims = np.empty(len(pdf))
             ia_idx = pdf["id_a"].map(pos).to_numpy()
             ib_idx = pdf["id_b"].map(pos).to_numpy()
-            for r in range(len(pdf)):
-                a0, a1 = offsets[ia_idx[r]], offsets[ia_idx[r] + 1]
-                b0, b1 = offsets[ib_idx[r]], offsets[ib_idx[r] + 1]
-                sa, sb = flat[a0:a1], flat[b0:b1]
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                sims[r] = inter / union if union else 1.0
+            sims = _pair_jaccard_batch(flat, offsets, ia_idx, ib_idx)
             out = pdf[["id_a", "id_b"]].copy()
             out["jaccard"] = sims
             yield out[out["jaccard"] >= threshold]
 
     return joined.mapInPandas(fn, "id_a string, id_b string, jaccard double")
+
+
+def _pair_jaccard_batch(flat: np.ndarray, offsets: np.ndarray,
+                        ia_idx: np.ndarray, ib_idx: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for P (doc_a, doc_b) pairs over per-doc sorted
+    unique shingle sets — zero per-pair Python.
+
+    Gather every pair's two sets into one flat array tagged with its
+    pair index, sort by (pair, hash), count adjacent equal hashes:
+    within a pair duplicates can only cross the a/b boundary (each set
+    is unique), so the adjacent-equal count IS the intersection size.
+    O(L log L) for L = total gathered hashes, all inside numpy.
+    """
+    npairs = len(ia_idx)
+    sz = np.diff(offsets)
+    sa_sz = sz[ia_idx]
+    sb_sz = sz[ib_idx]
+    # interleave (a_start, a_len), (b_start, b_len) segments per pair
+    seg_starts = np.column_stack((offsets[ia_idx], offsets[ib_idx])).ravel()
+    seg_lens = np.column_stack((sa_sz, sb_sz)).ravel()
+    seg_pair = np.repeat(np.arange(npairs, dtype=np.int64), 2)
+    nz = seg_lens > 0
+    seg_starts, seg_lens, seg_pair = seg_starts[nz], seg_lens[nz], seg_pair[nz]
+    inter = np.zeros(npairs, dtype=np.int64)
+    if seg_lens.size:
+        # vectorized [start, start+len) range concatenation
+        ends = np.cumsum(seg_lens)
+        step = np.ones(int(ends[-1]), dtype=np.int64)
+        step[0] = seg_starts[0]
+        step[ends[:-1]] = seg_starts[1:] - (seg_starts[:-1] + seg_lens[:-1] - 1)
+        gather = np.cumsum(step)
+        vals = flat[gather]
+        pair_of = np.repeat(seg_pair, seg_lens)
+        order = np.lexsort((vals, pair_of))
+        vals, pair_of = vals[order], pair_of[order]
+        dupe = (vals[1:] == vals[:-1]) & (pair_of[1:] == pair_of[:-1])
+        np.add.at(inter, pair_of[1:][dupe], 1)
+    union = sa_sz + sb_sz - inter
+    return np.divide(inter, union, out=np.ones(npairs, dtype=np.float64),
+                     where=union > 0)
 
 
 def minhash_near_dup_pairs(
@@ -434,15 +467,30 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3, max_bucket: int = 64) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     bands (any pair within Hamming<=3 of a 64-bit hash shares at least
-    one of 4 bands by pigeonhole), verified by exact Hamming distance."""
+    one of 4 bands by pigeonhole), verified by exact Hamming distance.
+
+    Degenerate buckets are capped exactly like lsh_candidate_pairs: a
+    (band, band_val) bucket larger than ``max_bucket`` is dropped
+    before the self-join, bounding the worst case at
+    O(buckets * max_bucket²) instead of quadratic in the largest dup
+    cluster — a corpus with 10k copies of one template would otherwise
+    materialize ~10^8 join rows per band.  Every emitted pair is still
+    exact-verified (Hamming), so capping only costs recall on clusters
+    the cap drops, never precision."""
     sigs = simhash_signatures(df, text_col, id_col)
     bands = sigs.select(
         "id", "simhash", F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
         ])).alias("band", "band_val")
+    )
+    w = Window.partitionBy("band", "band_val")
+    bands = (
+        bands.withColumn("__bucket_size", F.count(F.lit(1)).over(w))
+        .filter((F.col("__bucket_size") >= 2) & (F.col("__bucket_size") <= max_bucket))
+        .drop("__bucket_size")
     )
 
     # candidates via JVM-side self-join on the shared band (no per-group

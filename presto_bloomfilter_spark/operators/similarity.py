@@ -116,7 +116,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_rows: int = 100_000,
+    block_rows: int = 100_000,  # advisory: target rows per block when sizing n_blocks yourself
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b), id_a < id_b,
@@ -134,14 +134,16 @@ def embedding_near_dup_pairs(
     ``hyperplane_lsh_buckets`` + a per-bucket verify when approximate
     recall is acceptable).
 
-    ``n_blocks`` defaults to max(ceil(rows / block_rows),
-    ceil(sqrt(2 * parallelism))) so blocks fit in task memory and the
-    pair-group count covers the cluster.
+    ``n_blocks`` defaults to ceil(sqrt(2 * defaultParallelism)) — the
+    smallest block count whose n_blocks*(n_blocks+1)/2 pair-groups
+    cover the cluster — computed WITHOUT a driver-side count job (the
+    query stays ONE job); pass ``n_blocks`` explicitly (≈ ceil(rows /
+    block_rows)) when rows/parallelism is so large that a
+    parallelism-derived block would exceed task memory.
     """
     if n_blocks is None:
-        n = df.count()
         p = spark.sparkContext.defaultParallelism
-        n_blocks = max(-(-n // max(block_rows, 1)), int(math.ceil(math.sqrt(2.0 * p))), 1)
+        n_blocks = max(int(math.ceil(math.sqrt(2.0 * p))), 1)
     blocks = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))

@@ -250,3 +250,23 @@ def test_top_k_tokens_matches_exact_groupby(spark, tokens):
         got = [(r.token, r.cnt) for r in agg.top_k_tokens(df, "tokens", k=10).collect()]
         got.sort(key=lambda t: (-t[1], t[0]))
         assert got == expected
+
+
+def test_top_k_tokens_certification(spark, tokens):
+    """certify=True proves the top-k in-band via the standard coverage
+    bound (k-th exact count > sum of per-partition M-th local counts)
+    and raises TopKNotCertified when the bound cannot certify — no
+    silent coverage miss for library callers (ADVICE r02)."""
+    certified = agg.top_k_tokens(tokens, "tokens", k=10, certify=True)
+    uncertified = agg.top_k_tokens(tokens, "tokens", k=10)
+    assert sorted((r.token, r.cnt) for r in certified.collect()) == \
+        sorted((r.token, r.cnt) for r in uncertified.collect())
+    # adversarially flat distribution + tiny M: every id ties, the
+    # bound cannot separate candidates from non-candidates
+    flat = spark.range(0, 20_000).selectExpr(
+        "array(cast(id % 5000 as int)) as tokens").repartition(8)
+    with pytest.raises(agg.TopKNotCertified, match="non-candidate bound"):
+        agg.top_k_tokens(flat, "tokens", k=10, m_per_partition=12, certify=True)
+    # the same flat corpus certifies once M covers the id space
+    ok = agg.top_k_tokens(flat, "tokens", k=10, m_per_partition=5000, certify=True)
+    assert ok.count() == 10

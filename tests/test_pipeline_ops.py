@@ -402,3 +402,62 @@ def test_ngram_jaccard_whitespace_runs(spark):
     # a and b are identical after whitespace normalization -> jaccard 1.0
     assert ("a", "b", 1.0) in exact
     assert all(p[:2] == ("a", "b") for p in exact)
+
+
+def test_pair_jaccard_batch_matches_scalar():
+    """The segmented batch verify kernel equals the per-pair scalar
+    Jaccard on random texts, including empty/identical edge cases."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+             for _ in range(30)]
+    texts += ["", "", texts[0]]  # empty-empty, empty-nonempty, identical
+    flat, offsets = dedup._shingle_sets_batch(pd.Series(texts, dtype=object))
+    ia = rng.integers(0, len(texts), size=200)
+    ib = rng.integers(0, len(texts), size=200)
+    ia = np.concatenate([ia, [30, 30, 0]])
+    ib = np.concatenate([ib, [31, 0, 32]])
+    got = dedup._pair_jaccard_batch(flat, offsets, ia, ib)
+    for r in range(len(ia)):
+        expected = dedup._jaccard(texts[ia[r]], texts[ib[r]])
+        assert got[r] == pytest.approx(expected), (r, texts[ia[r]], texts[ib[r]])
+
+
+def test_simhash_degenerate_cluster_capped(spark):
+    """10k identical short docs: without the bucket cap the band
+    self-join materializes ~10^8 rows; with it the query completes fast
+    and any emitted pair is still exact-Hamming-verified."""
+    big = spark.range(0, 10_000).selectExpr(
+        "cast(id as string) as id", "'the same short template text' as text")
+    out = dedup.simhash_near_dup_pairs(big, "text", "id")
+    # completes quickly: capped buckets bound the join fan-out
+    import time
+    t0 = time.time()
+    n = out.count()
+    assert time.time() - t0 < 60
+    # the degenerate cluster is dropped by the cap (documented recall
+    # trade) — nothing quadratic is emitted
+    assert n == 0
+
+
+def test_embedding_near_dup_builds_lazily(spark):
+    """n_blocks defaults from parallelism alone — constructing the
+    block-pair plan must launch ZERO jobs (the r01 version ran a
+    driver-side count first).  A poisoned input raises on any action,
+    so lazy construction succeeding proves no hidden job."""
+    import pyspark.sql.types as T
+
+    emb = spark.range(0, 8).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding")
+
+    def boom(it):
+        raise RuntimeError("action ran during plan construction")
+        yield  # pragma: no cover
+
+    poisoned = emb.mapInPandas(
+        boom, T.StructType.fromDDL("vec_id long, embedding array<float>"))
+    res = similarity.embedding_near_dup_pairs(spark, poisoned, 0.4)  # no raise
+    with pytest.raises(Exception, match="action ran"):
+        res.count()
