@@ -19,6 +19,8 @@ order-insensitive value hash):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
@@ -559,6 +561,118 @@ FROM events GROUP BY event_type
 """
 
 
+def q_persist_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 rows 7 + 12-14 gate: ``bloom_filter_persist`` →
+    ``bloom_filter_load`` round trips through BOTH persistence surfaces
+    — the sketch store (atomic file put/get) and an embedded HTTP
+    server speaking the persist-service wire form (base64 text body) —
+    then contains-all probes over every inserted member.  Mirrors the
+    reference's embedded-server end-to-end test
+    (TestBloomFilterQueries.java:97-136, persist → HTTP GET → load →
+    contains).  Both loads happen eagerly on the driver (the loaded
+    filter is broadcast), so the server's lifetime is the load call,
+    exactly like the reference's fixture."""
+    import tempfile
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from presto_bloomfilter_spark import compat
+
+    nation = load_table(spark, sf_dir, "nation")
+    bf = agg.aggregate_sketch(nation, agg.bloom_over_strings("n_name", 1000, 0.01))
+
+    root = tempfile.mkdtemp(prefix="pbs_persist_")
+    path = os.path.join(root, "nation_names.sketch")
+    if not compat.bloom_filter_persist(bf, path):
+        raise RuntimeError("bloom_filter_persist returned false")
+    from_store = compat.bloom_filter_load(path)
+
+    body = compat.to_string(bf).encode("ascii")
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        from_http = compat.bloom_filter_load(
+            f"http://127.0.0.1:{srv.server_port}/nation_names"
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    probed = nation.select(
+        contains_udf(spark, from_store)(F.col("n_name")).alias("h_store"),
+        contains_udf(spark, from_http)(F.col("n_name")).alias("h_http"),
+    )
+    return probed.agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("h_store").cast("long")).alias("n_contained_store"),
+        F.sum(F.col("h_http").cast("long")).alias("n_contained_http"),
+    )
+
+
+ORACLE_PERSIST_LOAD_ROUNDTRIP = """
+SELECT COUNT(*) AS n_members, COUNT(*) AS n_contained_store,
+       COUNT(*) AS n_contained_http
+FROM nation
+"""
+
+
+def q_sketch_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 rows 6 + 9-11 gate, exercised through the REGISTERED SQL
+    surface (reference TestBloomFilterQueries.java:48-96 pins these
+    same goldens in SQL): ``to_string`` equals the driver-side base64;
+    ``bloom_filter_from_string(to_string(bf))`` round-trips to an
+    identical blob; ``get_expected_insertions`` /
+    ``get_false_positive_percentage`` read back the construction
+    parameters; the round-tripped filter still contains every member.
+    One row of ints/booleans — bit-exact on both engines."""
+    from presto_bloomfilter_spark import compat
+
+    compat.register_sql_functions(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("pbs_nation_intro")
+    bf = agg.aggregate_sketch(nation, agg.bloom_over_strings("n_name", 1000, 0.01))
+    compat.publish_sketch_view(spark, bf, "pbs_bf_intro")
+    b64 = compat.to_string(bf)
+    # Python-API forms agree before the SQL forms are gated
+    if compat.get_expected_insertions(bf) != 1000 or compat.get_false_positive_percentage(bf) != 0.01:
+        raise RuntimeError("header getters disagree with construction params")
+    return spark.sql(
+        f"""
+        WITH rt AS (
+          SELECT bf, bloom_filter_from_string(to_string(bf)) AS bf2
+          FROM pbs_bf_intro
+        )
+        SELECT
+          CAST(MAX(get_expected_insertions(bf)) AS BIGINT)        AS n_expected,
+          BOOL_AND(get_false_positive_percentage(bf) = 0.01D)     AS fpp_ok,
+          BOOL_AND(to_string(bf) = '{b64}')                       AS tostring_ok,
+          BOOL_AND(to_string(bf2) = to_string(bf))                AS roundtrip_ok,
+          COUNT(*)                                                AS n_members,
+          SUM(CAST(bloom_filter_contains(bf2, n_name) AS BIGINT)) AS n_contained_roundtrip
+        FROM rt CROSS JOIN pbs_nation_intro
+        """
+    )
+
+
+ORACLE_SKETCH_INTROSPECTION = """
+SELECT CAST(1000 AS BIGINT) AS n_expected, TRUE AS fpp_ok, TRUE AS tostring_ok,
+       TRUE AS roundtrip_ok, COUNT(*) AS n_members, COUNT(*) AS n_contained_roundtrip
+FROM nation
+"""
+
+
 def q_nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -997,6 +1111,8 @@ QUERIES = {
     "top_customers": q_top_customers,
     "distinct_users_by_event": q_distinct_users_by_event,
     "nation_region_join": q_nation_region_join,
+    "persist_load_roundtrip": q_persist_load_roundtrip,
+    "sketch_introspection": q_sketch_introspection,
     "dedup_exact": q_dedup_exact,
     "drop_exact_dups": q_drop_exact_dups,
     "quality_filter": q_quality_filter,
@@ -1038,6 +1154,8 @@ ORACLES = {
     "top_customers": ORACLE_TOP_CUSTOMERS,
     "distinct_users_by_event": ORACLE_DISTINCT_USERS_BY_EVENT,
     "nation_region_join": ORACLE_NATION_REGION_JOIN,
+    "persist_load_roundtrip": ORACLE_PERSIST_LOAD_ROUNDTRIP,
+    "sketch_introspection": ORACLE_SKETCH_INTROSPECTION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
     "quality_filter": ORACLE_QUALITY_FILTER,
