@@ -91,53 +91,60 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
     agg.aggregate_sketch_from_parquet(
         spark, tokens_path, agg.token_family_over_tokens("tokens"), n_tasks=CPUS)
 
-    timings = {}
-    timings_all = {}
+    # dedup/text signature generation over the documents table — the
+    # hottest per-byte pass of a training pipeline (batch-vectorized
+    # kernels)
+    from presto_bloomfilter_spark.operators import dedup, text
 
-    def run(name, fn, n=3):
-        # median-of-n (n>=3): robust to this host's erratic page-fault
-        # stalls in either direction; per-query medians persist so the
-        # next round can detect per-query regressions
-        samples = []
-        for _ in range(n):
-            t0 = time.time()
-            fn()
-            samples.append(time.time() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
-        timings_all[name] = [round(s, 3) for s in samples]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
 
     # fused family: bloom+CMS+HLL in ONE scan — the flagship build path.
     # bloom sized to the workload (~50k distinct token ids → n=1M keeps
     # 20x headroom and FPR << 0.01); the reference default n=10M is a
     # per-filter capacity knob, not a fixed cost we must pay per task
-    run("token_family_fused", lambda: agg.aggregate_sketch_from_parquet(
-        spark, tokens_path, agg.token_family_over_tokens("tokens", bloom_n=1_000_000),
-        n_tasks=CPUS))
-    # individual builds through the DataFrame (JVM-scan) path
-    run("bloom_build_tokens", lambda: agg.aggregate_sketch(
-        tokens, agg.bloom_over_tokens("tokens", 1_000_000, 0.01), target_partials=CPUS))
-    run("hll_tokens_by_source", lambda: agg.grouped_sketch(
-        tokens, "source", agg.hll_over_tokens("tokens")).collect())
-    run("hll_by_source_fused", lambda: agg.grouped_sketch_from_parquet(
-        spark, tokens_path, "source", agg.hll_over_tokens("tokens"), n_tasks=CPUS).collect())
-    run("cms_build_tokens", lambda: agg.aggregate_sketch(
-        tokens, agg.cms_over_tokens("tokens", eps=1e-4), target_partials=CPUS))
-    run("kll_ntok", lambda: agg.aggregate_sketch(
-        tokens, agg.kll_over_column("n_tok"), target_partials=CPUS))
-    run("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect())
-    run("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect())
+    suite = [
+        ("token_family_fused", lambda: agg.aggregate_sketch_from_parquet(
+            spark, tokens_path, agg.token_family_over_tokens("tokens", bloom_n=1_000_000),
+            n_tasks=CPUS)),
+        # individual builds through the DataFrame (JVM-scan) path
+        ("bloom_build_tokens", lambda: agg.aggregate_sketch(
+            tokens, agg.bloom_over_tokens("tokens", 1_000_000, 0.01), target_partials=CPUS)),
+        ("hll_tokens_by_source", lambda: agg.grouped_sketch(
+            tokens, "source", agg.hll_over_tokens("tokens")).collect()),
+        ("hll_by_source_fused", lambda: agg.grouped_sketch_from_parquet(
+            spark, tokens_path, "source", agg.hll_over_tokens("tokens"), n_tasks=CPUS).collect()),
+        ("cms_build_tokens", lambda: agg.aggregate_sketch(
+            tokens, agg.cms_over_tokens("tokens", eps=1e-4), target_partials=CPUS)),
+        ("kll_ntok", lambda: agg.aggregate_sketch(
+            tokens, agg.kll_over_column("n_tok"), target_partials=CPUS)),
+        ("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect()),
+        ("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect()),
+        ("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count()),
+        ("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count()),
+        ("fingerprint_signatures", lambda: text.fingerprint(docs, "text", "doc_id").count()),
+    ]
 
-    # dedup signature generation over the documents table — the hottest
-    # per-byte pass of a training pipeline (batch-vectorized kernels)
-    from presto_bloomfilter_spark.operators import dedup
+    # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS
+    # sweeps run back to back.  This host's page-fault throughput swings
+    # up to 4x in minutes-long episodes; back-to-back per-query samples
+    # let one episode swallow all of a query's samples, interleaving
+    # spreads any episode across the whole suite instead (the same
+    # methodology the scaling section already uses).  Both median and
+    # min persist per query: median for a typical-run headline, min for
+    # round-over-round regression comparisons (least host noise).
+    samples: dict[str, list[float]] = {name: [] for name, _ in suite}
+    for _ in range(N_SWEEPS):
+        for name, fn in suite:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-    n_docs = docs.count()
-    run("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count())
-    run("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count())
-    timings["_sig_docs_per_sec"] = round(n_docs / max(timings["minhash_signatures"], 1e-9))
-    return timings, timings_all, int(total_tokens)
+    timings = {name: round(_median(s), 3) for name, s in samples.items()}
+    timings_min = {name: round(min(s), 3) for name, s in samples.items()}
+    timings_all = {name: [round(x, 3) for x in s] for name, s in samples.items()}
+    timings["_sig_docs_per_sec"] = round(n_docs / max(timings_min["minhash_signatures"], 1e-9))
+    return timings, timings_min, timings_all, int(total_tokens)
 
 
 def scale_worker(cpus: int) -> None:
@@ -398,7 +405,7 @@ def main() -> None:
     spark = make_spark(CPUS)
     try:
         t0 = time.time()
-        timings, timings_all, total_tokens = bench_queries(spark, SF_DIR)
+        timings, timings_min, timings_all, total_tokens = bench_queries(spark, SF_DIR)
         total = round(time.time() - t0, 3)
     finally:
         spark.stop()
@@ -408,8 +415,11 @@ def main() -> None:
         "metric": "sketch_suite_sec",
         "value": total,
         "unit": "sec",
-        "n": 3,
+        "n": N_SWEEPS,
+        "sampling": "interleaved: one sweep runs every query once, "
+                    f"{N_SWEEPS} sweeps; queries=median, queries_min=min",
         "queries": timings,
+        "queries_min": timings_min,
         "query_samples": timings_all,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "total_tokens": total_tokens,

@@ -136,9 +136,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Returns (id, fingerprint array<long>) — stable under formatting-
     preserving edits, used for plagiarism-style containment checks.
 
-    Gram hashing is batch-vectorized (one Arrow split + one string-hash
-    pass per batch via the dedup gram kernel); the remaining per-doc
-    work is a numpy sliding-window min over a precomputed slice."""
+    Fully batch-vectorized: gram hashing is one Arrow split + one
+    string-hash pass (the dedup gram kernel), then ONE sliding-window
+    min over the whole batch's flat gram array — windows that straddle
+    a doc boundary are masked out rather than looped over — and a
+    single lexsort dedups the selected minima per doc.  The only
+    per-doc Python is the final np.split into list cells."""
     from presto_bloomfilter_spark.operators.dedup import _gram_stream_batch
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -146,16 +149,42 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             if not len(pdf):
                 continue
             g, gdoc, ndocs = _gram_stream_batch(pdf[text_col], k)
-            offsets = np.concatenate(([0], np.cumsum(np.bincount(gdoc, minlength=ndocs))))
-            prints = []
-            for i in range(ndocs):
-                h = g[offsets[i] : offsets[i + 1]]
-                if len(h) <= window:
-                    sel = np.unique(h.min(keepdims=True))
-                else:
-                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = np.unique(sw.min(axis=1))
-                prints.append(sel.view(np.int64))
+            counts = np.bincount(gdoc, minlength=ndocs)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            n = len(g)
+            # every window minimum over the FLAT array in one pass; a
+            # window starting at s belongs to doc d = gdoc[s] iff it
+            # lies fully inside d's segment
+            if n >= window:
+                wmin = np.lib.stride_tricks.sliding_window_view(g, window).min(axis=1)
+                starts = np.arange(n - window + 1)
+                sdoc = gdoc[starts]
+                valid = starts + window <= offsets[sdoc + 1]
+                long_doc, long_val = sdoc[valid], wmin[valid]
+            else:
+                long_doc = long_val = np.empty(0, dtype=np.int64)
+            # docs shorter than one window contribute their whole-segment
+            # min.  reduceat segments run start-to-next-start, so it
+            # must see EVERY non-empty doc's offset (skipping a long doc
+            # would fuse it into the preceding short one); the short
+            # rows are selected afterwards.
+            short = (counts > 0) & (counts < window)
+            if short.any():
+                nonempty = counts > 0
+                segmin = np.minimum.reduceat(g, offsets[:-1][nonempty])[short[nonempty]]
+                short_doc = np.flatnonzero(short)
+            else:
+                segmin = short_doc = np.empty(0, dtype=np.int64)
+            all_doc = np.concatenate([long_doc, short_doc])
+            all_val = np.concatenate([long_val.astype(g.dtype, copy=False),
+                                      segmin.astype(g.dtype, copy=False)])
+            order = np.lexsort((all_val, all_doc))
+            d_s, v_s = all_doc[order], all_val[order]
+            keep = np.ones(len(d_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+            d_u, v_u = d_s[keep], v_s[keep].view(np.int64)
+            bounds = np.cumsum(np.bincount(d_u, minlength=ndocs))[:-1]
+            prints = np.split(v_u, bounds)
             yield pd.DataFrame({"id": pdf[id_col].astype(str).to_numpy(), "fingerprint": prints})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(

@@ -461,3 +461,28 @@ def test_embedding_near_dup_builds_lazily(spark):
     res = similarity.embedding_near_dup_pairs(spark, poisoned, 0.4)  # no raise
     with pytest.raises(Exception, match="action ran"):
         res.count()
+
+
+def test_fingerprint_segmented_kernel_matches_per_doc(spark):
+    """The one-pass segmented winnowing (flat sliding-window min +
+    boundary mask) equals the per-doc reference loop on random docs,
+    including docs shorter than k words and shorter than one window."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 40))))
+             for _ in range(60)]
+    df = spark.createDataFrame([(str(i), t) for i, t in enumerate(texts)], "id string, text string")
+    got = {r.id: sorted(r.fingerprint) for r in text.fingerprint(df, "text", "id").collect()}
+
+    import pandas as pd
+    k, window = 5, 8
+    g, gdoc, ndocs = dedup._gram_stream_batch(pd.Series(texts, dtype=object), k)
+    offsets = np.concatenate(([0], np.cumsum(np.bincount(gdoc, minlength=ndocs))))
+    for i in range(ndocs):
+        h = g[offsets[i]:offsets[i + 1]]
+        if len(h) <= window:
+            sel = np.unique(h.min(keepdims=True))
+        else:
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
+        assert got[str(i)] == sorted(sel.view(np.int64).tolist()), i
