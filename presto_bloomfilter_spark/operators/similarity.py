@@ -482,6 +482,34 @@ def ivf_topk(
     return _fused_ann_topk(spark, base, probe_sets, assign, k, vec_col, id_col)
 
 
+def _lsh_probe_sets(
+    queries: list[tuple[int, list[float]]],
+    planes: np.ndarray,
+    weights: np.ndarray,
+    bits: int,
+    probe_radius: int,
+) -> list[tuple[int, np.ndarray, np.ndarray]]:
+    """Per-query (query_id, normalized qvec, probed buckets): the query's
+    own bucket plus every bucket within Hamming distance
+    ``probe_radius`` (multi-probe LSH) — shared by the fused single-job
+    probe and the materialized-index probe so both search the identical
+    candidate set."""
+    qids = [int(q[0]) for q in queries]
+    qraw = np.array([q[1] for q in queries], dtype=np.float64)
+    qmat = _normalize(qraw)
+    qbuckets = ((qraw @ planes) > 0).astype(np.int64) @ weights
+
+    def probe_set(b: int) -> np.ndarray:
+        out = {b}
+        frontier = {b}
+        for _ in range(probe_radius):
+            frontier = {x ^ (1 << i) for x in frontier for i in range(bits)}
+            out |= frontier
+        return np.array(sorted(out), dtype=np.int64)
+
+    return [(qid, qv, probe_set(int(b))) for qid, qv, b in zip(qids, qmat, qbuckets)]
+
+
 def lsh_topk(
     spark: SparkSession,
     base: DataFrame,
@@ -501,30 +529,85 @@ def lsh_topk(
 
     All queries run in ONE map-only Spark job (see _fused_ann_topk);
     each query's candidate set is 1 + bits (at radius 1) of the 2^bits
-    buckets.  With the index materialized by hyperplane_lsh_buckets
-    (written bucketed-by(bucket)) the probe is a partition-pruned scan.
-    """
+    buckets.  For a standing corpus, materialize the index once with
+    ``write_lsh_index`` and probe it with ``lsh_topk_indexed`` — a
+    partition-pruned scan instead of a full-corpus pass."""
     dim = len(queries[0][1])
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)
-    qids = [int(q[0]) for q in queries]
-    qraw = np.array([q[1] for q in queries], dtype=np.float64)
-    qmat = _normalize(qraw)
-    qbuckets = ((qraw @ planes) > 0).astype(np.int64) @ weights
-
-    def probe_set(b: int) -> np.ndarray:
-        out = {b}
-        frontier = {b}
-        for _ in range(probe_radius):
-            frontier = {x ^ (1 << i) for x in frontier for i in range(bits)}
-            out |= frontier
-        return np.array(sorted(out), dtype=np.int64)
-
-    probe_sets = [
-        (qid, qv, probe_set(int(b))) for qid, qv, b in zip(qids, qmat, qbuckets)
-    ]
+    probe_sets = _lsh_probe_sets(queries, planes, weights, bits, probe_radius)
 
     def assign(m: np.ndarray) -> np.ndarray:
         return ((m @ planes) > 0).astype(np.int64) @ weights
 
     return _fused_ann_topk(spark, base, probe_sets, assign, k, vec_col, id_col)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    bits: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH index: (id, vector, bucket) parquet table
+    PARTITIONED BY bucket — the probe side then reads only the probed
+    buckets' directories (partition pruning at the scan, asserted in
+    tests), the same posture as write_ivf_index: probe cost tracks
+    probed-buckets/2^bits of the corpus, not the corpus.
+
+    One mapInPandas pass carries the vector alongside its bucket (no
+    post-hoc self-join against hyperplane_lsh_buckets).  ``bits``/
+    ``seed`` must match the later lsh_topk_indexed call — they define
+    the hyperplanes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _lsh_planes(dim, bits, seed)
+    weights = _bucket_weights(bits)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _to_matrix(pdf[vec_col])
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = ((m @ planes) > 0).astype(np.int64) @ weights
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+    assigned.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 7,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN probe against a MATERIALIZED index (write_lsh_index): the
+    scan reads only the union of all queries' probed buckets via
+    partition pruning — `.explain` shows the bucket PartitionFilters —
+    then one map-only pass computes per-partition top-k per query.
+    Same probe-set construction as lsh_topk, so the two return the
+    same candidates; ``bits``/``seed`` must match the index build."""
+    dim = len(queries[0][1])
+    planes = _lsh_planes(dim, bits, seed)
+    weights = _bucket_weights(bits)
+    probe_sets = _lsh_probe_sets(queries, planes, weights, bits, probe_radius)
+    probed_buckets = sorted({int(x) for _, _, probe in probe_sets for x in probe})
+    pruned = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(probed_buckets)
+    )
+    return _fused_ann_topk(
+        spark, pruned, probe_sets, None, k, vec_col, id_col, cell_col="bucket"
+    )

@@ -1060,6 +1060,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(spark, emb, approx, queries)
 
 
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN against a MATERIALIZED index
+    (write_lsh_index → parquet partitioned-by(bucket) →
+    lsh_topk_indexed partition-pruned probe): same probe-set
+    construction as ann_lsh, so the same recall bound holds — the
+    standing-index path a real corpus uses."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    path = tempfile.mkdtemp(prefix="pbs_lsh_idx_") + "/index"
+    similarity.write_lsh_index(emb, path, bits=4, seed=7)
+    approx = similarity.lsh_topk_indexed(
+        spark, path, queries, k=10, bits=4, seed=7, probe_radius=2
+    )
+    return _ann_recall_check(spark, emb, approx, queries)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (spherical-kmeans coarse quantizer, nprobe inverted
     lists, one map-only job for all queries): per-query recall@10 >= 0.6
@@ -1129,6 +1147,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
 }
@@ -1172,6 +1191,7 @@ ORACLES = {
     "fingerprint": ORACLE_FINGERPRINT,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_RECALL,
+    "ann_lsh_indexed": ORACLE_ANN_RECALL,
     "ann_ivf": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
 }

@@ -486,3 +486,24 @@ def test_fingerprint_segmented_kernel_matches_per_doc(spark):
             sel = np.unique(
                 np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1))
         assert got[str(i)] == sorted(sel.view(np.int64).tolist()), i
+
+
+def test_lsh_indexed_probe_partition_prunes(spark, emb, tmp_path):
+    """The materialized LSH index is partitioned by bucket; a probe must
+    (a) show bucket partition pruning at the scan and (b) return exactly
+    what the on-the-fly lsh_topk returns (shared probe-set construction,
+    same hyperplanes)."""
+    path = str(tmp_path / "lsh_index")
+    similarity.write_lsh_index(emb, path, bits=6, seed=7)
+
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(3).collect()]
+    res = similarity.lsh_topk_indexed(spark, path, queries, k=10, bits=6, seed=7,
+                                      probe_radius=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in res.collect()}
+    direct = similarity.lsh_topk(spark, emb, queries, k=10, bits=6, seed=7,
+                                 probe_radius=1)
+    expect = {(r.query_id, r.neighbor_id, r.rank) for r in direct.collect()}
+    assert got == expect and len(got) > 0
