@@ -55,7 +55,13 @@ DOCS_PER_SF = {
 # memory-ballooned hosts)
 CHUNK_DOCS = 100_000
 
-_REPO_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
+# generated-corpus cache dir; env-overridable because under
+# ``spark-submit --py-files pkg.zip`` the package ``__file__`` lives
+# inside the zip and is not a writable directory
+_REPO_DATA = os.environ.get(
+    "PBS_DATA_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data"),
+)
 
 TOKENS_SPARK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
