@@ -490,9 +490,20 @@ def _tree_merge_collect(
         if spec is None:
             raise ValueError("no sketches to merge")
         return _unwrap(spec.factory())
-    out = sketch_from_bytes(blobs[0])
-    for x in blobs[1:]:
-        out = out.merge(sketch_from_bytes(x))
+    # deserialize in a thread pool: zlib.decompress and the numpy buffer
+    # copies release the GIL, and per-blob decode (~13 ms for a
+    # compressed multi-sketch) dominates the driver tail — the merges
+    # themselves are sub-ms vector ops (SCALING_PROFILE.md)
+    if len(blobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(blobs))) as ex:
+            sketches = list(ex.map(sketch_from_bytes, blobs))
+    else:
+        sketches = [sketch_from_bytes(blobs[0])]
+    out = sketches[0]
+    for x in sketches[1:]:
+        out = out.merge(x)
         if metrics is not None:
             metrics._merges.add(1)
     return out
