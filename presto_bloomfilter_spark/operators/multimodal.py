@@ -4,14 +4,14 @@ Images/audio/video ride through Spark as ``binary`` columns with a
 metadata struct; decode / feature-extraction runs as Arrow-batched
 mapInPandas so bytes never round-trip through Python row objects.
 
-Decode is gated on library availability: when PIL is importable at
-runtime, ``extract_metadata_image`` / ``resize_image`` do REAL image
-decode/resize inside the same Arrow-batched dataflow; in containers
-without media libs (like this one), the ``*_stub`` forms derive
-deterministic fake dimensions from the payload so the Spark-side
-plumbing — schema, batch shape, UDF signatures, partitioning — stays
-real and testable end-to-end, and the real forms raise
-NotImplementedError eagerly on the driver.
+Decode dispatch: when PIL is importable at runtime,
+``extract_metadata_image`` / ``resize_image`` use it (all formats);
+without it they fall back to the dependency-free baseline-PNG codec
+(`functions/png_codec.py`, stdlib zlib+struct) — REAL decode/resize
+for 8-bit gray/RGB/RGBA PNGs, which is what ML-pipeline thumbnails
+and our fixtures use.  Non-PNG payloads without PIL raise
+NotImplementedError per-batch.  The ``*_stub`` forms remain for
+format-agnostic dataflow tests (deterministic fake dimensions).
 """
 
 from __future__ import annotations
@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..functions import png_codec
 
 MEDIA_SCHEMA = "id string, media binary, media_type string"
 META_SCHEMA = "id string, n_bytes int, first_byte int, fake_width int, fake_height int"
@@ -39,15 +41,22 @@ def _pil():
         return None
 
 
-def _require_pil():
-    img = _pil()
-    if img is None:
-        raise NotImplementedError(
-            "real image decode requires Pillow (PIL) at runtime; this "
-            "environment has no media libraries — use the *_stub forms, "
-            "which exercise the identical Spark dataflow"
-        )
-    return img
+def _decode_any(blob: bytes):
+    """(width, height, mode) via PIL when present, else the PNG codec."""
+    image_mod = _pil()
+    if image_mod is not None:
+        img = image_mod.open(io.BytesIO(blob))
+        return img.width, img.height, img.mode
+    return png_codec.png_read_header(blob)  # raises ValueError on non-PNG
+
+
+def _unsupported(blob: bytes) -> NotImplementedError:
+    head = blob[:8].hex() if blob else "<empty>"
+    return NotImplementedError(
+        "payload is not a baseline PNG and Pillow (PIL) is not installed "
+        f"(leading bytes {head}); install Pillow for other formats or use "
+        "the *_stub forms for format-agnostic dataflow"
+    )
 
 
 def attach_media(df: DataFrame, payload_col: str, id_col: str = "doc_id",
@@ -93,22 +102,23 @@ def extract_metadata(media_df: DataFrame) -> DataFrame:
 
 
 def extract_metadata_image(media_df: DataFrame) -> DataFrame:
-    """REAL image metadata via PIL (gated: NotImplementedError on the
-    driver when Pillow is absent).  Same Arrow-batched dataflow as the
+    """REAL image metadata — PIL when installed (all formats), else the
+    stdlib baseline-PNG codec.  Same Arrow-batched dataflow as the
     stub; output (id, n_bytes, width, height, mode)."""
-    _require_pil()
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = _require_pil()
         for pdf in it:
             ns, ws, hs, modes = [], [], [], []
             for blob in pdf["media"]:
                 blob = bytes(blob) if blob is not None else b""
-                img = image_mod.open(io.BytesIO(blob))
+                try:
+                    w, h, mode = _decode_any(blob)
+                except ValueError as e:
+                    raise _unsupported(blob) from e
                 ns.append(len(blob))
-                ws.append(img.width)
-                hs.append(img.height)
-                modes.append(img.mode)
+                ws.append(w)
+                hs.append(h)
+                modes.append(mode)
             yield pd.DataFrame(
                 {"id": pdf["id"], "n_bytes": ns, "width": ws, "height": hs, "mode": modes}
             )
@@ -120,21 +130,33 @@ def extract_metadata_image(media_df: DataFrame) -> DataFrame:
 
 def resize_image(media_df: DataFrame, width: int = 224, height: int = 224,
                  fmt: str = "PNG") -> DataFrame:
-    """REAL image resize via PIL (gated like extract_metadata_image):
-    binary in, re-encoded fixed-dimension binary out — identical schema
-    and batch shape to resize_stub, so pipelines swap decoder by
-    function name only."""
-    _require_pil()
+    """REAL image resize — PIL when installed (any input format, output
+    ``fmt``), else stdlib PNG decode → nearest-neighbor resample → PNG
+    re-encode.  Binary in, re-encoded fixed-dimension binary out —
+    identical schema and batch shape to resize_stub, so pipelines swap
+    decoder by function name only."""
+    if _pil() is None and fmt.upper() != "PNG":
+        raise NotImplementedError(
+            f"output format {fmt!r} requires Pillow; PNG is supported natively")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = _require_pil()
+        image_mod = _pil()
         for pdf in it:
             payloads = []
             for blob in pdf["media"]:
-                img = image_mod.open(io.BytesIO(bytes(blob)))
-                out = io.BytesIO()
-                img.resize((width, height)).save(out, format=fmt)
-                payloads.append(out.getvalue())
+                blob = bytes(blob)
+                if image_mod is not None:
+                    img = image_mod.open(io.BytesIO(blob))
+                    out = io.BytesIO()
+                    img.resize((width, height)).save(out, format=fmt)
+                    payloads.append(out.getvalue())
+                else:
+                    try:
+                        arr = png_codec.png_decode(blob)
+                    except ValueError as e:
+                        raise _unsupported(blob) from e
+                    payloads.append(png_codec.png_encode(
+                        png_codec.resize_nearest(arr, width, height)))
             yield pd.DataFrame(
                 {"id": pdf["id"], "resized": payloads,
                  "width": np.full(len(pdf), width, dtype=np.int32),

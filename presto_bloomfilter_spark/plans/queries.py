@@ -1106,6 +1106,53 @@ FROM documents
 """
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, cross-engine-checked: synthesize a PNG per
+    document whose dimensions derive from the text length (width =
+    len%64+8, height = len%48+8, content seeded from the dims), run it
+    through extract_metadata_image (PIL or the stdlib PNG codec —
+    whichever this runtime has), and emit the decoded dimensions.  The
+    oracle recomputes the expected dimensions from ``length(text)`` in
+    pure SQL, so a decoder that misreads IHDR or pixel layout fails the
+    value hash."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions import png_codec as pc  # noqa: PLC0415
+    from ..operators import multimodal as mm  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_png(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                w, h = n % 64 + 8, n % 48 + 8
+                rng = np.random.default_rng(n)
+                payloads.append(pc.png_encode(
+                    rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+            yield pd.DataFrame({"id": pdf["doc_id"].astype(str), "media": payloads})
+
+    media = docs.mapInPandas(make_png, "id string, media binary")
+    meta = mm.extract_metadata_image(media)
+    return meta.select(
+        F.col("id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mode").alias("mode"),
+    )
+
+
+ORACLE_MULTIMODAL_PNG_DECODE = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(length(text) % 64 + 8 AS INTEGER) AS width,
+       CAST(length(text) % 48 + 8 AS INTEGER) AS height,
+       'RGB' AS mode
+FROM documents
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -1150,6 +1197,7 @@ QUERIES = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_png_decode": q_multimodal_png_decode,
 }
 
 ORACLES = {
@@ -1194,4 +1242,5 @@ ORACLES = {
     "ann_lsh_indexed": ORACLE_ANN_RECALL,
     "ann_ivf": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
 }

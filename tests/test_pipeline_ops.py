@@ -304,35 +304,48 @@ def test_ann_runs_as_single_job_plan(spark, emb):
         assert plan.count("MapInPandas") == 1
 
 
-def test_multimodal_real_decode_gate(spark, sf_dir):
-    """The real-decode forms are feature-gated: with Pillow installed
-    they decode/resize actual images; without it they raise
-    NotImplementedError eagerly on the driver (this container)."""
+def test_multimodal_real_decode(spark):
+    """Real decode/resize runs regardless of Pillow: PIL when installed,
+    the stdlib baseline-PNG codec otherwise.  End-to-end through the
+    Arrow-batched Spark dataflow: encode a known image -> metadata ->
+    resize -> decode the resized payload and check actual pixels."""
+    from presto_bloomfilter_spark.functions import png_codec as pc
     from presto_bloomfilter_spark.operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").limit(5)
-    media = multimodal.attach_media(docs, "text")
-    if multimodal._pil() is None:
-        with pytest.raises(NotImplementedError):
-            multimodal.extract_metadata_image(media)
-        with pytest.raises(NotImplementedError):
-            multimodal.resize_image(media)
-    else:  # pragma: no cover — container has no PIL; runs where it does
-        import io as _io
+    rng = np.random.default_rng(7)
+    imgs = {f"img-{i}": rng.integers(0, 256, size=(16 + i, 24 + i, 3), dtype=np.uint8)
+            for i in range(4)}
+    mdf = spark.createDataFrame(
+        [(k, bytearray(pc.png_encode(v)), "image/png") for k, v in imgs.items()],
+        "id string, media binary, media_type string",
+    )
 
-        from PIL import Image
+    meta = {r.id: r for r in multimodal.extract_metadata_image(mdf).collect()}
+    for k, v in imgs.items():
+        assert (meta[k].width, meta[k].height, meta[k].mode) == (v.shape[1], v.shape[0], "RGB")
 
-        img = Image.new("RGB", (32, 16))
-        buf = _io.BytesIO()
-        img.save(buf, format="PNG")
-        mdf = spark.createDataFrame(
-            [("a", bytearray(buf.getvalue()), "image/png")],
-            "id string, media binary, media_type string",
-        )
-        meta = multimodal.extract_metadata_image(mdf).collect()[0]
-        assert (meta.width, meta.height) == (32, 16)
-        rs = multimodal.resize_image(mdf, 8, 8).collect()[0]
-        assert (rs.width, rs.height) == (8, 8)
+    rs = {r.id: r for r in multimodal.resize_image(mdf, 8, 6).collect()}
+    for k, v in imgs.items():
+        assert (rs[k].width, rs[k].height) == (8, 6)
+        out = pc.png_decode(bytes(rs[k].resized))
+        assert out.shape == (6, 8, 3)
+        if multimodal._pil() is None:
+            # codec path is exact nearest-neighbor — check pixel values
+            np.testing.assert_array_equal(out, pc.resize_nearest(v, 8, 6))
+
+
+def test_multimodal_non_image_payload_fails_loud(spark, sf_dir):
+    """Without PIL, non-PNG payloads must raise (no silent fake decode)."""
+    from presto_bloomfilter_spark.operators import multimodal
+
+    if multimodal._pil() is not None:  # pragma: no cover
+        pytest.skip("PIL present: it may decode other formats")
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    media = multimodal.attach_media(docs, "text")  # utf-8 text, not a PNG
+    with pytest.raises(Exception, match="not a baseline PNG"):
+        multimodal.extract_metadata_image(media).collect()
+    with pytest.raises(Exception, match="not a baseline PNG"):
+        multimodal.resize_image(media).collect()
 
 
 def test_ivf_indexed_probe_partition_prunes(spark, emb, tmp_path):
