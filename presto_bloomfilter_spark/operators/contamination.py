@@ -1,0 +1,140 @@
+"""Train/test contamination detection via word-n-gram overlap.
+
+The standard decontamination job for LLM training corpora: find
+training documents sharing n-grams with an evaluation/test set so they
+can be dropped or flagged.  Two paths with identical output schema
+``(id, n_grams, n_contaminated, frac)``:
+
+- ``contamination_exact``: the train side's distinct per-doc grams
+  semi-join the distinct test-gram universe.  Exact, SQL-expressible
+  (the DuckDB oracle recomputes it), right whenever the test-gram
+  universe fits a shuffle/broadcast — the usual case, since eval sets
+  are orders of magnitude smaller than the corpus.
+
+- ``contamination_bloom``: the 100 TB path.  One mergeable Bloom
+  filter is built over the test-gram universe (partition-parallel
+  ``aggregate_sketch``; inserts are idempotent so the build skips the
+  distinct shuffle entirely) and broadcast; train grams probe it in a
+  map-only stage and only ``(doc, partial count)`` rows shuffle.  The
+  train corpus is never shuffled and never joined.  No false
+  negatives — a contaminated gram is never missed; overcount is
+  bounded by the filter's false-positive rate (``fpp``), i.e.
+  ``frac_bloom - frac_exact`` concentrates below ``fpp``.
+
+Gram semantics match ``dedup.ngram_jaccard_pairs`` exactly (whitespace
+words, ``str.split()`` semantics; documents with fewer than ``n``
+words contribute their single joined-words gram; per-doc grams are
+distinct), so the two operators and the dedup family agree on what "a
+shared n-gram" means.
+
+Reference scope note: presto-bloomfilter ships the bloom machinery
+(BloomFilter.java put/mightContain, the aggregation + scalar probe);
+this operator is the training-pipeline application of that machinery
+at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import aggregate as agg
+from .probe import contains_udf
+
+_OUT_SCHEMA = ("id", "n_grams", "n_contaminated", "frac")
+
+
+def word_ngrams(text_col: str, n: int):
+    """Column expression: distinct word n-grams of a text column
+    (str.split() word semantics; < n words → one joined gram)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+
+
+def contamination_exact(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    broadcast_universe: bool = True,
+) -> DataFrame:
+    """Per-train-doc contaminated-gram fraction against the exact
+    distinct test-gram universe.
+
+    ``broadcast_universe=True`` (default) broadcasts the distinct
+    test-gram set — correct when the eval set is small, which makes the
+    probe a map-side semi join; pass False to let AQE pick a shuffle
+    join for an unusually large universe.
+    """
+    universe = (
+        test_df.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+    )
+    if broadcast_universe:
+        universe = F.broadcast(universe)
+    grams = _doc_grams(train_df, text_col, id_col, n)
+    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(universe, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"))
+            .cast("double")
+            .alias("frac"),
+        )
+    )
+
+
+def contamination_bloom(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    expected_grams: int = 1_000_000,
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Bloom-accelerated contamination: map-only probe of the train
+    corpus against one broadcast filter built over the test grams.
+
+    No false negatives; per-doc ``n_contaminated`` may overcount by
+    ~``fpp`` of the clean grams.  Size ``expected_grams`` to the test
+    set's distinct-gram count (a 1M-gram filter at fpp=0.001 is ~1.8 MB
+    — broadcast-trivial; at 10^9 grams shard with
+    ``operators.sharded``)."""
+    spark = train_df.sparkSession
+    test_grams = test_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+    # bloom inserts are idempotent: build straight over the exploded
+    # grams, no distinct shuffle
+    bf = agg.aggregate_sketch(
+        test_grams, agg.bloom_over_strings("g", expected_grams, fpp)
+    )
+    grams = _doc_grams(train_df, text_col, id_col, n)
+    flagged = grams.withColumn(
+        "__hit", contains_udf(spark, bf)(F.col("g")).cast("int")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__hit").alias("n_contaminated"),
+        (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark.operators import aggregate as agg
-from presto_bloomfilter_spark.operators import dedup, multimodal, similarity, text
+from presto_bloomfilter_spark.operators import contamination, dedup, multimodal, similarity, text
 from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
 from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
 from presto_bloomfilter_spark.sources.tables import load_table
@@ -1153,6 +1153,78 @@ FROM documents
 """
 
 
+def _contamination_split(spark: SparkSession, sf_dir: str):
+    """Deterministic md5-bucket train/test split of the documents table
+    (same engine-portable predicate as hash_sample): bucket < 10 is the
+    'evaluation set', the rest is the 'training corpus'."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return d.filter(bucket >= 10), d.filter(bucket < 10)
+
+
+def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _contamination_split(spark, sf_dir)
+    return contamination.contamination_exact(train, test, "text", "doc_id", n=3)
+
+
+_CONTAM_CTE = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT id, bkt, CASE WHEN len(words) >= 3 THEN
+    list_distinct(list_transform(range(1, len(words) - 1),
+      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')] END AS grams
+  FROM w
+),
+test_u AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE bkt < 10),
+tg AS (SELECT id, unnest(grams) AS g FROM g WHERE bkt >= 10)
+"""
+
+ORACLE_CONTAMINATION_EXACT = _CONTAM_CTE + """
+SELECT tg.id AS id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(test_u.g) AS BIGINT) AS n_contaminated,
+       CAST(count(test_u.g) AS DOUBLE) / count(*) AS frac
+FROM tg LEFT JOIN test_u ON tg.g = test_u.g
+GROUP BY tg.id
+"""
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom scale path checked against the exact path in-band:
+    per train doc, n_grams is value-checked cross-engine, the
+    no-false-negative guarantee and the fpp overcount bound are
+    asserted as booleans."""
+    train, test = _contamination_split(spark, sf_dir)
+    exact = contamination.contamination_exact(train, test, "text", "doc_id", n=3)
+    bloom = contamination.contamination_bloom(
+        train, test, "text", "doc_id", n=3, expected_grams=200_000, fpp=1e-4)
+    e, b = exact.alias("e"), bloom.alias("b")
+    return e.join(b, "id").select(
+        F.col("id"),
+        F.col("e.n_grams").alias("n_grams"),
+        (F.col("b.n_contaminated") >= F.col("e.n_contaminated")).alias("no_false_neg"),
+        ((F.col("b.frac") - F.col("e.frac")) <= 0.01).alias("overcount_ok"),
+    )
+
+
+ORACLE_CONTAMINATION_BLOOM = _CONTAM_CTE + """
+SELECT tg.id AS id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       TRUE AS no_false_neg,
+       TRUE AS overcount_ok
+FROM tg LEFT JOIN test_u ON tg.g = test_u.g
+GROUP BY tg.id
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -1198,6 +1270,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "contamination_exact": q_contamination_exact,
+    "contamination_bloom": q_contamination_bloom,
 }
 
 ORACLES = {
@@ -1243,4 +1317,6 @@ ORACLES = {
     "ann_ivf": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
+    "contamination_exact": ORACLE_CONTAMINATION_EXACT,
+    "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
 }

@@ -1,0 +1,85 @@
+"""Train/test n-gram contamination detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import contamination
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    train = spark.createDataFrame(
+        [
+            ("t1", "the quick brown fox jumps over the lazy dog"),
+            ("t2", "a completely different sentence with no overlap here"),
+            ("t3", "the quick brown cat sat still"),
+            ("t4", "xy"),  # < n words -> single joined gram
+        ],
+        "doc_id string, text string",
+    )
+    test = spark.createDataFrame(
+        [("e1", "the quick brown fox ran"), ("e2", "xy")],
+        "doc_id string, text string",
+    )
+    return train, test
+
+
+def test_exact_hand_computed(spark, tiny):
+    train, test = tiny
+    out = {r.id: r for r in contamination.contamination_exact(train, test).collect()}
+    # test universe 3-grams: {the quick brown, quick brown fox, brown fox ran} + {xy}
+    # t1 grams: 7 (9 words) -> hits: 'the quick brown', 'quick brown fox' = 2
+    assert (out["t1"].n_grams, out["t1"].n_contaminated) == (7, 2)
+    assert out["t1"].frac == pytest.approx(2 / 7)
+    # t2: 6 grams, no overlap
+    assert (out["t2"].n_grams, out["t2"].n_contaminated) == (6, 0)
+    # t3: 4 grams, hit: 'the quick brown'
+    assert (out["t3"].n_grams, out["t3"].n_contaminated) == (4, 1)
+    # t4: single gram 'xy' == e2's single gram
+    assert (out["t4"].n_grams, out["t4"].n_contaminated) == (1, 1)
+    assert out["t4"].frac == 1.0
+
+
+def test_bloom_no_false_negatives_and_bounded_overcount(spark, tiny):
+    train, test = tiny
+    exact = {r.id: r for r in contamination.contamination_exact(train, test).collect()}
+    bloom = {r.id: r for r in contamination.contamination_bloom(
+        train, test, expected_grams=10_000, fpp=1e-4).collect()}
+    assert set(bloom) == set(exact)
+    for k in exact:
+        assert bloom[k].n_grams == exact[k].n_grams
+        assert bloom[k].n_contaminated >= exact[k].n_contaminated  # no FN ever
+        assert bloom[k].frac - exact[k].frac <= 0.01  # fpp-bounded overcount
+
+
+def test_bloom_path_is_join_free(spark, tiny):
+    """The scale property: the train corpus is probed map-only — the
+    bloom plan must contain no join operator at all (the exact path
+    has two)."""
+    train, test = tiny
+    plan_bloom = (
+        contamination.contamination_bloom(train, test)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" not in plan_bloom
+    plan_exact = (
+        contamination.contamination_exact(train, test)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" in plan_exact  # sanity: the exact path does join
+
+
+def test_exact_broadcasts_universe(spark, tiny):
+    train, test = tiny
+    plan = (
+        contamination.contamination_exact(train, test)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_test_set(spark, tiny):
+    train, _ = tiny
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = contamination.contamination_exact(train, empty).collect()
+    assert all(r.n_contaminated == 0 and r.frac == 0.0 for r in out)
