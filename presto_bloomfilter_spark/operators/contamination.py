@@ -57,10 +57,69 @@ def word_ngrams(text_col: str, n: int):
     return F.array_distinct(grams)
 
 
-def _doc_grams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def token_ngrams(tokens_col: str, n: int):
+    """Column expression: distinct token-id n-grams of an
+    ``array<int>`` column, stringified space-joined so the gram key is
+    engine-portable (DuckDB: ``array_to_string(tokens[i:i+n-1], ' ')``).
+    Sequences shorter than ``n`` contribute their whole token string —
+    the token-table analogue of ``word_ngrams``."""
+    toks = F.transform(F.col(tokens_col), lambda t: t.cast("string"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def _doc_grams(df: DataFrame, grams_expr, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("string").alias("id"),
-        F.explode(word_ngrams(text_col, n)).alias("g"),
+        F.explode(grams_expr).alias("g"),
+    )
+
+
+def _exact_on_grams(train_grams: DataFrame, test_grams: DataFrame,
+                    broadcast_universe: bool) -> DataFrame:
+    universe = test_grams.select("g").distinct()
+    if broadcast_universe:
+        universe = F.broadcast(universe)
+    totals = train_grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_grams.join(universe, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"))
+            .cast("double")
+            .alias("frac"),
+        )
+    )
+
+
+def _bloom_on_grams(train_grams: DataFrame, test_grams: DataFrame,
+                    expected_grams: int, fpp: float) -> DataFrame:
+    spark = train_grams.sparkSession
+    # bloom inserts are idempotent: build straight over the exploded
+    # grams, no distinct shuffle
+    bf = agg.aggregate_sketch(
+        test_grams, agg.bloom_over_strings("g", expected_grams, fpp)
+    )
+    flagged = train_grams.withColumn(
+        "__hit", contains_udf(spark, bf)(F.col("g")).cast("int")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__hit").alias("n_contaminated"),
+        (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
     )
 
 
@@ -80,28 +139,10 @@ def contamination_exact(
     probe a map-side semi join; pass False to let AQE pick a shuffle
     join for an unusually large universe.
     """
-    universe = (
-        test_df.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
-    )
-    if broadcast_universe:
-        universe = F.broadcast(universe)
-    grams = _doc_grams(train_df, text_col, id_col, n)
-    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        grams.join(universe, "g", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return (
-        totals.join(hits, "id", "left")
-        .select(
-            "id",
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-            (F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"))
-            .cast("double")
-            .alias("frac"),
-        )
+    return _exact_on_grams(
+        _doc_grams(train_df, word_ngrams(text_col, n), id_col),
+        test_df.select(F.explode(word_ngrams(text_col, n)).alias("g")),
+        broadcast_universe,
     )
 
 
@@ -122,19 +163,42 @@ def contamination_bloom(
     set's distinct-gram count (a 1M-gram filter at fpp=0.001 is ~1.8 MB
     — broadcast-trivial; at 10^9 grams shard with
     ``operators.sharded``)."""
-    spark = train_df.sparkSession
-    test_grams = test_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
-    # bloom inserts are idempotent: build straight over the exploded
-    # grams, no distinct shuffle
-    bf = agg.aggregate_sketch(
-        test_grams, agg.bloom_over_strings("g", expected_grams, fpp)
+    return _bloom_on_grams(
+        _doc_grams(train_df, word_ngrams(text_col, n), id_col),
+        test_df.select(F.explode(word_ngrams(text_col, n)).alias("g")),
+        expected_grams, fpp,
     )
-    grams = _doc_grams(train_df, text_col, id_col, n)
-    flagged = grams.withColumn(
-        "__hit", contains_udf(spark, bf)(F.col("g")).cast("int")
+
+
+def contamination_exact_tokens(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_universe: bool = True,
+) -> DataFrame:
+    """Token-id n-gram contamination over the pre-tokenized sequence
+    table (the north-rule input shape) — exact form."""
+    return _exact_on_grams(
+        _doc_grams(train_df, token_ngrams(tokens_col, n), id_col),
+        test_df.select(F.explode(token_ngrams(tokens_col, n)).alias("g")),
+        broadcast_universe,
     )
-    return flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("__hit").alias("n_contaminated"),
-        (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
+
+
+def contamination_bloom_tokens(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+    expected_grams: int = 1_000_000,
+    fpp: float = 0.001,
+) -> DataFrame:
+    """Token-id n-gram contamination, bloom map-only scale path."""
+    return _bloom_on_grams(
+        _doc_grams(train_df, token_ngrams(tokens_col, n), id_col),
+        test_df.select(F.explode(token_ngrams(tokens_col, n)).alias("g")),
+        expected_grams, fpp,
     )

@@ -1225,6 +1225,100 @@ GROUP BY tg.id
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup, driver-gated via the boolean-assert
+    pattern: four simulated micro-batch epochs over the documents table
+    (epoch e = doc_id % 4 == e, plus epochs 1-3 re-emit epoch-0 texts
+    under new ids — guaranteed cross-epoch duplicates).  Asserts the
+    operator's contract in-band:
+
+    - ``n_unique_texts`` (value-checked cross-engine): distinct texts in
+      the corpus — the duplicates add none;
+    - ``no_false_survivors``: survivors carry pairwise-distinct texts,
+      all drawn from the corpus (bloom has no false negatives, so a
+      seen text can never be re-emitted);
+    - ``loss_ok``: survivors ≥ 99% of unique texts (fpp=0.001 bound on
+      wrongly-dropped uniques, generous margin).
+    """
+    import tempfile
+
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import StreamingBloomDedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    root = tempfile.mkdtemp(prefix="pbs_sdedup_")
+    sink = f"{root}/sink"
+    d = StreamingBloomDedup(
+        SketchStore(f"{root}/store"), "gate", sink,
+        expected_insertions=50_000, fpp=0.001)
+    epoch0 = docs.filter(F.col("doc_id").cast("long") % 4 == 0)
+    for e in range(4):
+        batch = docs.filter(F.col("doc_id").cast("long") % 4 == e)
+        if e:
+            batch = batch.unionByName(epoch0.select(
+                F.concat(F.lit(f"dup{e}-"), F.col("doc_id")).alias("doc_id"), "text"))
+        d.process_batch(batch, e)
+
+    survivors = spark.read.parquet(sink).select("text")
+    n_surv = survivors.count()
+    n_surv_distinct = survivors.distinct().count()
+    n_unique = docs.select("text").distinct().count()
+    corpus_texts = docs.select("text").distinct()
+    n_in_corpus = survivors.distinct().join(corpus_texts, "text", "left_semi").count()
+    return spark.createDataFrame(
+        [(n_unique,
+          bool(n_surv == n_surv_distinct and n_in_corpus == n_surv_distinct),
+          bool(n_surv >= 0.99 * n_unique))],
+        "n_unique_texts long, no_false_survivors boolean, loss_ok boolean",
+    )
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+       TRUE AS no_false_survivors,
+       TRUE AS loss_ok
+FROM documents
+"""
+
+
+def q_contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id 8-gram contamination over the pre-tokenized sequence
+    table (the north-rule input shape), exact form, full value oracle.
+    Restricted to the non-web sources (~30% of docs) to keep the gate
+    fast — the operator itself is slice-agnostic."""
+    t = load_tokens(spark, sf_dir).filter(F.col("source") != "web")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long") % 100
+    train, test = t.filter(bucket >= 10), t.filter(bucket < 10)
+    return contamination.contamination_exact_tokens(train, test, "tokens", "doc_id", n=8)
+
+
+ORACLE_CONTAMINATION_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 100 AS bkt,
+         tokens
+  FROM {_TOKENS_SQL}
+  WHERE source <> 'web'
+),
+g AS (
+  SELECT id, bkt, CASE WHEN len(tokens) >= 8 THEN
+    list_distinct(list_transform(range(1, len(tokens) - 6),
+      i -> array_to_string(tokens[i:i+7], ' ')))
+    ELSE [array_to_string(tokens, ' ')] END AS grams
+  FROM t
+),
+test_u AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE bkt < 10),
+tg AS (SELECT id, unnest(grams) AS g FROM g WHERE bkt >= 10)
+SELECT tg.id AS id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(test_u.g) AS BIGINT) AS n_contaminated,
+       CAST(count(test_u.g) AS DOUBLE) / count(*) AS frac
+FROM tg LEFT JOIN test_u ON tg.g = test_u.g
+GROUP BY tg.id
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -1272,6 +1366,8 @@ QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "contamination_exact": q_contamination_exact,
     "contamination_bloom": q_contamination_bloom,
+    "contamination_tokens": q_contamination_tokens,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLES = {
@@ -1319,4 +1415,6 @@ ORACLES = {
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
     "contamination_exact": ORACLE_CONTAMINATION_EXACT,
     "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
+    "contamination_tokens": ORACLE_CONTAMINATION_TOKENS,
+    "streaming_dedup": ORACLE_STREAMING_DEDUP,
 }

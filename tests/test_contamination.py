@@ -78,6 +78,32 @@ def test_exact_broadcasts_universe(spark, tiny):
     assert "BroadcastHashJoin" in plan
 
 
+def test_token_ngram_contamination(spark):
+    """Token-id n-gram form over the pre-tokenized table shape."""
+    train = spark.createDataFrame(
+        [("t1", [1, 2, 3, 4, 5]), ("t2", [9, 9, 9, 9]), ("t3", [7])],
+        "doc_id string, tokens array<int>",
+    )
+    test = spark.createDataFrame(
+        [("e1", [2, 3, 4, 8]), ("e2", [7])],
+        "doc_id string, tokens array<int>",
+    )
+    out = {r.id: r for r in contamination.contamination_exact_tokens(
+        train, test, n=3).collect()}
+    # universe 3-grams: {"2 3 4","3 4 8"} + short e2 -> {"7"}
+    # t1 grams: "1 2 3","2 3 4","3 4 5" -> 1 hit
+    assert (out["t1"].n_grams, out["t1"].n_contaminated) == (3, 1)
+    # t2 grams: "9 9 9" x2 distinct -> 1 gram, 0 hits
+    assert (out["t2"].n_grams, out["t2"].n_contaminated) == (1, 0)
+    # t3 short: gram "7" == e2's gram
+    assert (out["t3"].n_grams, out["t3"].n_contaminated) == (1, 1)
+    bl = {r.id: r for r in contamination.contamination_bloom_tokens(
+        train, test, n=3, expected_grams=1000, fpp=1e-4).collect()}
+    for k in out:
+        assert bl[k].n_grams == out[k].n_grams
+        assert bl[k].n_contaminated >= out[k].n_contaminated
+
+
 def test_empty_test_set(spark, tiny):
     train, _ = tiny
     empty = spark.createDataFrame([], "doc_id string, text string")
