@@ -1282,6 +1282,179 @@ FROM documents
 """
 
 
+def q_streaming_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S>1 sharded streaming dedup (seen-set = 4-shard bloom
+    family), same epoch construction and in-band contract assertions as
+    streaming_dedup — S>1 must match S=1 semantics exactly."""
+    import tempfile
+
+    from presto_bloomfilter_spark.streaming.dedup_stream import ShardedStreamingBloomDedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    root = tempfile.mkdtemp(prefix="pbs_sdedup4_")
+    sink = f"{root}/sink"
+    d = ShardedStreamingBloomDedup(
+        f"{root}/store", "gate4", sink, shards=4,
+        expected_insertions_per_shard=20_000, fpp=0.001)
+    epoch0 = docs.filter(F.col("doc_id").cast("long") % 4 == 0)
+    for e in range(4):
+        batch = docs.filter(F.col("doc_id").cast("long") % 4 == e)
+        if e:
+            batch = batch.unionByName(epoch0.select(
+                F.concat(F.lit(f"dup{e}-"), F.col("doc_id")).alias("doc_id"), "text"))
+        d.process_batch(batch, e)
+
+    survivors = spark.read.parquet(sink).select("text")
+    n_surv = survivors.count()
+    n_surv_distinct = survivors.distinct().count()
+    n_unique = docs.select("text").distinct().count()
+    n_in_corpus = survivors.distinct().join(
+        docs.select("text").distinct(), "text", "left_semi").count()
+    return spark.createDataFrame(
+        [(n_unique,
+          bool(n_surv == n_surv_distinct and n_in_corpus == n_surv_distinct),
+          bool(n_surv >= 0.99 * n_unique))],
+        "n_unique_texts long, no_false_survivors boolean, loss_ok boolean",
+    )
+
+
+def q_streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sketch maintenance over a REAL Structured Streaming
+    query (file source, Trigger.AvailableNow, one file per micro-batch):
+    the folded HLL's distinct-doc estimate must land within its error
+    bound of the exact count, which is value-checked cross-engine."""
+    import tempfile
+
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.stream_sketch import run_stream_from_files
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    root = tempfile.mkdtemp(prefix="pbs_smaint_")
+    in_dir = f"{root}/in"
+    docs.repartition(3).write.parquet(in_dir)
+
+    sink = run_stream_from_files(
+        spark, in_dir, "doc_id string",
+        agg.hll_over_strings("doc_id"),
+        SketchStore(f"{root}/store"), "maint", f"{root}/ckpt",
+    )
+    est = sink.current().estimate()
+    n_exact = docs.distinct().count()
+    return spark.createDataFrame(
+        [(n_exact, bool(abs(est - n_exact) <= 0.03 * n_exact),
+          len(sink.batch_keys()) >= 1)],
+        "n_docs long, hll_ok boolean, folded boolean",
+    )
+
+
+ORACLE_STREAMING_SKETCH_MAINTENANCE = """
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       TRUE AS hll_ok, TRUE AS folded
+FROM documents
+"""
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable checkpointed build (north_rule: 'resumable from
+    checkpoint with per-partition lineage'): the first build persists
+    every partition partial; an identical re-run must recompute ZERO
+    partitions and return a byte-identical sketch, whose estimate is
+    value-checked cross-engine."""
+    import tempfile
+
+    from presto_bloomfilter_spark.store import SketchStore, checkpointed_aggregate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")).repartition(8)
+    store = SketchStore(tempfile.mkdtemp(prefix="pbs_ckpt_"))
+    sk1, built1 = checkpointed_aggregate(
+        spark, docs, agg.hll_over_strings("doc_id"), store, "cr")
+    sk2, built2 = checkpointed_aggregate(
+        spark, docs, agg.hll_over_strings("doc_id"), store, "cr")
+    n_exact = docs.distinct().count()
+    est = sk2.estimate()
+    return spark.createDataFrame(
+        [(n_exact,
+          bool(abs(est - n_exact) <= 0.03 * n_exact),
+          bool(built1 > 0 and built2 == 0),
+          bool(sk1.to_bytes() == sk2.to_bytes()))],
+        "n_docs long, hll_ok boolean, resume_skipped_all boolean, identical boolean",
+    )
+
+
+ORACLE_CHECKPOINT_RESUME = """
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       TRUE AS hll_ok, TRUE AS resume_skipped_all, TRUE AS identical
+FROM documents
+"""
+
+
+def q_streaming_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed stateful streaming (applyInPandasWithState):
+    per-day HLL sketches of distinct users over the events table,
+    driven as a REAL file-source stream.  Determinism device: the
+    watermark delay (40 days) exceeds the data's 30-day span, so no
+    real event is ever late regardless of file order; a far-future
+    sentinel file (written last → newest mtime → final micro-batch)
+    advances the watermark past every real window end, finalizing all
+    of them exactly once, while the sentinel's own window stays open
+    and is never emitted.  Per-day distinct-user counts are
+    value-checked cross-engine; the HLL estimate bound is asserted
+    in-band."""
+    import datetime as _dt
+    import tempfile
+    import time as _time
+
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    from presto_bloomfilter_spark.streaming.stateful import run_windowed_stream_from_files
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("user_id"))
+    root = tempfile.mkdtemp(prefix="pbs_wstream_")
+    in_dir = f"{root}/in"
+    events.repartition(3).write.parquet(in_dir)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(max_ts + _dt.timedelta(days=100), "-1")], "ts timestamp, user_id string")
+    _time.sleep(1.1)  # file source orders by mtime: sentinel must be the last batch
+    sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = run_windowed_stream_from_files(
+        spark, in_dir, "ts timestamp, user_id string",
+        agg.hll_over_strings("user_id"), time_col="ts",
+        window_duration="1 day", watermark_delay="40 days",
+        checkpoint=f"{root}/ckpt",
+    ).collect()
+    est_by_day = {
+        r.window_start.strftime("%Y-%m-%d"): sketch_from_bytes(r.sketch).estimate()
+        for r in out
+    }
+    exact = (
+        events.groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd")
+                       .alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    )
+    rows = [
+        (r.day, r.n_users,
+         bool(r.day in est_by_day
+              and abs(est_by_day[r.day] - r.n_users) <= max(0.05 * r.n_users, 3.0)))
+        for r in exact
+    ]
+    return spark.createDataFrame(rows, "day string, n_users long, hll_ok boolean")
+
+
+ORACLE_STREAMING_WINDOWED_USERS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY 1
+"""
+
+
 def q_contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id 8-gram contamination over the pre-tokenized sequence
     table (the north-rule input shape), exact form, full value oracle.
@@ -1368,6 +1541,10 @@ QUERIES = {
     "contamination_bloom": q_contamination_bloom,
     "contamination_tokens": q_contamination_tokens,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_dedup_sharded": q_streaming_dedup_sharded,
+    "streaming_sketch_maintenance": q_streaming_sketch_maintenance,
+    "checkpoint_resume": q_checkpoint_resume,
+    "streaming_windowed_users": q_streaming_windowed_users,
 }
 
 ORACLES = {
@@ -1417,4 +1594,8 @@ ORACLES = {
     "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
     "contamination_tokens": ORACLE_CONTAMINATION_TOKENS,
     "streaming_dedup": ORACLE_STREAMING_DEDUP,
+    "streaming_dedup_sharded": ORACLE_STREAMING_DEDUP,
+    "streaming_sketch_maintenance": ORACLE_STREAMING_SKETCH_MAINTENANCE,
+    "checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
+    "streaming_windowed_users": ORACLE_STREAMING_WINDOWED_USERS,
 }
