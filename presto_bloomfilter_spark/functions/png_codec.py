@@ -58,11 +58,14 @@ def png_read_header(buf: bytes) -> tuple[int, int, str]:
     """(width, height, mode) from IHDR without decoding pixel data."""
     if buf[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
-    length, tag = struct.unpack(">I4s", buf[8:16])
-    if tag != b"IHDR" or length != 13:
-        raise ValueError("malformed PNG (missing IHDR)")
-    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", buf[16:29])
+    try:
+        length, tag = struct.unpack(">I4s", buf[8:16])
+        if tag != b"IHDR" or length != 13:
+            raise ValueError("malformed PNG (missing IHDR)")
+        w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", buf[16:29])
+    except struct.error as e:
+        raise ValueError("truncated PNG header") from e
     if depth != 8 or color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG (depth={depth}, color_type={color_type})")
     if interlace:
@@ -76,15 +79,18 @@ def png_decode(buf: bytes) -> np.ndarray:
     ch = {"L": 1, "RGB": 3, "LA": 2, "RGBA": 4}[mode]
     # walk chunks, concatenate IDAT
     pos, idat = 8, []
-    while pos < len(buf):
-        length, tag = struct.unpack(">I4s", buf[pos : pos + 8])
-        body = buf[pos + 8 : pos + 8 + length]
-        if tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        while pos < len(buf):
+            length, tag = struct.unpack(">I4s", buf[pos : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error) as e:
+        raise ValueError("corrupt PNG chunk data") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data has wrong length")

@@ -85,3 +85,15 @@ def test_resize_nearest():
     # nearest must pick source pixels, never interpolate
     flat = {tuple(p) for row in arr for p in row}
     assert all(tuple(p) in flat for row in out for p in row)
+
+
+@pytest.mark.parametrize("buf", [
+    b"\x89PNG\r\n\x1a\n",                     # signature only
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR",  # truncated IHDR
+    b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,      # wrong chunk tag
+])
+def test_truncated_png_raises_value_error(buf):
+    with pytest.raises(ValueError):
+        pc.png_read_header(buf)
+    with pytest.raises(ValueError):
+        pc.png_decode(buf)

@@ -169,3 +169,39 @@ def test_shingle_sets_batch_matches_single_doc(texts):
         assert len(seg) >= 1  # every doc owns >= 1 shingle
         assert np.all(np.diff(seg.view(np.uint64)) > 0)  # sorted unique
         assert np.array_equal(seg, _shingle_hashes(t))
+
+
+# ---- PNG codec round-trip (arbitrary arrays) ---------------------------------
+
+png_arrays = st.tuples(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+).map(lambda t: np.random.default_rng(t[3]).integers(
+    0, 256, size=(t[0], t[1], t[2]), dtype=np.uint8))
+
+
+@settings(max_examples=80, deadline=None)
+@given(png_arrays)
+def test_png_codec_round_trip_property(arr):
+    from presto_bloomfilter_spark.functions.png_codec import (
+        png_decode,
+        png_encode,
+        png_read_header,
+    )
+
+    buf = png_encode(arr)
+    w, h, mode = png_read_header(buf)
+    assert (w, h) == (arr.shape[1], arr.shape[0])
+    assert mode == {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[arr.shape[2]]
+    np.testing.assert_array_equal(png_decode(buf), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_png_decode_rejects_garbage(buf):
+    import pytest as _pytest
+
+    from presto_bloomfilter_spark.functions.png_codec import png_decode
+
+    with _pytest.raises(ValueError):
+        png_decode(buf)
