@@ -513,3 +513,72 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---- dup-cluster connected components ------------------------------------------
+
+
+def components_from_pairs(pairs_df: DataFrame, id_a: str = "id_a",
+                          id_b: str = "id_b",
+                          max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup pair edges: the step after
+    pair detection in every dedup pipeline (keep one representative per
+    duplicate CLUSTER, not per pair — pairs (a,b),(b,c) must collapse
+    to one cluster even though (a,c) was never emitted).
+
+    Returns ``(id, component)`` for every endpoint, where ``component``
+    is the minimum id reachable through the pair graph — so
+    ``filter(id == component)`` keeps exactly one representative per
+    cluster and the choice is deterministic.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes ``min(own label, neighbors' labels)`` — run to fixpoint with
+    an exact convergence check.  Each round is one shuffle join keyed
+    on node id; rounds needed = graph diameter.  Near-dup clusters are
+    dense (diameter rarely above a few hops), so this is the right
+    shape at corpus scale; a pathological million-hop chain would want
+    the large-star/small-star variant, which this function documents
+    rather than implements.  Labels propagate through
+    ``localCheckpoint`` each round so the plan never accumulates
+    lineage.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` — loud, never a silently-partial clustering.
+    """
+    edges = pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(labels["label"], F.coalesce(nbr["nlabel"], labels["label"]))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("component"))
+    raise RuntimeError(
+        f"components_from_pairs did not converge in {max_iterations} rounds "
+        f"(graph diameter exceeds the bound) — raise max_iterations or use a "
+        f"star-contraction variant for extreme-diameter graphs"
+    )

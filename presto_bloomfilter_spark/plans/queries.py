@@ -1356,6 +1356,35 @@ FROM documents
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over dup pairs, exercised on MULTI-HOP
+    chains: within each exact-dup text group, only consecutive edges
+    (a-b, b-c, ...) are emitted, so the component label must propagate
+    the full chain length — a pairwise join could not produce this.
+    Runs over the augmented corpus (documents + constructed dups) so
+    real multi-doc text groups exist; oracle: every doc in a >1 group
+    labels with the group's lexicographic min id."""
+    docs = _aug_documents(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("id")
+    chain = (
+        docs.withColumn("prev", F.lag("id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return dedup.components_from_pairs(chain)
+
+
+ORACLE_DUP_CLUSTERS = f"""
+WITH gr AS (
+  SELECT id, MIN(id) OVER (PARTITION BY text) AS mn,
+         COUNT(*) OVER (PARTITION BY text) AS cnt
+  FROM ({_AUG_SQL})
+)
+SELECT id, mn AS component
+FROM gr WHERE cnt > 1
+"""
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable checkpointed build (north_rule: 'resumable from
     checkpoint with per-partition lineage'): the first build persists
@@ -1545,6 +1574,7 @@ QUERIES = {
     "streaming_sketch_maintenance": q_streaming_sketch_maintenance,
     "checkpoint_resume": q_checkpoint_resume,
     "streaming_windowed_users": q_streaming_windowed_users,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLES = {
@@ -1598,4 +1628,5 @@ ORACLES = {
     "streaming_sketch_maintenance": ORACLE_STREAMING_SKETCH_MAINTENANCE,
     "checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
     "streaming_windowed_users": ORACLE_STREAMING_WINDOWED_USERS,
+    "dup_clusters": ORACLE_DUP_CLUSTERS,
 }

@@ -109,3 +109,39 @@ def test_empty_test_set(spark, tiny):
     empty = spark.createDataFrame([], "doc_id string, text string")
     out = contamination.contamination_exact(train, empty).collect()
     assert all(r.n_contaminated == 0 and r.frac == 0.0 for r in out)
+
+
+# ---- connected components (dup clusters) ---------------------------------------
+
+
+def test_components_from_pairs_multi_hop(spark):
+    from presto_bloomfilter_spark.operators import dedup
+
+    # two chains and an isolated pair: {1-2-3-4-5}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.components_from_pairs(pairs).collect()}
+    assert {k: comp[k] for k in (1, 2, 3, 4, 5)} == dict.fromkeys(range(1, 6), 1)
+    assert comp[10] == comp[11] == 10
+    assert {comp[20], comp[21], comp[22]} == {20}
+
+
+def test_components_merge_two_chains(spark):
+    from presto_bloomfilter_spark.operators import dedup
+
+    # chains 1-2-3 and 7-8-9 joined by a single bridge 3-7: one component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (8, 9), (3, 7)], "id_a long, id_b long")
+    comp = {r.id: r.component for r in dedup.components_from_pairs(pairs).collect()}
+    assert set(comp.values()) == {1}
+
+
+def test_components_nonconvergence_is_loud(spark):
+    from presto_bloomfilter_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.components_from_pairs(pairs, max_iterations=2)
