@@ -170,6 +170,60 @@ def contamination_bloom(
     )
 
 
+def contamination_sharded(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    store_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    shards: int = 4,
+    expected_grams_per_shard: int = 250_000,
+    fpp: float = 0.001,
+    name: str = "contam",
+) -> DataFrame:
+    """Contamination when even the test-gram FILTER exceeds one
+    broadcast (10^9+ distinct grams): the seen-set is a hash-sharded
+    bloom family (``operators/sharded.py``) — one grouped job builds S
+    per-shard filters (raw grams never shuffle, only S blobs), probes
+    repartition by shard so each task loads exactly ONE n/S-sized
+    filter from the shared store.  Same output schema and
+    no-false-negative/fpp-overcount contract as
+    :func:`contamination_bloom`; peak executor memory is one shard
+    filter regardless of total capacity.
+
+    ``store_root`` must be storage every executor can read (object
+    store path on a real cluster) — the sharded probe fails loudly on
+    a missing shard object rather than silently dropping rows."""
+    from ..store import SketchStore
+    from .sharded import build_sharded_bloom, persist_sharded_bloom, sharded_contains
+
+    spark = train_df.sparkSession
+    test_grams = test_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+    family = build_sharded_bloom(
+        test_grams, "g", shards, expected_grams_per_shard, fpp)
+    persist_sharded_bloom(
+        family, SketchStore(store_root), name, shards,
+        expected_grams_per_shard, fpp)
+    grams = _doc_grams(train_df, word_ngrams(text_col, n), id_col)
+    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sharded_contains(spark, grams, "g", store_root, name, shards)
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"))
+            .cast("double")
+            .alias("frac"),
+        )
+    )
+
+
 def contamination_exact_tokens(
     train_df: DataFrame,
     test_df: DataFrame,

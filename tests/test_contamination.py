@@ -145,3 +145,18 @@ def test_components_nonconvergence_is_loud(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.components_from_pairs(pairs, max_iterations=2)
+
+
+def test_sharded_contamination_matches_exact_contract(spark, tiny, tmp_path):
+    """Sharded-family form: same schema, no false negatives, bounded
+    overcount — peak executor state is one shard filter."""
+    train, test = tiny
+    exact = {r.id: r for r in contamination.contamination_exact(train, test).collect()}
+    shd = {r.id: r for r in contamination.contamination_sharded(
+        train, test, str(tmp_path / "store"), shards=4,
+        expected_grams_per_shard=5_000, fpp=1e-4).collect()}
+    assert set(shd) == set(exact)
+    for k in exact:
+        assert shd[k].n_grams == exact[k].n_grams
+        assert shd[k].n_contaminated >= exact[k].n_contaminated
+        assert shd[k].frac - exact[k].frac <= 0.01
