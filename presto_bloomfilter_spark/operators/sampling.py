@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling: mixture rebalancing and bottom-k.
+
+Both operators are pure functions of row keys (md5), never of ``rand()``
+or physical layout, so a sample is reproducible across runs, engines,
+partitionings, and task retries — the property a training pipeline
+needs so a re-run of a 100 TB job selects byte-identical data.  Both
+compile to JVM built-ins (whole-stage codegen) and push into the scan;
+the same predicates run verbatim in ANSI SQL, which is how the DuckDB
+oracles value-check them exactly.
+
+- ``sample_mixture``: per-source keep-rates — the data-mixture
+  rebalancer.  A raw crawl is dominated by one source (the synthetic
+  corpus mirrors this: web ≈ 70%); training wants a target mixture, so
+  each source gets its own deterministic hash keep-rate.  Map-only: a
+  single scan-side predicate, no shuffle, no join.
+
+- ``bottom_k_sample``: the k rows with the smallest md5(key) — a KMV /
+  bottom-k sketch whose "estimate" is the sample itself.  Mergeable by
+  construction: bottom-k of a union == bottom-k of the per-shard
+  bottom-k's, which is exactly how Spark executes orderBy(pr).limit(k)
+  (per-partition top-k, then a k-row driver merge — no global sort
+  shuffle).  Use it for fixed-size eval panels / spot-check samples
+  that must stay stable as the corpus grows: a new row only enters the
+  sample by displacing the current max, so consecutive snapshots share
+  all but the displaced rows.
+
+Reference scope note: the reference ships hash-sketch membership
+(BloomFilter.java); these are the sampling siblings a sketch-driven
+data pipeline runs beside it, built on the same engine-portable-hash
+discipline as operators/text.py:hash_sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _md5_bucket(key_col: str, buckets: int = 100) -> Column:
+    """Engine-portable uniform bucket in [0, buckets): first 8 md5 hex
+    digits mod buckets (identical in Spark and ANSI SQL)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ``rates[source]`` percent of each source's rows,
+    deterministically by ``md5(key)``.  Sources absent from ``rates``
+    are dropped (rate 0).
+
+    Rates are integer percents so the predicate is exact in any engine.
+    Because every source uses the same key hash, the kept set is
+    NESTED across rate changes: raising web from 5 to 10 keeps the old
+    5% and adds 5% more — reruns and incremental mixture tuning never
+    churn previously selected data.
+    """
+    for src, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {src!r} must be in [0, 100], got {pct}")
+    if not rates:
+        return df.filter(F.lit(False))
+    bucket = _md5_bucket(key_col)
+    mapping = F.create_map(
+        *[lit for src, pct in rates.items() for lit in (F.lit(src), F.lit(int(pct)))]
+    )
+    rate = F.coalesce(mapping[F.col(source_col)], F.lit(0))
+    return df.filter(bucket < rate)
+
+
+def bottom_k_sample(df: DataFrame, key_col: str, k: int,
+                    priority_col: str = "pr") -> DataFrame:
+    """The k rows with the smallest ``md5(key)`` — a deterministic,
+    mergeable fixed-size sample (KMV bottom-k over the hashed key
+    space).  Executes as per-partition top-k + k-row merge
+    (TakeOrderedAndProject), never a global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pr = F.md5(F.col(key_col).cast("string"))
+    return df.withColumn(priority_col, pr).orderBy(priority_col).limit(k)

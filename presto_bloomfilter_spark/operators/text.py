@@ -86,6 +86,42 @@ def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
     return df.filter(bucket < percent)
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1: "repetitious documents are low quality"): per doc, the
+    fraction of words that are repeats of an earlier word and the
+    fraction of word n-grams that are repeats.  Boilerplate, keyword
+    stuffing, and template spam all spike these.
+
+    Pure built-in expressions (split / array_distinct / size), so the
+    whole thing is one map-only codegen'd projection over the scan —
+    no explode, no shuffle, no Python — and the identical computation
+    runs in the DuckDB oracle (list_distinct over the same split).
+    Word semantics = Python str.split (whitespace runs, no empties),
+    matching every other text operator; n-gram recipe matches
+    contamination.word_ngrams minus the distinct.
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    n_grams = F.size(grams)
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        n_words.cast("int").alias("n_words"),
+        ((n_words - F.size(F.array_distinct(words))).cast("double") / n_words)
+        .alias("word_rep_frac"),
+        ((n_grams - F.size(F.array_distinct(grams))).cast("double") / n_grams)
+        .alias("dup_gram_frac"),
+    )
+
+
 # ---- language ID (heuristic, not SQL-expressible) -----------------------------
 
 # character trigram profiles per language — tiny, deterministic, built

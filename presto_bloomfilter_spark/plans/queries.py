@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark.operators import aggregate as agg
-from presto_bloomfilter_spark.operators import contamination, dedup, multimodal, similarity, text
+from presto_bloomfilter_spark.operators import (
+    contamination, dedup, multimodal, packing, sampling, similarity, text,
+)
 from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
 from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
 from presto_bloomfilter_spark.sources.tables import load_table
@@ -1000,6 +1002,99 @@ FROM documents
 """
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition quality signals, full value
+    oracle (fracs are single divisions of identical integer operands —
+    bit-exact across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(d)
+
+
+ORACLE_REPETITION_METRICS = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT id, words, CASE WHEN len(words) >= 2 THEN
+    list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+    ELSE [array_to_string(words, ' ')] END AS grams
+  FROM w
+)
+SELECT id, CAST(len(words) AS INTEGER) AS n_words,
+       CAST(len(words) - len(list_distinct(words)) AS DOUBLE) / len(words) AS word_rep_frac,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_gram_frac
+FROM g
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
+    downsampled hard, minority sources kept): per-source deterministic
+    md5 keep-rates, map-only predicate, full value oracle."""
+    tokens = load_tokens(spark, sf_dir)
+    sampled = sampling.sample_mixture(
+        tokens, {"web": 5, "books": 25, "code": 50, "wiki": 75}, key_col="doc_id")
+    return sampled.select(F.col("doc_id").alias("id"), "source")
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+SELECT doc_id AS id, source FROM {_TOKENS_SQL}
+WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 100 <
+      CASE source WHEN 'web' THEN 5 WHEN 'books' THEN 25
+                  WHEN 'code' THEN 50 WHEN 'wiki' THEN 75 ELSE 0 END
+"""
+
+
+def q_bottom_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample: bottom-25 by md5(doc_id) — a
+    KMV bottom-k whose estimate IS the sample; executes as
+    per-partition top-k + k-row merge (plan-asserted in pytest), full
+    value oracle including the hex priorities."""
+    d = load_table(spark, sf_dir, "documents")
+    sample = sampling.bottom_k_sample(
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), "source"),
+        "doc_id", 25)
+    return sample.select(F.col("doc_id").alias("id"), "source", "pr")
+
+
+ORACLE_BOTTOM_K_SAMPLE = """
+SELECT CAST(doc_id AS VARCHAR) AS id, source, md5(CAST(doc_id AS VARCHAR)) AS pr
+FROM documents ORDER BY pr LIMIT 25
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing of the tokens corpus into
+    512-token training sequences with EOS separators.  Map-only, no
+    shuffle after the deterministic repartition; invariants asserted
+    in-band: exact token conservation (value-checked cross-engine),
+    every sequence ≤ L, ≤1 short remainder per partition, sequence
+    count inside the [ceil(T/L), floor(T/L)+P] envelope."""
+    tokens = load_tokens(spark, sf_dir)
+    P, L = 8, 512
+    packed = packing.pack_concat_chunks(
+        tokens.repartition(P, "doc_id"), L, eos_id=50256)
+    t = F.sum("n_tok")
+    return packed.agg(
+        t.cast("long").alias("total_tokens_out"),
+        (F.max("n_tok") <= L).alias("all_le_max"),
+        (F.sum((F.col("n_tok") < L).cast("int")) <= P).alias("n_short_ok"),
+        (
+            (F.count("*") >= F.ceil(t / F.lit(L)))
+            & (F.count("*") <= F.floor(t / F.lit(L)) + P)
+        ).alias("n_seqs_ok"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+SELECT CAST(SUM(n_tok) + COUNT(*) AS BIGINT) AS total_tokens_out,
+       TRUE AS all_le_max, TRUE AS n_short_ok, TRUE AS n_seqs_ok
+FROM {_TOKENS_SQL}
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [
@@ -1560,6 +1655,10 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "repetition_metrics": q_repetition_metrics,
+    "mixture_sample": q_mixture_sample,
+    "bottom_k_sample": q_bottom_k_sample,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_indexed": q_ann_lsh_indexed,
@@ -1614,6 +1713,10 @@ ORACLES = {
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "lang_id": ORACLE_LANG_ID,
     "fingerprint": ORACLE_FINGERPRINT,
+    "repetition_metrics": ORACLE_REPETITION_METRICS,
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "bottom_k_sample": ORACLE_BOTTOM_K_SAMPLE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
     "ann_lsh": ORACLE_ANN_RECALL,
     "ann_lsh_indexed": ORACLE_ANN_RECALL,

@@ -1,0 +1,146 @@
+"""Sequence packing + deterministic sampling operators."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import packing, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"d{i:04d}", [int(t) for t in rng.integers(1, 1000, rng.integers(1, 90))],
+         ["web", "books", "code"][i % 3])
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        [(i, t, len(t), s) for i, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).cache()
+
+
+# ---- packing -------------------------------------------------------------------
+
+
+def test_pack_conserves_tokens_and_lengths(docs):
+    L = 64
+    packed = packing.pack_concat_chunks(docs.repartition(4, "doc_id"), L).collect()
+    total_in = docs.agg(F.sum("n_tok")).first()[0]
+    assert sum(r.n_tok for r in packed) == total_in
+    assert all(len(r.tokens) == r.n_tok for r in packed)
+    short = [r for r in packed if r.n_tok < L]
+    assert all(r.n_tok == L for r in packed if r not in short)
+    assert len(short) <= 4  # at most one remainder per partition
+    n_full = sum(1 for r in packed if r.n_tok == L)
+    assert total_in // L - 4 <= n_full <= total_in // L
+
+
+def test_pack_eos_separators(docs):
+    L = 50
+    n_docs = docs.count()
+    total_in = docs.agg(F.sum("n_tok")).first()[0]
+    packed = packing.pack_concat_chunks(docs.repartition(2, "doc_id"), L, eos_id=0)
+    got = packed.agg(F.sum("n_tok")).first()[0]
+    assert got == total_in + n_docs
+    # EOS count is exactly one per doc (no input token is 0 above)
+    n_eos = packed.select(
+        F.sum(F.size(F.filter("tokens", lambda t: t == 0))).alias("n")).first()[0]
+    assert n_eos == n_docs
+
+
+def test_pack_drop_remainder(docs):
+    L = 64
+    packed = packing.pack_concat_chunks(
+        docs.repartition(4, "doc_id"), L, drop_remainder=True)
+    lens = [r.n_tok for r in packed.collect()]
+    assert lens and all(x == L for x in lens)
+
+
+def test_pack_stream_order_preserved_within_partition(spark):
+    df = spark.createDataFrame(
+        [(1, list(range(0, 7))), (2, list(range(7, 12))), (3, list(range(12, 20)))],
+        "doc_id int, tokens array<int>",
+    ).coalesce(1).sortWithinPartitions("doc_id")
+    out = packing.pack_concat_chunks(df, 6).collect()
+    stream = [t for r in out for t in r.tokens]
+    assert stream == list(range(20))
+    assert [r.n_tok for r in out] == [6, 6, 6, 2]
+
+
+def test_pack_carry_crosses_arrow_batches(spark):
+    df = spark.createDataFrame(
+        [(i, [i] * 3) for i in range(500)], "doc_id int, tokens array<int>"
+    ).coalesce(1)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        out = packing.pack_concat_chunks(df, 7).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert sum(r.n_tok for r in out) == 1500
+    assert sorted({r.n_tok for r in out} - {7}) in ([], [1500 % 7])
+
+
+def test_pack_rejects_bad_seq_len(docs):
+    with pytest.raises(ValueError, match="seq_len"):
+        packing.pack_concat_chunks(docs, 0)
+
+
+# ---- sampling ------------------------------------------------------------------
+
+
+def test_mixture_rates_and_nesting(docs):
+    small = sampling.sample_mixture(docs, {"web": 10, "books": 50})
+    big = sampling.sample_mixture(docs, {"web": 30, "books": 50, "code": 100})
+    s_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    b_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert s_ids <= b_ids  # nested under rate increases
+    assert not [r for r in small.select("source").distinct().collect()
+                if r.source == "code"]  # absent source dropped
+    n_code = docs.filter("source = 'code'").count()
+    assert big.filter("source = 'code'").count() == n_code  # rate 100 keeps all
+
+
+def test_mixture_deterministic_across_partitionings(docs):
+    a = sampling.sample_mixture(docs.repartition(13), {"web": 25})
+    b = sampling.sample_mixture(docs.coalesce(1), {"web": 25})
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_mixture_rejects_bad_rate(docs):
+    with pytest.raises(ValueError, match="rate"):
+        sampling.sample_mixture(docs, {"web": 101})
+
+
+def test_bottom_k_matches_exact_sort_and_is_mergeable(docs):
+    got = sampling.bottom_k_sample(docs, "doc_id", 17)
+    ids = {r.doc_id for r in got.collect()}
+    exact = [r.doc_id for r in docs.select(
+        "doc_id", F.md5("doc_id").alias("pr")).orderBy("pr").limit(17).collect()]
+    assert ids == set(exact)
+    # merge property: bottom-k of per-half bottom-k's == global bottom-k
+    h1 = sampling.bottom_k_sample(docs.filter("source = 'web'"), "doc_id", 17)
+    h2 = sampling.bottom_k_sample(docs.filter("source != 'web'"), "doc_id", 17)
+    merged = sampling.bottom_k_sample(h1.unionByName(h2), "doc_id", 17)
+    assert {r.doc_id for r in merged.collect()} == ids
+
+
+def test_bottom_k_plan_is_take_ordered(docs):
+    plan = sampling.bottom_k_sample(docs, "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_metrics_values(spark):
+    from presto_bloomfilter_spark.operators import text as T
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "p q r s"), ("c", "z z z")],
+        "doc_id string, text string",
+    )
+    got = {r.id: r for r in T.repetition_metrics(df).collect()}
+    assert got["a"].n_words == 4 and got["a"].word_rep_frac == 0.5
+    # grams of a: "x y","y x","x y" -> 1 dup of 3
+    assert abs(got["a"].dup_gram_frac - 1 / 3) < 1e-12
+    assert got["b"].word_rep_frac == 0.0 and got["b"].dup_gram_frac == 0.0
+    assert got["c"].word_rep_frac == 2 / 3 and got["c"].dup_gram_frac == 0.5
