@@ -94,7 +94,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
     # dedup/text signature generation over the documents table — the
     # hottest per-byte pass of a training pipeline (batch-vectorized
     # kernels)
-    from presto_bloomfilter_spark.operators import dedup, text
+    from presto_bloomfilter_spark.operators import dedup, packing, text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     n_docs = docs.count()
@@ -118,6 +118,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
             tokens, agg.cms_over_tokens("tokens", eps=1e-4), target_partials=CPUS)),
         ("kll_ntok", lambda: agg.aggregate_sketch(
             tokens, agg.kll_over_column("n_tok"), target_partials=CPUS)),
+        # map-only concat-and-chunk packing of the whole corpus into
+        # 2048-token training sequences (one pass, no shuffle)
+        ("pack_sequences", lambda: packing.pack_concat_chunks(
+            tokens, 2048, eos_id=50256).agg(F.count("*")).collect()),
         ("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect()),
         ("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect()),
         ("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count()),
