@@ -147,6 +147,20 @@ def sharded_contains(
             f"{manifest['shards']} shards but probed with {shards}; "
             f"the shard routing function would disagree with the build"
         )
+    # v2 manifests (written by epoch-atomic updaters such as
+    # ShardedStreamingBloomDedup) map each shard to a VERSIONED store
+    # key; the manifest swap is the single atomic publish point, so the
+    # probe must resolve keys through it rather than assume the v1
+    # fixed naming.
+    shard_keys = {
+        int(s): str(k) for s, k in manifest.get("shard_keys", {}).items()
+    } or {s: f"{name}.s{s}" for s in range(shards)}
+    missing = [s for s in range(shards) if s not in shard_keys]
+    if missing:
+        raise ValueError(
+            f"sharded bloom family '{name}' manifest lacks keys for "
+            f"shards {missing}; the family was not published atomically"
+        )
 
     with_shard = probe_df.withColumn(
         "__shard", _shard_col(F.col(probe_col).cast("string"), shards)
@@ -161,7 +175,7 @@ def sharded_contains(
             if not len(pdf):
                 continue
             for shard, sub in pdf.groupby("__shard"):
-                key = f"{name}.s{int(shard)}"
+                key = shard_keys[int(shard)]
                 if not store.exists(key):
                     # persist_sharded_bloom writes EVERY shard in
                     # [0, S) (empty filters included) — an absent

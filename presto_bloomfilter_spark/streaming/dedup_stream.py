@@ -266,7 +266,33 @@ class ShardedStreamingBloomDedup:
     scheme.  Saturation is per-shard: any shard past its fill bound
     triggers ``on_capacity`` ('warn' or 'error'; rolling a sharded
     family means re-sharding — start a new family — so 'roll' is not
-    offered here)."""
+    offered here).
+
+    **Epoch updates are ATOMIC across shards.**  An S=1 epoch commits
+    state with a single atomic ``put``; naively persisting S shard
+    objects one at a time re-opens a crash window — a failure between
+    two puts followed by Structured Streaming's epoch redelivery would
+    make the probe drop rows whose shard already merged, and the
+    overwrite sink write would then replace the complete epoch output
+    with the subset (silent, permanent row loss).  Instead the live
+    family is resolved through the v2 manifest (``shard_keys``: shard →
+    versioned store key):
+
+    1. merged shard filters are STAGED under epoch-versioned keys
+       (``{family}.s{s}.e{epoch}``) — the live objects the probe reads
+       are never touched;
+    2. the manifest is swapped (``put_meta`` = atomic rename) to point
+       at the staged keys — this is the one commit point;
+    3. the epoch marker is written, then superseded shard versions are
+       pruned (best-effort).
+
+    A crash before the swap leaves the manifest on the old versions, so
+    a retry re-probes identical state, re-emits the identical row set
+    (the sink overwrite is byte-idempotent), and re-stages the same
+    merged shards.  A crash after the swap but before the marker makes
+    the retry's probe drop everything (all digests now seen), so
+    ``emitted == 0`` skips the sink write — the prior attempt's
+    complete sink output survives — and the epoch is then marked."""
 
     def __init__(self, store_root: str, job_id: str, sink_path: str,
                  shards: int = 4,
@@ -290,22 +316,39 @@ class ShardedStreamingBloomDedup:
         self.keep_markers = 64
         self.capacity_events: list[dict] = []
 
+    def _manifest_key(self) -> str:
+        return f"{self.family}.manifest"
+
+    def _read_manifest(self) -> dict:
+        import json
+
+        return json.loads(self.store.get_meta(self._manifest_key()))
+
+    def _swap_manifest(self, shard_keys: dict[int, str]) -> None:
+        """The single atomic commit point for an epoch's state update:
+        point the manifest at the (possibly staged) shard keys."""
+        import json
+
+        self.store.put_meta(
+            self._manifest_key(),
+            json.dumps({
+                "name": self.family, "shards": self.shards,
+                "format": "pbfs-sharded-v2",
+                "shard_keys": {str(s): k for s, k in sorted(shard_keys.items())},
+            }).encode())
+
     def _ensure_family(self) -> None:
-        """First batch: persist the empty S-shard family + manifest so
-        the probe path's loud-missing-shard guarantee holds from epoch
-        zero."""
-        from presto_bloomfilter_spark.operators import sharded
-
-        if not self.store.meta_exists(f"{self.family}.manifest"):
-            import json
-
+        """First batch: persist the empty S-shard family + v2 manifest
+        so the probe path's loud-missing-shard guarantee holds from
+        epoch zero and every later update is a manifest swap."""
+        if not self.store.meta_exists(self._manifest_key()):
+            # distinct ".init" suffix: epoch 0's staged keys are
+            # ".e0", so staging never writes over a live object
+            keys = {}
             for s in range(self.shards):
-                self.store.put(f"{self.family}.s{s}", BloomFilter(self.n, self.p))
-            self.store.put_meta(
-                f"{self.family}.manifest",
-                json.dumps({"name": self.family, "shards": self.shards,
-                            "format": "pbfs-sharded-v1"}).encode())
-        _ = sharded  # imported for parity; family layout matches persist_sharded_bloom
+                keys[s] = f"{self.family}.s{s}.init"
+                self.store.put(keys[s], BloomFilter(self.n, self.p))
+            self._swap_manifest(keys)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> int:
         """Returns the number of rows emitted for this batch."""
@@ -325,6 +368,7 @@ class ShardedStreamingBloomDedup:
             self.family, self.shards, keep_hits=False,
         ).cache()
         emitted = fresh.count()
+        capacity_msgs: list[str] = []
         if emitted:
             fresh.drop("__digest").write.mode("overwrite").parquet(
                 f"{self.sink_path}/epoch={epoch_id}"
@@ -334,31 +378,47 @@ class ShardedStreamingBloomDedup:
             # bitset-OR into the persisted family
             partial = build_sharded_bloom(
                 fresh.select("__digest"), "__digest", self.shards, self.n, self.p)
+            manifest = self._read_manifest()
+            live = {int(s): str(k) for s, k in manifest["shard_keys"].items()}
+            staged = dict(live)
             for r in partial.collect():
-                key = f"{self.family}.s{int(r.shard)}"
-                merged = self.store.get(key)
+                s = int(r.shard)
+                # STAGE: merge onto the live object but write to an
+                # epoch-versioned key; the live family is untouched
+                # until the manifest swap below, so a crash anywhere in
+                # this loop leaves probe state exactly pre-epoch
+                merged = self.store.get(live[s])
                 merged.merge(sketch_from_bytes(bytes(r.sketch)))
-                self.store.put(key, merged)
+                staged[s] = f"{self.family}.s{s}.e{epoch_id}"
+                self.store.put(staged[s], merged)
                 est_fpr = merged.estimated_fpr()
                 if est_fpr > self.p:
-                    event = {
-                        "epoch": int(epoch_id), "shard": int(r.shard),
+                    self.capacity_events.append({
+                        "epoch": int(epoch_id), "shard": s,
                         "estimated_fpr": float(est_fpr),
                         "configured_fpp": float(self.p),
                         "approx_items": float(merged.estimate()),
                         "capacity_per_shard": int(self.n),
                         "action": self.on_capacity,
-                    }
-                    self.capacity_events.append(event)
-                    msg = (f"sharded seen-family shard {r.shard} past capacity "
-                           f"at epoch {epoch_id}: estimated FPR {est_fpr:.4f} "
-                           f"> {self.p}")
-                    if self.on_capacity == "error":
-                        raise CapacityExceeded(msg)
-                    warnings.warn(msg + " (re-shard to a larger family)",
-                                  stacklevel=2)
+                    })
+                    capacity_msgs.append(
+                        f"sharded seen-family shard {s} past capacity "
+                        f"at epoch {epoch_id}: estimated FPR {est_fpr:.4f} "
+                        f"> {self.p}")
+            self._swap_manifest(staged)  # atomic commit of ALL shards
+            for s, old_key in live.items():
+                if staged[s] != old_key:
+                    self.store.delete(old_key)  # superseded version
         fresh.unpersist()
         _mark_epoch(self.store, self.job_id, epoch_id, self.keep_markers)
+        # raise AFTER the swap + marker: state is committed and complete
+        # (no retry window), and every subsequent epoch re-raises while
+        # the shard stays saturated, so the stream keeps failing loudly
+        # until the operator re-shards
+        if capacity_msgs and self.on_capacity == "error":
+            raise CapacityExceeded("; ".join(capacity_msgs))
+        for msg in capacity_msgs:
+            warnings.warn(msg + " (re-shard to a larger family)", stacklevel=2)
         return emitted
 
     def attach(self, stream_df: DataFrame, checkpoint: str):

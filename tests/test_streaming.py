@@ -292,11 +292,98 @@ def test_sharded_streaming_dedup_matches_single(spark, tmp_path):
     rows = {(r.doc_id, r.text) for r in out.collect()}
     assert rows == {(1, "alpha"), (2, "beta"), (4, "gamma"), (8, "delta")}
     # family layout: every shard object exists (empty included), each
-    # bounded to the per-shard geometry, manifest present
+    # bounded to the per-shard geometry, resolved via the v2 manifest
+    import json
+
     store = SketchStore(root)
     assert store.meta_exists("sd.seen.manifest")
-    for s in range(4):
-        assert store.get(f"sd.seen.s{s}").expected_insertions == 2_000
+    manifest = json.loads(store.get_meta("sd.seen.manifest"))
+    assert manifest["format"] == "pbfs-sharded-v2"
+    assert sorted(int(s) for s in manifest["shard_keys"]) == [0, 1, 2, 3]
+    for key in manifest["shard_keys"].values():
+        assert store.get(key).expected_insertions == 2_000
+
+
+def test_sharded_streaming_dedup_crash_retry_loses_nothing(spark, tmp_path):
+    """Epoch retry after a mid-merge crash is lossless: shard merges
+    are STAGED under versioned keys and committed with one atomic
+    manifest swap, so a crash between two shard persists leaves probe
+    state pre-epoch and the retry re-emits the COMPLETE row set
+    (code-review finding: the per-shard-put scheme lost every row of
+    already-merged shards on redelivery)."""
+    from presto_bloomfilter_spark.store import SketchStore
+    from presto_bloomfilter_spark.streaming.dedup_stream import (
+        ShardedStreamingBloomDedup,
+    )
+
+    root = str(tmp_path / "s4c")
+    sink = str(tmp_path / "sink4c")
+    d = ShardedStreamingBloomDedup(root, "sd3", sink, shards=4,
+                                   expected_insertions_per_shard=2_000,
+                                   fpp=0.001)
+    docs = [(i, f"doc-{i}") for i in range(64)]  # spans all 4 shards
+    batch = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # crash window 1: die DURING shard staging (after >=2 staged puts,
+    # before the manifest swap) — simulate by failing put_meta once
+    orig_put_meta = SketchStore.put_meta
+    calls = {"n": 0}
+
+    def dying_put_meta(self, key, blob):
+        if key.endswith(".manifest") and b"e1" in blob:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("simulated crash before manifest swap")
+        return orig_put_meta(self, key, blob)
+
+    SketchStore.put_meta = dying_put_meta
+    try:
+        assert d.process_batch(batch, 0) == 64  # warm epoch 0 (committed)
+        b1 = spark.createDataFrame([(100 + i, f"new-{i}") for i in range(64)],
+                                   "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            d.process_batch(b1, 1)
+        # redelivery: probe state is pre-epoch, the FULL set re-emits
+        assert d.process_batch(b1, 1) == 64
+    finally:
+        SketchStore.put_meta = orig_put_meta
+    out1 = spark.read.parquet(f"{sink}/epoch=1")
+    assert out1.count() == 64  # nothing lost from the epoch's sink dir
+
+    # crash window 2: die after the swap but before the epoch marker —
+    # retry emits 0 and must NOT clobber the complete sink output
+    store = SketchStore(root)
+    import presto_bloomfilter_spark.streaming.dedup_stream as ds
+    orig_mark = ds._mark_epoch
+
+    def dying_mark(st, job_id, epoch_id, keep):
+        if epoch_id == 2:
+            raise OSError("simulated crash before epoch marker")
+        return orig_mark(st, job_id, epoch_id, keep)
+
+    b2 = spark.createDataFrame([(200 + i, f"fresh-{i}") for i in range(32)],
+                               "doc_id long, text string")
+    ds._mark_epoch = dying_mark
+    try:
+        import pytest as _pytest
+        with _pytest.raises(OSError):
+            d.process_batch(b2, 2)
+    finally:
+        ds._mark_epoch = orig_mark
+    assert spark.read.parquet(f"{sink}/epoch=2").count() == 32
+    assert d.process_batch(b2, 2) == 0  # state already committed
+    assert spark.read.parquet(f"{sink}/epoch=2").count() == 32  # intact
+    # dup probes across all of it still drop everything
+    replay = spark.createDataFrame(
+        [(900 + i, f"fresh-{i}") for i in range(32)]
+        + [(950 + i, f"new-{i}") for i in range(16)],
+        "doc_id long, text string")
+    assert d.process_batch(replay, 3) == 0
+    # superseded shard versions were pruned: at most S live objects
+    # (plus epoch markers) remain
+    live = [k for k in store.keys() if ".seen.s" in k]
+    assert len(live) <= 4
 
 
 def test_sharded_streaming_dedup_larger_corpus(spark, tmp_path):
