@@ -234,37 +234,74 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(index: DataFrame, max_bucket: int = 64) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from band-bucket co-occurrence.
+def _banded_pairs_with_cap(bands: DataFrame, band_keys: list[str],
+                           max_bucket: int,
+                           payload: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band-bucket
+    co-occurrence, quadratic-blow-up-proof WITHOUT losing whole
+    clusters.
 
-    Pure Catalyst dataflow: a windowed bucket-size cap (drops giant
-    degenerate buckets, bounds the quadratic blow-up) followed by an
-    equi-self-join on (band, band_hash).  An earlier applyInPandas
-    version paid ~2 ms of per-group pandas overhead across one tiny
-    group per bucket — 26 s where this takes under 2 s at sf0.01 — and
-    at corpus scale bucket count only grows, so per-group Python is the
-    wrong shape; the join keeps everything in whole-stage codegen.
+    Buckets of 2..max_bucket rows take the full equi-self-join (every
+    in-bucket pair is a candidate).  Buckets LARGER than max_bucket —
+    the degenerate case: boilerplate, empty docs, giant duplicate
+    clusters — fall back to STAR pairing against the bucket's min-id
+    row: O(bucket) candidates instead of O(bucket²), and because all
+    members of a giant duplicate cluster pair with the same
+    representative, downstream connected components still recovers the
+    full cluster.  (Dropping oversize buckets outright — the earlier
+    behavior — silently produced ZERO pairs for exactly the clusters
+    dedup exists to find.)  Every candidate is still exact-verified by
+    the caller, so the fallback can only cost recall on non-dup
+    in-bucket pairs, never precision.
+
+    Pure Catalyst dataflow: an applyInPandas version paid ~2 ms of
+    per-group pandas overhead per bucket — 26 s where this takes under
+    2 s at sf0.01 — and at corpus scale bucket count only grows, so
+    per-group Python is the wrong shape; the joins stay in whole-stage
+    codegen.
+
+    ``payload`` columns are carried through as ``{col}_a`` /
+    ``{col}_b`` so callers can verify without re-joining signatures.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "band_hash")
-    filtered = (
-        index.withColumn("__bucket_size", F.count(F.lit(1)).over(w))
-        .filter((F.col("__bucket_size") >= 2) & (F.col("__bucket_size") <= max_bucket))
-        .drop("__bucket_size")
-    )
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    w = Window.partitionBy(*band_keys)
+    sized = bands.withColumn("__bucket_size", F.count(F.lit(1)).over(w))
+    small = sized.filter(
+        (F.col("__bucket_size") >= 2) & (F.col("__bucket_size") <= max_bucket)
+    ).drop("__bucket_size")
+    a = small.alias("a")
+    b = small.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in band_keys:
+        cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+    sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+    sel += [F.col(f"a.{p}").alias(f"{p}_a") for p in payload]
+    sel += [F.col(f"b.{p}").alias(f"{p}_b") for p in payload]
+    full = a.join(b, cond).select(*sel)
+
+    # star fallback: min(struct(id, payload...)) picks the rep row
+    # atomically; rep has the bucket-min id, so id_a < id_b holds
+    big = sized.filter(F.col("__bucket_size") > max_bucket)
+    rep = F.min(F.struct("id", *payload)).over(w)
+    star = (
+        big.withColumn("__rep", rep)
+        .filter(F.col("id") != F.col("__rep.id"))
+        .select(
+            F.col("__rep.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"__rep.{p}").alias(f"{p}_a") for p in payload],
+            *[F.col(p).alias(f"{p}_b") for p in payload],
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    return full.unionByName(star).distinct()
+
+
+def lsh_candidate_pairs(index: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band-bucket
+    co-occurrence; oversize degenerate buckets degrade to star pairing
+    instead of dropping (see :func:`_banded_pairs_with_cap`)."""
+    return _banded_pairs_with_cap(index, ["band", "band_hash"], max_bucket)
 
 
 def _jaccard(a: str, b: str) -> float:
@@ -472,43 +509,30 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     bands (any pair within Hamming<=3 of a 64-bit hash shares at least
     one of 4 bands by pigeonhole), verified by exact Hamming distance.
 
-    Degenerate buckets are capped exactly like lsh_candidate_pairs: a
-    (band, band_val) bucket larger than ``max_bucket`` is dropped
-    before the self-join, bounding the worst case at
-    O(buckets * max_bucket²) instead of quadratic in the largest dup
-    cluster — a corpus with 10k copies of one template would otherwise
-    materialize ~10^8 join rows per band.  Every emitted pair is still
-    exact-verified (Hamming), so capping only costs recall on clusters
-    the cap drops, never precision."""
+    Degenerate buckets use the shared cap machinery
+    (:func:`_banded_pairs_with_cap`): a (band, band_val) bucket larger
+    than ``max_bucket`` emits star pairs against its min-id
+    representative instead of the full self-join — a corpus with 10k
+    copies of one template costs ~10k candidates per band instead of
+    ~10^8, and the cluster still surfaces whole (every copy pairs with
+    the representative at Hamming 0; connected components collapses
+    them).  Exhaustiveness is guaranteed for any pair sharing at least
+    one band bucket of <= max_bucket rows; the exact Hamming filter
+    keeps precision exact regardless."""
     sigs = simhash_signatures(df, text_col, id_col)
     bands = sigs.select(
         "id", "simhash", F.posexplode(F.array(*[
             F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
         ])).alias("band", "band_val")
     )
-    w = Window.partitionBy("band", "band_val")
-    bands = (
-        bands.withColumn("__bucket_size", F.count(F.lit(1)).over(w))
-        .filter((F.col("__bucket_size") >= 2) & (F.col("__bucket_size") <= max_bucket))
-        .drop("__bucket_size")
-    )
-
-    # candidates via JVM-side self-join on the shared band (no per-group
-    # Python — same reshape as lsh_candidate_pairs); exact Hamming check
-    # stays in Catalyst: popcount via bit_count on the XOR
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # exact Hamming check stays in Catalyst: popcount via bit_count on
+    # the XOR of the carried signatures
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        _banded_pairs_with_cap(bands, ["band", "band_val"], max_bucket,
+                               payload=("simhash",))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "id_a", "id_b",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -440,19 +440,24 @@ def test_pair_jaccard_batch_matches_scalar():
 
 def test_simhash_degenerate_cluster_capped(spark):
     """10k identical short docs: without the bucket cap the band
-    self-join materializes ~10^8 rows; with it the query completes fast
-    and any emitted pair is still exact-Hamming-verified."""
+    self-join materializes ~10^8 rows; with the star fallback the query
+    completes fast AND the giant duplicate cluster still surfaces whole
+    (code-review finding: dropping oversize buckets emitted ZERO pairs
+    for exactly the clusters dedup exists to find)."""
     big = spark.range(0, 10_000).selectExpr(
         "cast(id as string) as id", "'the same short template text' as text")
     out = dedup.simhash_near_dup_pairs(big, "text", "id")
-    # completes quickly: capped buckets bound the join fan-out
     import time
     t0 = time.time()
-    n = out.count()
-    assert time.time() - t0 < 60
-    # the degenerate cluster is dropped by the cap (documented recall
-    # trade) — nothing quadratic is emitted
-    assert n == 0
+    rows = out.collect()
+    assert time.time() - t0 < 60  # capped fan-out: linear, not ~10^8
+    # star pairing: every copy pairs with the min-id representative at
+    # Hamming 0, so connected components recovers ONE 10k cluster
+    assert len(rows) == 10_000 - 1
+    assert all(r.hamming == 0 for r in rows)
+    comp = dedup.components_from_pairs(out)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 10_000
 
 
 def test_embedding_near_dup_builds_lazily(spark):
