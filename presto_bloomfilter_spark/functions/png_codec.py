@@ -96,39 +96,52 @@ def png_decode(buf: bytes) -> np.ndarray:
         raise ValueError("PNG pixel data has wrong length")
     lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     filters, data = lines[:, 0], lines[:, 1:]
-    out = np.zeros((h, stride), np.uint16)  # u16 head-room, mod-256 at the end
-    for y in range(h):
+    bad = set(np.unique(filters)) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"unknown PNG filter type {bad.pop()}")
+    out = np.zeros((h, stride), np.int64)  # head-room, mod-256 on store
+    # Sub rows depend ONLY on themselves: recon[x] = sum of filt bytes
+    # in the same channel lane mod 256 — reconstruct every Sub row in
+    # the image with ONE lane-cumsum, no per-pixel Python
+    sub_rows = np.nonzero(filters == 1)[0]
+    if sub_rows.size:
+        sub = data[sub_rows].astype(np.int64).reshape(-1, w, ch)
+        out[sub_rows] = (np.cumsum(sub, axis=1) & 0xFF).reshape(-1, stride)
+    none_rows = np.nonzero(filters == 0)[0]
+    if none_rows.size:
+        out[none_rows] = data[none_rows]
+    zero = np.zeros(stride, np.int64)
+    for y in range(h):  # rows with an up-dependency are inherently sequential
         f = filters[y]
-        cur = data[y].astype(np.uint16)
-        prev = out[y - 1] if y else np.zeros(stride, np.uint16)
-        if f == 0:  # None
-            out[y] = cur
-        elif f == 1:  # Sub: sequential in x, vectorize per channel-lag
-            row = cur.copy()
-            for x in range(ch, stride):
-                row[x] = (row[x] + row[x - ch]) & 0xFF
-            out[y] = row
-        elif f == 2:  # Up
-            out[y] = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            row = cur.copy()
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
-            out[y] = row
-        elif f == 4:  # Paeth
-            row = cur.copy()
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
-            out[y] = row
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
+        if f <= 1:
+            continue  # reconstructed above
+        prev = out[y - 1] if y else zero
+        if f == 2:  # Up: one vector add per row
+            out[y] = (data[y] + prev) & 0xFF
+            continue
+        # Average / Paeth: the x-recurrence (left neighbor feeds the
+        # next pixel) has no closed form, so x stays a Python loop —
+        # over PIXEL COLUMNS with all channels as one numpy lane, not
+        # over bytes (w iterations/row, branchless channel-wide select)
+        row = data[y].astype(np.int64).reshape(w, ch)
+        pr = prev.reshape(w, ch)
+        left = np.zeros(ch, np.int64)
+        if f == 3:  # Average
+            for x in range(w):
+                left = (row[x] + ((left + pr[x]) >> 1)) & 0xFF
+                row[x] = left
+        else:  # Paeth
+            upleft = np.zeros(ch, np.int64)
+            for x in range(w):
+                up = pr[x]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, upleft))
+                left = (row[x] + pred) & 0xFF
+                row[x] = left
+                upleft = up
+        out[y] = row.reshape(stride)
     return out.astype(np.uint8).reshape(h, w, ch)
 
 

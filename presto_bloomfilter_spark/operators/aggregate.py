@@ -700,6 +700,14 @@ def top_k_tokens(
         )
 
     phase1 = df.select(col).mapInArrow(local_top, "token long, cnt long, is_thr boolean")
+    if certify:
+        # persist the (partitions x M)-row phase-1 output: the
+        # certificate's threshold bound must come from the SAME
+        # evaluation that produced the candidate set (a recompute over
+        # non-deterministic partitioning could certify against
+        # thresholds that never bounded the actual run), and without
+        # the cache the bound query re-runs the whole corpus scan
+        phase1 = phase1.persist()
     candidates = (
         phase1.filter(~F.col("is_thr"))
         .groupBy("token")
@@ -723,9 +731,14 @@ def top_k_tokens(
     )
     if not certify:
         return result
-    rows = result.collect()
-    kth = min((r.cnt for r in rows), default=0)
-    bound = phase1.filter(F.col("is_thr")).agg(F.sum("cnt")).collect()[0][0] or 0
+    try:
+        rows = result.collect()  # materializes phase1 into the cache
+        kth = min((r.cnt for r in rows), default=0)
+        # reads the CACHED phase-1 rows: one tiny threshold sum, no
+        # second corpus scan, same evaluation as the candidates
+        bound = phase1.filter(F.col("is_thr")).agg(F.sum("cnt")).collect()[0][0] or 0
+    finally:
+        phase1.unpersist()
     if len(rows) == k and kth > bound:
         spark = df.sparkSession
         return spark.createDataFrame(rows, result.schema)

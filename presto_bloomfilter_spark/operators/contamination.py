@@ -43,18 +43,32 @@ from .probe import contains_udf
 _OUT_SCHEMA = ("id", "n_grams", "n_contaminated", "frac")
 
 
-def word_ngrams(text_col: str, n: int):
-    """Column expression: distinct word n-grams of a text column
-    (str.split() word semantics; < n words → one joined gram)."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    grams = F.when(
+def split_words(text_col: str):
+    """Column expression: the repo-wide word split — Python
+    ``str.split()`` semantics (whitespace runs, no empties).  Every
+    word-level operator and its DuckDB oracle depend on this exact
+    definition; reference it, never re-inline it."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+def word_grams(text_col: str, n: int):
+    """Column expression: word n-grams WITH multiplicity (str.split()
+    word semantics; < n words → one joined gram).  The single shared
+    gram recipe — ``word_ngrams`` adds the distinct, repetition
+    metrics count the duplicates."""
+    words = split_words(text_col)
+    return F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - n),
             lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return F.array_distinct(grams)
+
+
+def word_ngrams(text_col: str, n: int):
+    """Column expression: DISTINCT word n-grams of a text column."""
+    return F.array_distinct(word_grams(text_col, n))
 
 
 def token_ngrams(tokens_col: str, n: int):

@@ -51,6 +51,16 @@ def _batch_tokens(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndar
     col = batch.column(batch.schema.get_field_index(name))
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # a NULL list is not an empty document — value_lengths() yields
+        # null there, and a silent NaN->int64 cast would turn it into a
+        # garbage length that corrupts the EOS scatter / conservation
+        # accounting; make the caller decide (filter isNotNull upstream)
+        raise ValueError(
+            f"pack_concat_chunks: {col.null_count} NULL row(s) in "
+            f"'{name}'; filter them out (or fill with array()) before "
+            f"packing — a null document has no defined token stream"
+        )
     # flatten() yields exactly the logical values (it honors any slice
     # offset), so pair it with value_lengths(), never raw .offsets
     flat = col.flatten().to_numpy(zero_copy_only=False)

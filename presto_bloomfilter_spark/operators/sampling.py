@@ -35,13 +35,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _md5_bucket(key_col: str, buckets: int = 100) -> Column:
+def md5_bucket(key_col: str, buckets: int = 100) -> Column:
     """Engine-portable uniform bucket in [0, buckets): first 8 md5 hex
-    digits mod buckets (identical in Spark and ANSI SQL)."""
+    digits mod buckets (identical in Spark and ANSI SQL).
+
+    THE single definition of the hash-bucket expression — hash_sample,
+    the train/test contamination splits, and their DuckDB oracles all
+    depend on this exact formula, so every consumer must reference it
+    here rather than re-inline it (a drifted copy silently changes
+    which rows a sample/split selects)."""
     return (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
         % buckets
     )
+
+
+_md5_bucket = md5_bucket  # backward-compat alias
 
 
 def sample_mixture(

@@ -116,8 +116,9 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_rows: int = 100_000,  # advisory: target rows per block when sizing n_blocks yourself
+    block_rows: int = 100_000,
     n_blocks: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b), id_a < id_b,
     cosine >= threshold — EXACT, fully distributed.
@@ -137,13 +138,21 @@ def embedding_near_dup_pairs(
     ``n_blocks`` defaults to ceil(sqrt(2 * defaultParallelism)) — the
     smallest block count whose n_blocks*(n_blocks+1)/2 pair-groups
     cover the cluster — computed WITHOUT a driver-side count job (the
-    query stays ONE job); pass ``n_blocks`` explicitly (≈ ceil(rows /
-    block_rows)) when rows/parallelism is so large that a
-    parallelism-derived block would exceed task memory.
+    query stays ONE job).  That default bounds nothing when rows far
+    exceed parallelism * block_rows, so pass ``approx_rows`` (any
+    cheap estimate: catalog stats, a prior count, the write-side row
+    count) to ALSO enforce ``block_rows``: n_blocks then becomes
+    max(parallelism-derived, ceil(approx_rows / block_rows)), still
+    with zero extra jobs.  Or pass ``n_blocks`` outright.  Inside each
+    task the similarity matmul is chunked so the transient scores
+    buffer stays bounded (~256 MB) even when a block is oversized.
     """
     if n_blocks is None:
         p = spark.sparkContext.defaultParallelism
         n_blocks = max(int(math.ceil(math.sqrt(2.0 * p))), 1)
+        if approx_rows is not None:
+            n_blocks = max(n_blocks,
+                           int(math.ceil(approx_rows / float(block_rows))))
     blocks = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
@@ -156,28 +165,42 @@ def embedding_near_dup_pairs(
         F.greatest(F.col("b"), F.col("o")).alias("pj"),
     )
 
+    # transient scores-buffer cap: 32M float64 elements ≈ 256 MB; the
+    # A side of each matmul is chunked to stay under it, so an
+    # oversized block degrades to more (bounded) matmul calls instead
+    # of one task-killing allocation
+    sims_elems_cap = 32_000_000
+
+    def _pairs_chunked(am, bm, aid, bid, same_block):
+        chunk = max(1, sims_elems_cap // max(len(bm), 1))
+        out_a, out_b = [], []
+        for s in range(0, len(am), chunk):
+            sims = am[s : s + chunk] @ bm.T
+            mask = sims >= threshold
+            if same_block:
+                mask &= aid[s : s + chunk, None] < bid[None, :]
+            ia, ib = np.nonzero(mask)
+            out_a.append(aid[s + ia])
+            out_b.append(bid[ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return a, b
+
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         pi = int(pdf["pi"].iat[0])
         pj = int(pdf["pj"].iat[0])
         ids = pdf["id"].to_numpy(dtype=np.int64)
         mat = _normalize(_to_matrix(pdf["v"]))
         if pi == pj:
-            sims = mat @ mat.T
-            ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+            a, b = _pairs_chunked(mat, mat, ids, ids, same_block=True)
+            return pd.DataFrame({"id_a": a, "id_b": b})
         side_a = pdf["b"].to_numpy() == pi
         am, bm = mat[side_a], mat[~side_a]
         aid, bid = ids[side_a], ids[~side_a]
         if not len(am) or not len(bm):
             return pd.DataFrame({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
-        sims = am @ bm.T
-        ia, ib = np.nonzero(sims >= threshold)
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(aid[ia], bid[ib]),
-                "id_b": np.maximum(aid[ia], bid[ib]),
-            }
-        )
+        a, b = _pairs_chunked(am, bm, aid, bid, same_block=False)
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
 
     return rep.groupBy("pi", "pj").applyInPandas(verify, "id_a long, id_b long")
 

@@ -80,10 +80,9 @@ def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
     engine-portable (identical hex in Spark and ANSI SQL), so the same
     predicate defines the same sample everywhere.  Pure built-ins ⇒
     whole-stage codegen, pushes into the scan."""
-    bucket = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 100
-    return df.filter(bucket < percent)
+    from presto_bloomfilter_spark.operators.sampling import md5_bucket
+
+    return df.filter(md5_bucket(key_col, 100) < percent)
 
 
 def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -98,19 +97,18 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     whole thing is one map-only codegen'd projection over the scan —
     no explode, no shuffle, no Python — and the identical computation
     runs in the DuckDB oracle (list_distinct over the same split).
-    Word semantics = Python str.split (whitespace runs, no empties),
-    matching every other text operator; n-gram recipe matches
-    contamination.word_ngrams minus the distinct.
+    Word and gram construction are the SHARED column builders
+    (contamination.split_words / word_grams) — one definition of word
+    semantics and the gram recipe across operators and oracles.
     """
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    from presto_bloomfilter_spark.operators.contamination import (
+        split_words,
+        word_grams,
+    )
+
+    words = split_words(text_col)
     n_words = F.size(words)
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    grams = word_grams(text_col, n)
     n_grams = F.size(grams)
     return df.select(
         F.col(id_col).cast("string").alias("id"),

@@ -1252,10 +1252,10 @@ def _contamination_split(spark: SparkSession, sf_dir: str):
     """Deterministic md5-bucket train/test split of the documents table
     (same engine-portable predicate as hash_sample): bucket < 10 is the
     'evaluation set', the rest is the 'training corpus'."""
+    from presto_bloomfilter_spark.operators.sampling import md5_bucket
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") % 100
+    bucket = md5_bucket("doc_id", 100)
     return d.filter(bucket >= 10), d.filter(bucket < 10)
 
 
@@ -1584,8 +1584,10 @@ def q_contamination_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the north-rule input shape), exact form, full value oracle.
     Restricted to the non-web sources (~30% of docs) to keep the gate
     fast — the operator itself is slice-agnostic."""
+    from presto_bloomfilter_spark.operators.sampling import md5_bucket
+
     t = load_tokens(spark, sf_dir).filter(F.col("source") != "web")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 8), 16, 10).cast("long") % 100
+    bucket = md5_bucket("doc_id", 100)
     train, test = t.filter(bucket >= 10), t.filter(bucket < 10)
     return contamination.contamination_exact_tokens(train, test, "tokens", "doc_id", n=8)
 

@@ -77,6 +77,49 @@ def test_decode_filtered_scanlines(ftype):
     np.testing.assert_array_equal(pc.png_decode(buf), arr)
 
 
+def test_decode_mixed_filters_per_row():
+    """Real encoders pick a different filter per scanline; the decoder's
+    batched Sub reconstruction must interleave correctly with rows whose
+    Up/Average/Paeth recurrence reads the previous reconstructed row."""
+    rng = np.random.default_rng(99)
+    arr = rng.integers(0, 256, size=(10, 5, 3), dtype=np.uint8)
+    ftypes = [0, 1, 2, 3, 4, 1, 4, 2, 1, 3]
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    filtered = np.zeros((h, stride), np.int32)
+    for y, ftype in enumerate(ftypes):
+        for x in range(stride):
+            raw_b = flat[y, x]
+            left = flat[y, x - ch] if x >= ch else 0
+            up = flat[y - 1, x] if y else 0
+            ul = flat[y - 1, x - ch] if (y and x >= ch) else 0
+            if ftype == 0:
+                filtered[y, x] = raw_b
+            elif ftype == 1:
+                filtered[y, x] = raw_b - left
+            elif ftype == 2:
+                filtered[y, x] = raw_b - up
+            elif ftype == 3:
+                filtered[y, x] = raw_b - ((left + up) >> 1)
+            else:
+                p = left + up - ul
+                pa, pb, pcc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pcc) else (up if pb <= pcc else ul)
+                filtered[y, x] = raw_b - pred
+    filtered = (filtered & 0xFF).astype(np.uint8)
+    raw = np.concatenate(
+        [np.array(ftypes, np.uint8)[:, None], filtered], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + pc._chunk(b"IHDR", ihdr)
+        + pc._chunk(b"IDAT", zlib.compress(raw))
+        + pc._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(pc.png_decode(buf), arr)
+
+
 def test_resize_nearest():
     arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     out = pc.resize_nearest(arr, 3, 2)
