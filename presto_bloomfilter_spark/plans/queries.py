@@ -857,6 +857,38 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-level global shuffle of the documents table:
+    (bucket, pos) is a pure function of (seed, doc_id) — reproducible
+    training-data ordering with no global sort (operators/shuffle.py).
+    The full (id, bucket, pos) set is value-checked against DuckDB
+    computing the identical md5-derived permutation."""
+    from presto_bloomfilter_spark.operators import shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    out = shuffle.deterministic_shuffle(d, "doc_id", seed=7, buckets=16)
+    return out.select(
+        F.col("doc_id").cast("string").alias("id"),
+        "shuffle_bucket",
+        "shuffle_pos",
+    )
+
+
+ORACLE_SHUFFLE_RANK = """
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         md5('shuffle-7-' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT id,
+       CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16 AS INT) AS shuffle_bucket,
+       CAST(row_number() OVER (
+            PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16
+            ORDER BY hx, id) AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-banded APPROXIMATE near-dup path (the corpus-scale
     sibling of embedding_near_dup): exact verify ⇒ zero false
@@ -1647,6 +1679,7 @@ QUERIES = {
     "drop_exact_dups": q_drop_exact_dups,
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
+    "shuffle_rank": q_shuffle_rank,
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1705,6 +1738,7 @@ ORACLES = {
     "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
+    "shuffle_rank": ORACLE_SHUFFLE_RANK,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,

