@@ -105,3 +105,14 @@ def test_sketch_table_sink_roundtrip(spark, tmp_path):
         assert abs(sk.estimate() - exact[src]) / exact[src] < 0.05
     glob = load_sketch_table_merged(spark, path)
     assert glob.estimate() > 0
+
+
+def test_load_source_parquet_and_snapshot_guard(spark):
+    from presto_bloomfilter_spark.sources.tables import load_source
+
+    d = load_source(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert d.count() > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="iceberg"):
+        load_source(spark, "/root/testdata/sf0.001/documents.parquet",
+                    snapshot_id=42)
