@@ -32,7 +32,7 @@ discipline as operators/text.py:hash_sample.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def md5_bucket(key_col: str, buckets: int = 100) -> Column:
@@ -92,3 +92,30 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int,
         raise ValueError(f"k must be positive, got {k}")
     pr = F.md5(F.col(key_col).cast("string"))
     return df.withColumn(priority_col, pr).orderBy(priority_col).limit(k)
+
+
+def cap_per_key(df: DataFrame, key_col: str, max_rows: int,
+                order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``max_rows`` rows per key — per-domain / per-source
+    quotas, the standard guard against one host dominating a crawl
+    corpus.  Selection is DETERMINISTIC: within a key, rows rank by
+    md5(key || order value) (a reproducible pseudo-random order, same
+    discipline as md5_bucket), so the surviving set is a pure function
+    of the data — identical across runs, engines, and retries.
+
+    One shuffle on the key plus a per-key window rank.  Keys are
+    usually many and moderate (domains); a pathologically giant key
+    still ranks inside one task's sort — for that shape pre-thin with
+    ``hash_sample`` on the key's rows first, or raise shuffle
+    partitions (AQE splits skewed partitions on its own).
+    """
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be positive, got {max_rows}")
+    pr = F.md5(F.concat(F.col(key_col).cast("string"), F.lit("#"),
+                        F.col(order_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(pr, F.col(order_col).cast("string"))
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= max_rows)
+        .drop("__cap_rn")
+    )

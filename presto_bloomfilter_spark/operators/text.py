@@ -224,3 +224,38 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         fn, "id string, fingerprint array<long>"
     )
+
+
+# ---- PII scrubbing --------------------------------------------------------------
+
+# (name, regex, replacement) — patterns restricted to syntax that means
+# the same thing in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries; NO lookarounds or
+# backreferences, so the DuckDB oracle runs the identical expressions
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS) -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4s, phone-shaped numbers)
+    from a text column — the standard scrub pass before training-data
+    release.  Replaces ``text_col`` with the redacted text and adds
+    ``n_redactions`` (int: total spans replaced across patterns).
+
+    All-JVM: chained ``regexp_replace`` + ``regexp_count`` built-ins,
+    so the whole pass is one map-only codegen'd projection over the
+    scan — no Python, no shuffle, scales as a pure map at any corpus
+    size.  Patterns are deliberately conservative (see PII_PATTERNS);
+    swap in stricter ones per deployment policy.
+    """
+    scrubbed = F.col(text_col)
+    counts = F.lit(0)
+    for _name, pat, repl in patterns:
+        counts = counts + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumn("n_redactions", counts.cast("int")).withColumn(
+        text_col, scrubbed)

@@ -857,6 +857,82 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (text.pii_scrub): the documents table augmented
+    with deterministic doc_id-derived PII spans (an email, a phone, an
+    IPv4 — the synthetic corpus contains none of its own), scrubbed
+    JVM-side; DuckDB applies the identical RE2-compatible pattern
+    chain and must produce byte-identical scrubbed text + counts."""
+    from presto_bloomfilter_spark.operators import text
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    out = text.pii_scrub(aug)
+    return out.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_redactions"),
+        F.col("text").alias("scrubbed"),
+    )
+
+
+ORACLE_PII_SCRUB = """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 from 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS t0
+  FROM documents
+), s1 AS (
+  SELECT id,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT id, c1,
+         len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS c2,
+         regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT id,
+       CAST(c1 + c2 + len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT)
+         AS n_redactions,
+       regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+FROM s2
+"""
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota (sampling.cap_per_key): at most 20 docs per
+    source, selected by deterministic md5 rank — the per-domain cap a
+    crawl pipeline applies so one host cannot dominate.  Full surviving
+    (id, source) set value-checked against DuckDB's identical window."""
+    from presto_bloomfilter_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.cap_per_key(d, "source", 20, "doc_id")
+    return out.select(F.col("doc_id").cast("string").alias("id"), "source")
+
+
+ORACLE_CAP_PER_SOURCE = """
+SELECT id, source FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(source AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)),
+                    CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents)
+WHERE rn <= 20
+"""
+
+
 def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-level global shuffle of the documents table:
     (bucket, pos) is a pure function of (seed, doc_id) — reproducible
@@ -1680,6 +1756,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
     "shuffle_rank": q_shuffle_rank,
+    "pii_scrub": q_pii_scrub,
+    "cap_per_source": q_cap_per_source,
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1739,6 +1817,8 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "cap_per_source": ORACLE_CAP_PER_SOURCE,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,

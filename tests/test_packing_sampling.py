@@ -200,3 +200,42 @@ def test_write_shuffled_partitions_stream_in_order(docs, tmp_path, spark):
             .orderBy("shuffle_pos").collect()]
     got = [r.doc_id for r in pruned.orderBy("shuffle_pos").collect()]
     assert got == want
+
+
+# ---- per-key caps + PII scrub ----------------------------------------------------
+
+
+def test_cap_per_key_quota_and_determinism(docs):
+    from presto_bloomfilter_spark.operators.sampling import cap_per_key
+
+    out = cap_per_key(docs, "source", 5, "doc_id")
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert set(per.values()) == {5}
+    # deterministic: identical surviving set across partitionings
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         cap_per_key(docs.repartition(17), "source", 5, "doc_id").collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cap_per_key(docs, "source", 0)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from presto_bloomfilter_spark.operators.text import pii_scrub
+
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.org thanks"),
+        ("b", "server 192.168.0.1 and backup 10.0.0.255 up"),
+        ("c", "call 555-123-4567 or 555.987.6543 now"),
+        ("d", "nothing sensitive here"),
+        ("e", "combo x@y.io at 8.8.8.8 tel 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got["a"].n_redactions == 1 and "<EMAIL>" in got["a"].text
+    assert "jo.doe" not in got["a"].text
+    assert got["b"].n_redactions == 2 and got["b"].text.count("<IP>") == 2
+    assert got["c"].n_redactions == 2 and got["c"].text.count("<PHONE>") == 2
+    assert got["d"].n_redactions == 0 and got["d"].text == rows[3][1]
+    assert got["e"].n_redactions == 3
