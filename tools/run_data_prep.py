@@ -1,0 +1,126 @@
+"""Training-data-prep workload driver — the pipeline-operator sibling
+of tools/run_workload.py (which drives the sketch north star).
+
+Chains the corpus-prep operators end-to-end over the documents table,
+the way a pretraining data pipeline composes them:
+
+  1. quality filter (min length) + Gopher repetition cut;
+  2. PII scrub (map-only regexp pass);
+  3. exact dedup (md5 digest, first doc per digest wins);
+  4. near-dup clustering (MinHash-LSH candidates -> exact-Jaccard
+     verify -> connected components), keep one doc per cluster;
+  5. per-source quota cap + mixture rebalance (deterministic md5);
+  6. deterministic global shuffle;
+  7. pack into fixed-length token sequences (whitespace tokens ->
+     hashed ids — stand-in for the real tokenizer) and write the
+     partitioned, position-sorted training shards.
+
+Every stage is shuffle-bounded the way the module docstrings promise
+(map-only scrub/pack, digest-only dedup shuffle, banded LSH, bucketed
+shuffle), so the same script is the 100 TB shape with a different
+--master. Prints ONE JSON metrics line.
+
+Usage:  python tools/run_data_prep.py [--sf-dir ...] [--cpus N]
+        (or spark-submit --py-files, same as run_workload.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--cpus", type=int, default=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default="")
+    ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--cap-per-source", type=int, default=10_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from presto_bloomfilter_spark.operators import dedup, packing, sampling, shuffle, text
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("pbs-data-prep")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = args.out or tempfile.mkdtemp(prefix="pbs-shards-")
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    n_in = docs.count()
+
+    # 1-2: quality + repetition cut, then PII scrub (all map-only)
+    q = text.quality_filter(docs, min_words=5)
+    rep = text.repetition_metrics(q).filter(F.col("dup_gram_frac") <= 0.8)
+    q = q.join(rep.select(F.col("id").alias("doc_id")).withColumn(
+        "doc_id", F.col("doc_id").cast(docs.schema["doc_id"].dataType)), "doc_id")
+    scrubbed = text.pii_scrub(q)
+
+    # 3: exact dedup — first doc per md5(text)
+    exact = dedup.drop_exact_dups(scrubbed, "text", "doc_id")
+
+    # 4: near-dup clusters -> keep the cluster-min representative
+    pairs = dedup.minhash_near_dup_pairs(exact, "text", "doc_id", threshold=0.7)
+    comp = dedup.components_from_pairs(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").cast(docs.schema["doc_id"].dataType).alias("doc_id"))
+    uniq = exact.join(drop, "doc_id", "left_anti")
+
+    # 5: per-source quota + mixture rebalance
+    capped = sampling.cap_per_key(uniq, "source", args.cap_per_source, "doc_id")
+    sources = [r[0] for r in capped.select("source").distinct().collect()]
+    mixed = sampling.sample_mixture(
+        capped, {s: (50 if s == "web" else 100) for s in sources})
+
+    # 6: deterministic shuffle
+    shuffled = shuffle.deterministic_shuffle(mixed, "doc_id", seed=1, buckets=64)
+
+    # 7: tokenize (hashed whitespace ids — stand-in) + pack + write
+    tok = shuffled.select(
+        "shuffle_bucket", "shuffle_pos",
+        F.transform(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(65536)).cast("int"),
+        ).alias("tokens"),
+    )
+    packed = packing.pack_concat_chunks(
+        tok.repartition(args.cpus, "shuffle_bucket"), args.seq_len, eos_id=0)
+    packed.write.mode("overwrite").parquet(out_dir)
+
+    shards = spark.read.parquet(out_dir)
+    n_seq = shards.count()
+    n_tok = shards.agg(F.sum("n_tok")).collect()[0][0] or 0
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
+        "sf_dir": args.sf_dir, "docs_in": n_in,
+        "docs_after_quality": q.count(), "docs_after_dedup": uniq.count(),
+        "docs_packed": mixed.count(), "sequences": n_seq,
+        "tokens_packed": int(n_tok), "seq_len": args.seq_len,
+        "docs_per_sec": round(n_in / wall, 1), "out": out_dir,
+    }))
+    if not args.out:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
