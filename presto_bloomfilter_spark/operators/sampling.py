@@ -103,11 +103,12 @@ def cap_per_key(df: DataFrame, key_col: str, max_rows: int,
     discipline as md5_bucket), so the surviving set is a pure function
     of the data — identical across runs, engines, and retries.
 
-    One shuffle on the key plus a per-key window rank.  Keys are
-    usually many and moderate (domains); a pathologically giant key
-    still ranks inside one task's sort — for that shape pre-thin with
-    ``hash_sample`` on the key's rows first, or raise shuffle
-    partitions (AQE splits skewed partitions on its own).
+    One shuffle on the key plus a per-key window rank — and because
+    the predicate is ``row_number() <= N``, Catalyst plans a
+    WindowGroupLimit BELOW the exchange (plan-asserted in tests): each
+    input partition pre-truncates to its local top-N per key before
+    shuffling, so even a pathologically giant key ships at most
+    N * input_partitions rows, never the key's full row set.
     """
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")

@@ -98,3 +98,16 @@ def test_grouped_sketch_map_side_shuffles_only_blobs(spark, sf_dir):
 
 def test_adaptive_query_execution_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_cap_per_key_pretruncates_before_shuffle(spark):
+    """cap_per_key's rank<=N predicate must plan a WindowGroupLimit
+    BELOW the exchange: each input partition ships at most N rows per
+    key, so a giant key cannot flood the shuffle."""
+    from presto_bloomfilter_spark.operators.sampling import cap_per_key
+
+    d = spark.range(0, 1000).selectExpr(
+        "cast(id as string) as doc_id", "cast(id % 3 as string) as source")
+    plan = cap_per_key(d, "source", 7)._jdf.queryExecution().executedPlan().toString()
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in post, plan  # below (after) the exchange in tree order
