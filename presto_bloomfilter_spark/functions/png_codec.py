@@ -99,39 +99,44 @@ def png_decode(buf: bytes) -> np.ndarray:
     bad = set(np.unique(filters)) - {0, 1, 2, 3, 4}
     if bad:
         raise ValueError(f"unknown PNG filter type {bad.pop()}")
-    out = np.zeros((h, stride), np.int64)  # head-room, mod-256 on store
+    # out stays uint8 (decoded values ARE bytes); arithmetic head-room
+    # lives in per-row/per-group int32 temporaries, so peak memory is
+    # ~the decoded image, not 4-8x it (matters inside Arrow-batch
+    # executors decoding many images)
+    out = np.zeros((h, stride), np.uint8)
     # Sub rows depend ONLY on themselves: recon[x] = sum of filt bytes
     # in the same channel lane mod 256 — reconstruct every Sub row in
     # the image with ONE lane-cumsum, no per-pixel Python
     sub_rows = np.nonzero(filters == 1)[0]
     if sub_rows.size:
-        sub = data[sub_rows].astype(np.int64).reshape(-1, w, ch)
-        out[sub_rows] = (np.cumsum(sub, axis=1) & 0xFF).reshape(-1, stride)
+        sub = data[sub_rows].astype(np.int32).reshape(-1, w, ch)
+        np.cumsum(sub, axis=1, out=sub)
+        out[sub_rows] = (sub & 0xFF).astype(np.uint8).reshape(-1, stride)
     none_rows = np.nonzero(filters == 0)[0]
     if none_rows.size:
         out[none_rows] = data[none_rows]
-    zero = np.zeros(stride, np.int64)
+    zero = np.zeros(stride, np.uint8)
     for y in range(h):  # rows with an up-dependency are inherently sequential
         f = filters[y]
         if f <= 1:
             continue  # reconstructed above
         prev = out[y - 1] if y else zero
-        if f == 2:  # Up: one vector add per row
-            out[y] = (data[y] + prev) & 0xFF
+        if f == 2:  # Up: one vector add per row (uint8 wraps mod 256)
+            out[y] = data[y] + prev
             continue
         # Average / Paeth: the x-recurrence (left neighbor feeds the
         # next pixel) has no closed form, so x stays a Python loop —
         # over PIXEL COLUMNS with all channels as one numpy lane, not
         # over bytes (w iterations/row, branchless channel-wide select)
-        row = data[y].astype(np.int64).reshape(w, ch)
-        pr = prev.reshape(w, ch)
-        left = np.zeros(ch, np.int64)
+        row = data[y].astype(np.int32).reshape(w, ch)
+        pr = prev.astype(np.int32).reshape(w, ch)
+        left = np.zeros(ch, np.int32)
         if f == 3:  # Average
             for x in range(w):
                 left = (row[x] + ((left + pr[x]) >> 1)) & 0xFF
                 row[x] = left
         else:  # Paeth
-            upleft = np.zeros(ch, np.int64)
+            upleft = np.zeros(ch, np.int32)
             for x in range(w):
                 up = pr[x]
                 p = left + up - upleft
@@ -141,8 +146,8 @@ def png_decode(buf: bytes) -> np.ndarray:
                 left = (row[x] + pred) & 0xFF
                 row[x] = left
                 upleft = up
-        out[y] = row.reshape(stride)
-    return out.astype(np.uint8).reshape(h, w, ch)
+        out[y] = row.astype(np.uint8).reshape(stride)
+    return out.reshape(h, w, ch)
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -35,19 +35,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def hex_prefix_bucket(hex_col: Column, buckets: int) -> Column:
+    """Uniform bucket in [0, buckets) from a hex-digest COLUMN: first
+    8 hex digits mod buckets.  The single definition of the
+    hex→bucket step — md5_bucket and deterministic_shuffle both build
+    on it (a drifted copy silently changes which rows a sample, split,
+    or shuffle bucket selects)."""
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long") % buckets
+
+
 def md5_bucket(key_col: str, buckets: int = 100) -> Column:
     """Engine-portable uniform bucket in [0, buckets): first 8 md5 hex
-    digits mod buckets (identical in Spark and ANSI SQL).
+    digits of the KEY mod buckets (identical in Spark and ANSI SQL).
 
-    THE single definition of the hash-bucket expression — hash_sample,
-    the train/test contamination splits, and their DuckDB oracles all
-    depend on this exact formula, so every consumer must reference it
-    here rather than re-inline it (a drifted copy silently changes
-    which rows a sample/split selects)."""
-    return (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
-        % buckets
-    )
+    THE single definition of the key-hash-bucket expression —
+    hash_sample, the train/test contamination splits, and their DuckDB
+    oracles all depend on this exact formula, so every consumer must
+    reference it here rather than re-inline it."""
+    return hex_prefix_bucket(F.md5(F.col(key_col).cast("string")), buckets)
 
 
 _md5_bucket = md5_bucket  # backward-compat alias
@@ -109,6 +114,11 @@ def cap_per_key(df: DataFrame, key_col: str, max_rows: int,
     input partition pre-truncates to its local top-N per key before
     shuffling, so even a pathologically giant key ships at most
     N * input_partitions rows, never the key's full row set.
+
+    Determinism requires (key, order value) pairs to be UNIQUE per
+    row (the normal doc_id contract): rows tied on both get identical
+    sort keys and row_number breaks the tie by physical order, so
+    which tied row survives is arbitrary across runs.
     """
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")

@@ -55,16 +55,20 @@ def deterministic_shuffle(
     rank as a per-partition window after repartitioning on the key —
     no global sort, no driver involvement).
 
-    Ties are impossible in practice (md5 collisions aside) but the
-    rank orders by (hash, key) so even a collision stays deterministic.
+    Determinism requires ``key_col`` values to be UNIQUE (the normal
+    doc_id contract): duplicate keys get identical (hash, key) sort
+    keys and row_number breaks the tie by physical order, which is not
+    stable across runs.  md5 collisions aside, unique keys make the
+    order a pure function of the data.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
+    from presto_bloomfilter_spark.operators.sampling import hex_prefix_bucket
+
     h = _shuffle_hash(key_col, seed)
     with_h = df.withColumn("__shuffle_hash", h).withColumn(
         "shuffle_bucket",
-        (F.conv(F.substring(F.col("__shuffle_hash"), 1, 8), 16, 10).cast("long")
-         % buckets).cast("int"),
+        hex_prefix_bucket(F.col("__shuffle_hash"), buckets).cast("int"),
     )
     w = Window.partitionBy("shuffle_bucket").orderBy(
         F.col("__shuffle_hash"), F.col(key_col).cast("string")

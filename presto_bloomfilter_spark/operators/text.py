@@ -255,7 +255,9 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     scrubbed = F.col(text_col)
     counts = F.lit(0)
     for _name, pat, repl in patterns:
-        counts = counts + F.regexp_count(scrubbed, F.lit(pat))
+        # coalesce: NULL text must count as 0 redactions, not poison
+        # the sum into NULL (the scrubbed text itself stays NULL)
+        counts = counts + F.coalesce(F.regexp_count(scrubbed, F.lit(pat)), F.lit(0))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return df.withColumn("n_redactions", counts.cast("int")).withColumn(
         text_col, scrubbed)

@@ -324,9 +324,12 @@ class ShardedStreamingBloomDedup:
 
         return json.loads(self.store.get_meta(self._manifest_key()))
 
-    def _swap_manifest(self, shard_keys: dict[int, str]) -> None:
+    def _swap_manifest(self, shard_keys: dict[int, str],
+                       saturated: list[int] | None = None) -> None:
         """The single atomic commit point for an epoch's state update:
-        point the manifest at the (possibly staged) shard keys."""
+        point the manifest at the (possibly staged) shard keys.
+        ``saturated`` shards are recorded IN the manifest so the
+        condition survives restarts (see process_batch)."""
         import json
 
         self.store.put_meta(
@@ -335,7 +338,21 @@ class ShardedStreamingBloomDedup:
                 "name": self.family, "shards": self.shards,
                 "format": "pbfs-sharded-v2",
                 "shard_keys": {str(s): k for s, k in sorted(shard_keys.items())},
+                "saturated": sorted(saturated or []),
             }).encode())
+
+    def _sweep_orphans(self, live: dict[int, str]) -> None:
+        """Delete shard versions not referenced by the (just-swapped)
+        manifest — catches versions whose prune failed in an earlier
+        epoch so nothing leaks forever.  Best-effort like the prune."""
+        referenced = set(live.values())
+        prefix = f"{self.family}.s"
+        for key in self.store.keys():
+            if key.startswith(prefix) and key not in referenced:
+                try:
+                    self.store.delete(key)
+                except OSError:  # pragma: no cover — env-specific
+                    pass
 
     def _ensure_family(self) -> None:
         """First batch: persist the empty S-shard family + v2 manifest
@@ -359,9 +376,19 @@ class ShardedStreamingBloomDedup:
         )
 
         spark = batch_df.sparkSession
+        self._ensure_family()
+        # saturation recorded in the manifest survives restarts: with
+        # on_capacity='error' EVERY batch fails until the operator
+        # re-shards — including redelivered/all-duplicate batches that
+        # would otherwise silently resume past-capacity ingestion
+        saturated = [int(s) for s in self._read_manifest().get("saturated", [])]
+        if saturated and self.on_capacity == "error":
+            raise CapacityExceeded(
+                f"sharded seen-family {self.family} has saturated shard(s) "
+                f"{saturated} (recorded in the manifest); per-shard FPR "
+                f"exceeds {self.p} — re-shard to a larger family")
         if _epoch_marked(self.store, self.job_id, epoch_id):
             return 0
-        self._ensure_family()
         in_batch_first = _in_batch_first(batch_df, self.text_col, self.id_col)
         fresh = sharded_contains(
             spark, in_batch_first, "__digest", self.store_root,
@@ -381,6 +408,7 @@ class ShardedStreamingBloomDedup:
             manifest = self._read_manifest()
             live = {int(s): str(k) for s, k in manifest["shard_keys"].items()}
             staged = dict(live)
+            newly_saturated = set(saturated)
             for r in partial.collect():
                 s = int(r.shard)
                 # STAGE: merge onto the live object but write to an
@@ -393,6 +421,7 @@ class ShardedStreamingBloomDedup:
                 self.store.put(staged[s], merged)
                 est_fpr = merged.estimated_fpr()
                 if est_fpr > self.p:
+                    newly_saturated.add(s)
                     self.capacity_events.append({
                         "epoch": int(epoch_id), "shard": s,
                         "estimated_fpr": float(est_fpr),
@@ -405,10 +434,20 @@ class ShardedStreamingBloomDedup:
                         f"sharded seen-family shard {s} past capacity "
                         f"at epoch {epoch_id}: estimated FPR {est_fpr:.4f} "
                         f"> {self.p}")
-            self._swap_manifest(staged)  # atomic commit of ALL shards
+            # atomic commit of ALL shards (+ the saturation record)
+            self._swap_manifest(staged, sorted(newly_saturated))
+            # prune superseded versions: best-effort as documented — a
+            # transient store error must not fail a committed epoch;
+            # anything missed is swept by a later epoch's orphan scan
             for s, old_key in live.items():
                 if staged[s] != old_key:
-                    self.store.delete(old_key)  # superseded version
+                    try:
+                        self.store.delete(old_key)
+                    except OSError as e:  # pragma: no cover — env-specific
+                        warnings.warn(
+                            f"prune of superseded shard {old_key!r} failed "
+                            f"({e}); will be swept later", stacklevel=2)
+            self._sweep_orphans(staged)
         fresh.unpersist()
         _mark_epoch(self.store, self.job_id, epoch_id, self.keep_markers)
         # raise AFTER the swap + marker: state is committed and complete

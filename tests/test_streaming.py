@@ -408,3 +408,35 @@ def test_sharded_streaming_dedup_larger_corpus(spark, tmp_path):
                               "doc_id long, text string"), 1) == 0
     out = spark.read.parquet(sink)
     assert out.count() == out.select("text").distinct().count() == n0
+
+
+def test_sharded_streaming_capacity_error_survives_restart(spark, tmp_path):
+    """on_capacity='error' must keep failing after a stream restart:
+    saturation is recorded in the swapped manifest, so redelivered or
+    all-duplicate batches raise too (a restart cannot silently resume
+    past-capacity ingestion)."""
+    import pytest as _pytest
+
+    from presto_bloomfilter_spark.streaming.dedup_stream import (
+        CapacityExceeded,
+        ShardedStreamingBloomDedup,
+    )
+
+    root = str(tmp_path / "cap")
+    sink = str(tmp_path / "sinkcap")
+    d = ShardedStreamingBloomDedup(root, "sc", sink, shards=2,
+                                   expected_insertions_per_shard=10,
+                                   fpp=0.001, on_capacity="error")
+    batch = spark.createDataFrame([(i, f"t-{i}") for i in range(200)],
+                                  "doc_id long, text string")
+    with _pytest.raises(CapacityExceeded):
+        d.process_batch(batch, 0)  # saturates both tiny shards
+    # fresh instance = restarted stream; even the MARKED epoch raises
+    d2 = ShardedStreamingBloomDedup(root, "sc", sink, shards=2,
+                                    expected_insertions_per_shard=10,
+                                    fpp=0.001, on_capacity="error")
+    with _pytest.raises(CapacityExceeded):
+        d2.process_batch(batch, 0)
+    # and so does any later batch, duplicates or not
+    with _pytest.raises(CapacityExceeded):
+        d2.process_batch(batch, 1)

@@ -82,7 +82,11 @@ def main() -> None:
     comp = dedup.components_from_pairs(pairs)
     drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").cast(docs.schema["doc_id"].dataType).alias("doc_id"))
-    uniq = exact.join(drop, "doc_id", "left_anti")
+    # persist the deduped survivors: every downstream stage AND the
+    # metrics counts read from here — without the cache each count
+    # would re-run the whole scan→scrub→LSH chain and the published
+    # wall-clock would measure redundant recomputation
+    uniq = exact.join(drop, "doc_id", "left_anti").persist()
 
     # 5: per-source quota + mixture rebalance
     capped = sampling.cap_per_key(uniq, "source", args.cap_per_source, "doc_id")
@@ -93,7 +97,11 @@ def main() -> None:
     # 6: deterministic shuffle
     shuffled = shuffle.deterministic_shuffle(mixed, "doc_id", seed=1, buckets=64)
 
-    # 7: tokenize (hashed whitespace ids — stand-in) + pack + write
+    # 7: tokenize (hashed whitespace ids — stand-in) + pack + write.
+    # Packing concatenates in partition-arrival order, so the stream
+    # MUST be sorted by (bucket, pos) within each partition after the
+    # repartition — otherwise shuffle-fetch order (nondeterministic)
+    # would decide sequence composition and defeat step 6 entirely
     tok = shuffled.select(
         "shuffle_bucket", "shuffle_pos",
         F.transform(
@@ -102,13 +110,18 @@ def main() -> None:
         ).alias("tokens"),
     )
     packed = packing.pack_concat_chunks(
-        tok.repartition(args.cpus, "shuffle_bucket"), args.seq_len, eos_id=0)
+        tok.repartition(args.cpus, "shuffle_bucket")
+        .sortWithinPartitions("shuffle_bucket", "shuffle_pos"),
+        args.seq_len, eos_id=0)
     packed.write.mode("overwrite").parquet(out_dir)
 
     shards = spark.read.parquet(out_dir)
     n_seq = shards.count()
     n_tok = shards.agg(F.sum("n_tok")).collect()[0][0] or 0
     wall = time.time() - t0
+    # counts after the clock stops: docs_after_dedup/docs_packed read
+    # the persisted `uniq` (cheap), docs_after_quality re-runs only the
+    # map-side filter scan
     print(json.dumps({
         "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
         "sf_dir": args.sf_dir, "docs_in": n_in,
@@ -117,6 +130,7 @@ def main() -> None:
         "tokens_packed": int(n_tok), "seq_len": args.seq_len,
         "docs_per_sec": round(n_in / wall, 1), "out": out_dir,
     }))
+    uniq.unpersist()
     if not args.out:
         shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
