@@ -130,3 +130,48 @@ def cap_per_key(df: DataFrame, key_col: str, max_rows: int,
         .filter(F.col("__cap_rn") <= max_rows)
         .drop("__cap_rn")
     )
+
+
+def md5_unit_interval(key_col: str, seed: int = 0) -> Column:
+    """Deterministic uniform u in (0, 1) from the key: first 8 md5 hex
+    digits of ``seed-key`` mapped to (x + 0.5) / 2^32.  The +0.5 and
+    the power-of-two divide are exact in doubles, so Spark and ANSI SQL
+    compute bit-identical u — the randomness primitive under
+    weighted_sample (and anything else needing a per-key uniform)."""
+    h = F.md5(F.concat(F.lit(f"{seed}-"), F.col(key_col).cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)) \
+        / F.lit(4294967296.0)
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    seed: int = 0) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows with inclusion
+    probability proportional to weight — Efraimidis–Spirakis A-ES:
+    each row draws priority ln(u)/w (u = deterministic md5 uniform,
+    w = its weight) and the k LARGEST priorities win.  Training-data
+    use: sample documents proportional to token count / quality score
+    for eval panels and distillation subsets.
+
+    Deterministic (pure function of seed + keys + weights — identical
+    across runs, engines, partitionings) and MERGEABLE like
+    bottom_k_sample: A-ES priorities are per-row, so the top-k of
+    per-shard top-k's equals the global top-k, and Spark executes the
+    orderBy(...).limit(k) exactly that way (TakeOrderedAndProject: a
+    per-partition heap + a k-row driver merge, no global sort).
+
+    Rows with weight <= 0 or NULL are excluded (probability 0).
+    Ties beyond the float priority break on the key, so the result is
+    total-ordered even under md5 collisions.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = md5_unit_interval(key_col, seed)
+    w = F.col(weight_col).cast("double")
+    pr = F.when(w > 0, F.log(u) / w)
+    return (
+        df.withColumn("__wpr", pr)
+        .filter(F.col("__wpr").isNotNull())
+        .orderBy(F.desc("__wpr"), F.col(key_col).cast("string"))
+        .limit(k)
+        .drop("__wpr")
+    )

@@ -933,6 +933,29 @@ WHERE rn <= 20
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample (k=25, weight = n_chars):
+    the surviving id set is a pure function of (seed, keys, weights),
+    so DuckDB running the identical ln(u)/w ranking must select the
+    same rows (u is bit-exact in both engines; ln differs by <=1 ulp,
+    far below the priority gaps on this data)."""
+    from presto_bloomfilter_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(d, "doc_id", "n_chars", 25, seed=9)
+    return out.select(F.col("doc_id").cast("string").alias("id"), "n_chars")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT id, n_chars FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars,
+         ln((CAST(('0x' || substr(md5('9-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pr
+  FROM documents WHERE n_chars > 0
+  ORDER BY pr DESC, id LIMIT 25)
+"""
+
+
 def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-level global shuffle of the documents table:
     (bucket, pos) is a pure function of (seed, doc_id) — reproducible
@@ -1758,6 +1781,7 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "pii_scrub": q_pii_scrub,
     "cap_per_source": q_cap_per_source,
+    "weighted_sample": q_weighted_sample,
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1819,6 +1843,7 @@ ORACLES = {
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
     "pii_scrub": ORACLE_PII_SCRUB,
     "cap_per_source": ORACLE_CAP_PER_SOURCE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "embedding_near_dup_lsh": ORACLE_EMBEDDING_NEAR_DUP_LSH,

@@ -250,3 +250,52 @@ def test_pii_scrub_null_text_counts_zero(spark):
     got = {r.doc_id: r for r in pii_scrub(df).collect()}
     assert got["a"].n_redactions == 0 and got["a"].text is None
     assert got["b"].n_redactions == 1
+
+
+def test_weighted_sample_matches_reference_and_merges(docs, spark):
+    """weighted_sample == a hashlib/numpy A-ES reference computed on
+    the driver, is mergeable (top-k of per-half samples == global),
+    and biases toward heavy weights across seeds."""
+    import hashlib
+    import math
+
+    from presto_bloomfilter_spark.operators.sampling import weighted_sample
+
+    rows = docs.select("doc_id", "n_tok").collect()
+
+    def ref_topk(seed, k):
+        prs = []
+        for r in rows:
+            if r.n_tok <= 0:
+                continue
+            x = int(hashlib.md5(f"{seed}-{r.doc_id}".encode()).hexdigest()[:8], 16)
+            u = (x + 0.5) / 4294967296.0
+            prs.append((math.log(u) / r.n_tok, r.doc_id))
+        prs.sort(key=lambda t: (-t[0], t[1]))
+        return {d for _, d in prs[:k]}
+
+    got = {r.doc_id for r in weighted_sample(docs, "doc_id", "n_tok", 20, seed=3).collect()}
+    assert got == ref_topk(3, 20)
+    # mergeable: union of per-half samples re-sampled == global sample
+    h1 = weighted_sample(docs.filter("source = 'web'"), "doc_id", "n_tok", 20, seed=3)
+    h2 = weighted_sample(docs.filter("source != 'web'"), "doc_id", "n_tok", 20, seed=3)
+    merged = weighted_sample(h1.unionByName(h2), "doc_id", "n_tok", 20, seed=3)
+    assert {r.doc_id for r in merged.collect()} == got
+    # weight bias: expected selection frequency tracks weight; the mean
+    # n_tok of sampled rows across seeds exceeds the corpus mean
+    corpus_mean = docs.agg(F.avg("n_tok")).first()[0]
+    samp_means = []
+    for seed in range(4):
+        s = weighted_sample(docs, "doc_id", "n_tok", 40, seed=seed)
+        samp_means.append(s.agg(F.avg("n_tok")).first()[0])
+    assert sum(samp_means) / len(samp_means) > corpus_mean
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from presto_bloomfilter_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 0), ("c", -3), ("d", None), ("e", 5)],
+        "doc_id string, w int")
+    got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {"a", "e"}
