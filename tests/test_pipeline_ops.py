@@ -525,3 +525,56 @@ def test_lsh_indexed_probe_partition_prunes(spark, emb, tmp_path):
                                  probe_radius=1)
     expect = {(r.query_id, r.neighbor_id, r.rank) for r in direct.collect()}
     assert got == expect and len(got) > 0
+
+
+# ---- product quantization ---------------------------------------------------
+
+
+def test_pq_codebook_roundtrip_and_validation():
+    cb = similarity.PQCodebook(np.arange(4 * 8 * 2, dtype=np.float32).reshape(4, 8, 2))
+    rt = similarity.PQCodebook.from_bytes(cb.to_bytes())
+    np.testing.assert_array_equal(rt.centroids, cb.centroids)
+    assert (rt.m, rt.ksub, rt.dim) == (4, 8, 8)
+    with pytest.raises(ValueError, match="blob"):
+        similarity.PQCodebook.from_bytes(b"junk")
+    with pytest.raises(ValueError, match="uint8"):
+        similarity.PQCodebook(np.zeros((2, 300, 4), np.float32))
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = similarity.pq_train(emb, m=8, ksub=16, sample_rows=200, seed=3)
+    assert cb.centroids.shape == (8, 16, 8)
+    codes = similarity.pq_encode(emb, cb).collect()
+    assert all(len(bytes(r.codes)) == 8 for r in codes)
+    again = {r.id: bytes(r.codes) for r in similarity.pq_encode(emb, cb).collect()}
+    assert {r.id: bytes(r.codes) for r in codes} == again  # deterministic
+
+
+def test_pq_topk_rerank_recall(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = [(r.vec_id, list(r.embedding))
+               for r in emb.orderBy("vec_id").limit(3).collect()]
+    exact = similarity.cosine_topk(spark, emb, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    cb = similarity.pq_train(emb, m=16, ksub=256, sample_rows=2_000, seed=7)
+    codes = similarity.pq_encode(emb, cb)
+    approx = similarity.pq_topk(spark, codes, cb, queries, k=10,
+                                rerank_with=emb, shortlist_factor=5)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, _ in queries:
+        assert len(got[q] & exact_sets[q]) / 10 >= 0.6, q
+    # shortlist path returns exactly k ranked rows per query
+    assert all(len(v) == 10 for v in got.values())
+
+
+def test_pq_topk_dim_mismatch_raises(spark):
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = similarity.pq_train(emb, m=8, ksub=16, sample_rows=100)
+    codes = similarity.pq_encode(emb, cb)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.pq_topk(spark, codes, cb, [(0, [1.0, 2.0])], k=5)
