@@ -798,6 +798,10 @@ def pq_topk(
     tables = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub),
                        cb.astype(np.float64)).astype(np.float32)
     bt = spark.sparkContext.broadcast((qids, tables))
+    # partitions must emit the full shortlist depth when re-ranking
+    # (plain int: a DataFrame reference inside the worker closure would
+    # pickle the SparkContext)
+    local_k = k * shortlist_factor if rerank_with is not None else k
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, tables_ = bt.value
@@ -813,7 +817,7 @@ def pq_topk(
                 sims = tables_[qi][jidx[None, :], codes].sum(axis=1)
                 if exclude_self:
                     sims[ids == qids_[qi]] = -np.inf
-                kk = min(k, len(ids))
+                kk = min(local_k, len(ids))
                 part = np.argpartition(-sims, kk - 1)[:kk]
                 out.append(pd.DataFrame({
                     "query_id": np.full(kk, qids_[qi]),
@@ -823,6 +827,137 @@ def pq_topk(
             yield pd.concat(out, ignore_index=True)
 
     partials = codes_df.select("id", "codes").mapInPandas(
+        partial, "query_id long, neighbor_id long, sim double")
+    if rerank_with is None:
+        return _rank_topk(partials, k)
+    shortlist = _rank_topk(partials, k * shortlist_factor)
+    cand_ids = shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
+    cand = rerank_with.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_topk(spark, cand, queries, k=k, vec_col=vec_col,
+                       id_col=id_col, exclude_self=exclude_self)
+
+
+# ---- IVF-PQ: the 10^12-vector index --------------------------------------------
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebook: PQCodebook,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the combined IVF-PQ index: (id, codes) parquet
+    PARTITIONED BY list_id — the standard shape for ANN at 10^12
+    vectors (FAISS IVFPQ, re-expressed as a partitioned table):
+
+    - IVF coarse quantizer → probe reads only nprobe/n_lists of the
+      corpus via partition pruning;
+    - PQ codes instead of float vectors → what IS read is 16-32x
+      smaller, so the pruned scan is code-gathers, not vector I/O.
+
+    One mapInPandas pass assigns + encodes (no joins); float vectors
+    appear nowhere in the index — keep the source table for the
+    optional exact re-rank."""
+    cent = centroids.copy()
+    cb = codebook.centroids
+    m, _, dsub = cb.shape
+    norms = (cb * cb).sum(axis=2)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = _normalize(_to_matrix(pdf[vec_col]))
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmax(
+                    2.0 * (sub @ cb[j].T) - norms[j][None, :], axis=1
+                ).astype(np.uint8)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(np.int64),
+                "codes": [c.tobytes() for c in codes],
+                "list_id": np.argmax(mat @ cent.T, axis=1).astype(np.int64),
+            })
+
+    encoded = df.select(id_col, vec_col).mapInPandas(
+        fn, "id long, codes binary, list_id long")
+    encoded.write.mode(mode).partitionBy("list_id").parquet(path)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    index_path: str,
+    centroids: np.ndarray,
+    codebook: PQCodebook,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    rerank_with: DataFrame | None = None,
+    shortlist_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the materialized IVF-PQ index: read ONLY the union of the
+    queries' nprobe partitions (pruned scan over codes), score with ADC
+    table gathers, optionally re-rank the shortlist exactly.  Probe
+    cost ≈ (nprobe / n_lists) x (corpus_bytes / compression) — the
+    only ANN shape here whose per-query cost shrinks on BOTH axes."""
+    qids_l = [int(q[0]) for q in queries]
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    qlists = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(x) for row in qlists for x in row})
+    pruned = spark.read.parquet(index_path).filter(F.col("list_id").isin(probed))
+    # per-query probe masks: a task only scores queries probing its list
+    cb = codebook.centroids
+    m, ksub, dsub = cb.shape
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(f"query dim {qmat.shape[1]} != codebook dim {m * dsub}")
+    tables = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids_l), m, dsub),
+                       cb.astype(np.float64)).astype(np.float32)
+    qids = np.array(qids_l, dtype=np.int64)
+    qsets = [set(int(x) for x in row) for row in qlists]
+    bt = spark.sparkContext.broadcast((qids, tables, qsets))
+    # plain int for the closure: referencing rerank_with (a DataFrame)
+    # inside the worker function would try to pickle the SparkContext
+    local_k = k * shortlist_factor if rerank_with is not None else k
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, tables_, qsets_ = bt.value
+        jidx = np.arange(m)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+            codes = codes.reshape(len(pdf), m)
+            lists_here = set(int(x) for x in pdf["list_id"].unique())
+            out = []
+            for qi in range(len(qids_)):
+                if not (qsets_[qi] & lists_here):
+                    continue
+                mask = pdf["list_id"].isin(qsets_[qi]).to_numpy()
+                if not mask.any():
+                    continue
+                sims = tables_[qi][jidx[None, :], codes[mask]].sum(axis=1)
+                sel_ids = ids[mask]
+                if exclude_self:
+                    sims[sel_ids == qids_[qi]] = -np.inf
+                kk = min(local_k, len(sel_ids))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                out.append(pd.DataFrame({
+                    "query_id": np.full(kk, qids_[qi]),
+                    "neighbor_id": sel_ids[part],
+                    "sim": sims[part].astype(np.float64),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partials = pruned.select("id", "codes", "list_id").mapInPandas(
         partial, "query_id long, neighbor_id long, sim double")
     if rerank_with is None:
         return _rank_topk(partials, k)

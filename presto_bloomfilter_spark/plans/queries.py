@@ -1332,6 +1332,31 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(spark, emb, approx, queries)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ against a MATERIALIZED index (write_ivfpq_index →
+    parquet partitioned-by(list_id) holding only uint8 codes →
+    partition-pruned ADC probe + exact re-rank): the 10^12-vector ANN
+    shape — probe cost shrinks on both the pruning axis (nprobe /
+    n_lists) and the compression axis (codes vs floats).  Per-query
+    recall@10 >= 0.6 booleans vs the exact baseline."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
+    rows = emb.orderBy("vec_id").limit(2_000).collect()
+    import numpy as np
+
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    cents = similarity.spherical_kmeans(mat, n_lists=8, seed=7)
+    cb = similarity.pq_train(emb, m=16, ksub=256, sample_rows=2_000, seed=7)
+    path = tempfile.mkdtemp(prefix="pbs_ivfpq_") + "/index"
+    similarity.write_ivfpq_index(emb, cents, cb, path)
+    approx = similarity.ivfpq_topk(
+        spark, path, cents, cb, queries, k=10, nprobe=5,
+        rerank_with=emb, shortlist_factor=5)
+    return _ann_recall_check(spark, emb, approx, queries)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -1818,6 +1843,7 @@ QUERIES = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png_decode": q_multimodal_png_decode,
     "contamination_exact": q_contamination_exact,
@@ -1881,6 +1907,7 @@ ORACLES = {
     "ann_lsh_indexed": ORACLE_ANN_RECALL,
     "ann_ivf": ORACLE_ANN_RECALL,
     "ann_pq": ORACLE_ANN_RECALL,
+    "ann_ivfpq": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
     "contamination_exact": ORACLE_CONTAMINATION_EXACT,

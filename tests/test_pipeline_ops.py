@@ -578,3 +578,30 @@ def test_pq_topk_dim_mismatch_raises(spark):
     codes = similarity.pq_encode(emb, cb)
     with pytest.raises(ValueError, match="dim"):
         similarity.pq_topk(spark, codes, cb, [(0, [1.0, 2.0])], k=5)
+
+
+def test_ivfpq_indexed_probe_prunes_and_recalls(spark, emb, tmp_path):
+    """IVF-PQ materialized index: probe reads only nprobe partitions
+    (PartitionFilters in the plan) and recall@10 with re-rank >= 0.6."""
+    rows = emb.orderBy("vec_id").limit(500).collect()
+    mat = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    cents = similarity.spherical_kmeans(mat, n_lists=8, seed=7)
+    cb = similarity.pq_train(emb, m=16, ksub=256, sample_rows=2_000, seed=7)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(emb, cents, cb, path)
+
+    queries = [(r.vec_id, list(r.embedding)) for r in rows[:3]]
+    approx = similarity.ivfpq_topk(spark, path, cents, cb, queries, k=10,
+                                   nprobe=5, rerank_with=emb)
+    exact = _np_topk(rows, queries, 10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, _ in queries:
+        assert len(got[q] & set(exact[q])) / 10 >= 0.6, q
+    # partition pruning: the pruned scan must carry list_id filters
+    pruned = spark.read.parquet(path).filter(F.col("list_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # index stores codes only — no float vectors on disk
+    assert "embedding" not in spark.read.parquet(path).columns
