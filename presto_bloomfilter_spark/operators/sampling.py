@@ -175,3 +175,91 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
         .limit(k)
         .drop("__wpr")
     )
+
+
+def split_by_group(df: DataFrame, group_col: str, splits: dict[str, float],
+                   seed: int = 0, out_col: str = "split") -> DataFrame:
+    """Leakage-free train/val/test split: every row whose ``group_col``
+    matches gets the SAME label, so no group (url domain, dedup
+    cluster, author, source) straddles the train/eval boundary — the
+    standard contamination control when near-duplicate rows share a
+    group key.  Assignment is the md5 uniform of the group key cut at
+    the cumulative fractions: a pure function of (seed, key), so the
+    split is reproducible across runs, engines, partitionings, and
+    corpus growth (new rows of an existing group join its split;
+    existing rows never move).
+
+    Map-only — one JVM-side predicate chain, no shuffle, no join; at
+    100 TB the split is a scan-time column, and a writer can
+    ``partitionBy(out_col)`` with no extra pass.
+
+    ``splits`` maps label -> fraction (insertion order defines the
+    threshold order); fractions must be positive and sum to 1.  Rows
+    with NULL group keys get a NULL label.  NOTE: fractions apportion
+    GROUPS, not rows — a skewed group drags its full row mass with it
+    (that is the leakage-safety working as intended).
+    """
+    items = list(splits.items())
+    if len(items) < 2:
+        raise ValueError("need at least two splits")
+    fracs = [f for _, f in items]
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"fractions must be positive, got {fracs}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fracs)}")
+    u = md5_unit_interval(group_col, seed)
+    expr = None
+    cum = 0.0
+    for name, f in items[:-1]:
+        cum += f
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    expr = expr.otherwise(
+        F.when(F.col(group_col).isNotNull(), F.lit(items[-1][0])))
+    return df.withColumn(out_col, expr)
+
+
+def bucket_by_quantile(df: DataFrame, value_col: str, n_buckets: int,
+                       k: int = 200, out_col: str = "bucket") -> DataFrame:
+    """Assign each row its ``n_buckets``-quantile bucket of
+    ``value_col`` — length bucketing for sequence packing, curriculum
+    binning, skew diagnosis — WITHOUT the global sort an exact ntile
+    needs.  One KLL-sketch pass (tree-merged partials, the library's
+    standard dataflow) yields the B-1 cut points within KLL's published
+    rank-error bound; assignment is then a map-only comparison against
+    a broadcast array of B-1 doubles, so the whole operator is one
+    scan + one O(sketch-bytes) reduce — the 100 TB shape, vs
+    ``ntile() OVER (ORDER BY ...)`` which is a single-reducer sort.
+
+    Bucket b (0-based) = number of cut points <= value; ties at a cut
+    all land on the upper side, and degenerate distributions (a value
+    spanning multiple cuts) simply leave intermediate buckets empty —
+    assignment stays monotone in the value.  NULL values get a NULL
+    bucket.  Rank accuracy follows the sketch: ~O(1/k) normalized rank
+    error at the default k=200, so bucket POPULATIONS are near-equal
+    while bucket MEMBERSHIP at the boundary is approximate — callers
+    needing exact boundaries want an exact percentile job instead.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from .aggregate import aggregate_sketch, kll_over_column
+
+    import numpy as np
+
+    sk = aggregate_sketch(
+        df.select(F.col(value_col).cast("double").alias("__v"))
+          .filter(F.col("__v").isNotNull()),
+        kll_over_column("__v", k=k),
+    )
+    if sk.n == 0:
+        # no non-null values: every bucket is NULL, same as the rows
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = [float(c) for c in np.atleast_1d(sk.quantile(qs))]
+    arr = F.array(*[F.lit(c) for c in cuts])
+    v = F.col(value_col).cast("double")
+    bucket = F.when(
+        v.isNotNull(),
+        F.size(F.filter(arr, lambda c: c <= v)),
+    )
+    return df.withColumn(out_col, bucket)

@@ -956,6 +956,71 @@ SELECT id, n_chars FROM (
 """
 
 
+def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free grouped train/val/test split: every doc of a source
+    shares one split label, assignment = md5 uniform of the source cut
+    at cumulative fractions (0.5 / 0.75 — both exact doubles, so the
+    comparison is bit-identical across engines).  Full value oracle:
+    DuckDB computes the same md5 → u → CASE chain per row."""
+    from presto_bloomfilter_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.split_by_group(
+        d, "source", {"train": 0.5, "val": 0.25, "test": 0.25}, seed=3)
+    return out.select(
+        F.col("doc_id").cast("string").alias("id"), "source", "split")
+
+
+ORACLE_SPLIT_BY_GROUP = """
+SELECT CAST(doc_id AS VARCHAR) AS id, source,
+       CASE WHEN u < 0.5 THEN 'train'
+            WHEN u < 0.75 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5('3-' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0 AS u
+  FROM documents)
+"""
+
+
+def q_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-driven length bucketing (B=4 over n_chars): one sketch pass
+    for the cut points, map-only assignment — no global sort.  Cut
+    points are sketch-internal (not SQL-reproducible), so the oracle is
+    boolean-assert: every row bucketed, all 4 buckets populated, bucket
+    value-ranges strictly ordered (monotone assignment), and
+    populations within ±8% of n/4 (KLL is near-exact at gate scale)."""
+    from presto_bloomfilter_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    out = sampling.bucket_by_quantile(d, "n_chars", 4)
+    per = out.groupBy("bucket").agg(
+        F.count("*").alias("c"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+    )
+    w = Window.orderBy("bucket")
+    per = per.withColumn("prev_hi", F.lag("hi").over(w))
+    return per.agg(
+        F.sum("c").alias("n_rows"),
+        F.countDistinct("bucket").alias("n_buckets_seen"),
+        F.coalesce(
+            F.min(F.col("prev_hi").isNull() | (F.col("lo") >= F.col("prev_hi"))),
+            F.lit(True),
+        ).alias("monotone_ok"),
+        (F.max(F.abs(F.col("c") / F.lit(float(n)) - 0.25)) < 0.08).alias("balanced_ok"),
+    )
+
+
+ORACLE_QUANTILE_BUCKETS = """
+SELECT COUNT(*) AS n_rows, CAST(4 AS BIGINT) AS n_buckets_seen,
+       TRUE AS monotone_ok, TRUE AS balanced_ok
+FROM documents
+"""
+
+
 def q_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-level global shuffle of the documents table:
     (bucket, pos) is a pure function of (seed, doc_id) — reproducible
@@ -1821,6 +1886,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
     "shuffle_rank": q_shuffle_rank,
+    "split_by_group": q_split_by_group,
+    "quantile_buckets": q_quantile_buckets,
     "pii_scrub": q_pii_scrub,
     "cap_per_source": q_cap_per_source,
     "weighted_sample": q_weighted_sample,
@@ -1885,6 +1952,8 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
+    "split_by_group": ORACLE_SPLIT_BY_GROUP,
+    "quantile_buckets": ORACLE_QUANTILE_BUCKETS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "cap_per_source": ORACLE_CAP_PER_SOURCE,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

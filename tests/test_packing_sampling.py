@@ -299,3 +299,96 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         "doc_id string, w int")
     got = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()}
     assert got == {"a", "e"}
+
+
+# ---- split_by_group ------------------------------------------------------------
+
+
+def test_split_by_group_no_leakage_and_deterministic(docs, spark):
+    out = sampling.split_by_group(
+        docs, "source", {"train": 0.5, "val": 0.25, "test": 0.25}, seed=3)
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_group)  # a group never straddles splits
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # pure function of (seed, key): invariant under repartitioning
+    again = sampling.split_by_group(
+        docs.repartition(7), "source", {"train": 0.5, "val": 0.25, "test": 0.25},
+        seed=3)
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # different seed reshuffles at least one group (3 sources, p(all same) tiny)
+    other = sampling.split_by_group(
+        docs, "source", {"train": 0.5, "val": 0.25, "test": 0.25}, seed=4)
+    c = {(r.doc_id, r.split) for r in other.select("doc_id", "split").collect()}
+    assert a != c
+
+
+def test_split_by_group_fractions_approx_on_many_groups(spark):
+    # 2000 singleton groups: group fractions concentrate near targets
+    df = spark.range(2000).select(F.col("id").cast("string").alias("g"))
+    out = sampling.split_by_group(df, "g", {"train": 0.8, "test": 0.2}, seed=0)
+    n_train = out.filter(F.col("split") == "train").count()
+    assert 0.75 * 2000 < n_train < 0.85 * 2000
+
+
+def test_split_by_group_null_key_gets_null_split(spark):
+    df = spark.createDataFrame([("a",), (None,)], "g string")
+    out = {r.g: r.split for r in sampling.split_by_group(
+        df, "g", {"train": 0.5, "test": 0.5}).collect()}
+    assert out["a"] in ("train", "test")
+    assert out[None] is None
+
+
+def test_split_by_group_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        sampling.split_by_group(docs, "source", {"train": 1.0})
+    with pytest.raises(ValueError):
+        sampling.split_by_group(docs, "source", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        sampling.split_by_group(docs, "source", {"a": 1.5, "b": -0.5})
+
+
+# ---- bucket_by_quantile --------------------------------------------------------
+
+
+def test_bucket_by_quantile_monotone_and_balanced(docs):
+    out = sampling.bucket_by_quantile(docs, "n_tok", 4).cache()
+    n = docs.count()
+    rows = out.groupBy("bucket").agg(
+        F.count("*").alias("c"),
+        F.min("n_tok").alias("lo"),
+        F.max("n_tok").alias("hi")).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    # monotone: bucket value ranges never overlap out of order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    # near-equal populations (sketch is near-exact at n=400)
+    assert all(abs(r.c / n - 0.25) < 0.08 for r in rows)
+    assert sum(r.c for r in rows) == n
+
+
+def test_bucket_by_quantile_constant_column_single_bucket(spark):
+    df = spark.range(100).select(F.lit(7).alias("v"))
+    out = sampling.bucket_by_quantile(df, "v", 4)
+    vals = {r.bucket for r in out.select("bucket").distinct().collect()}
+    assert len(vals) == 1  # all ties collapse into one bucket, no crash
+
+
+def test_bucket_by_quantile_null_and_empty(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    out = {r.v: r.bucket for r in sampling.bucket_by_quantile(df, "v", 2).collect()}
+    assert out[None] is None and out[1.0] is not None
+    empty = df.filter(F.lit(False))
+    got = sampling.bucket_by_quantile(empty, "v", 2)
+    assert got.count() == 0
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    got2 = sampling.bucket_by_quantile(all_null, "v", 2).collect()
+    assert all(r.bucket is None for r in got2)
+
+
+def test_bucket_by_quantile_rejects_bad_buckets(docs):
+    with pytest.raises(ValueError):
+        sampling.bucket_by_quantile(docs, "n_tok", 1)
