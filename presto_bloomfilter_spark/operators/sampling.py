@@ -263,3 +263,41 @@ def bucket_by_quantile(df: DataFrame, value_col: str, n_buckets: int,
         F.size(F.filter(arr, lambda c: c <= v)),
     )
     return df.withColumn(out_col, bucket)
+
+
+def weighted_sample_per_key(df: DataFrame, group_col: str, key_col: str,
+                            weight_col: str, k: int,
+                            seed: int = 0) -> DataFrame:
+    """A-ES weighted sampling WITHIN each group: at most ``k`` rows per
+    ``group_col`` value, inclusion probability proportional to
+    ``weight_col`` — the weighted sibling of ``cap_per_key`` (balanced
+    per-source panels that still favor long / high-quality documents).
+    Same Efraimidis–Spirakis priority as ``weighted_sample``
+    (ln(u)/w, u = bit-exact md5 uniform of the row key), ranked by a
+    per-group window instead of a global top-k, so the surviving set
+    is a pure function of (seed, keys, weights) — reproducible across
+    runs, engines, and partitionings.
+
+    Scale shape: one shuffle on the group key, and the ``row_number()
+    <= k`` predicate plans a WindowGroupLimit BELOW the exchange
+    (plan-asserted in tests) — each input partition pre-truncates to
+    its local top-k per group before shuffling, so a giant group
+    ships at most k * input_partitions rows.
+
+    Rows with weight <= 0 or NULL are excluded (probability 0); ties
+    beyond the float priority break on the key.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = md5_unit_interval(key_col, seed)
+    wgt = F.col(weight_col).cast("double")
+    pr = F.when(wgt > 0, F.log(u) / wgt)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__wpr"), F.col(key_col).cast("string"))
+    return (
+        df.withColumn("__wpr", pr)
+        .filter(F.col("__wpr").isNotNull())
+        .withColumn("__wrn", F.row_number().over(w))
+        .filter(F.col("__wrn") <= k)
+        .drop("__wpr", "__wrn")
+    )

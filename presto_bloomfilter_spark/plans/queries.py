@@ -956,6 +956,34 @@ SELECT id, n_chars FROM (
 """
 
 
+def q_weighted_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source A-ES weighted sample (k=5 per source, weight =
+    n_chars): the grouped sibling of weighted_sample.  The surviving
+    (source, id) set is a pure function of (seed, keys, weights), so
+    DuckDB ranking the identical ln(u)/w priority per source selects
+    the same rows."""
+    from presto_bloomfilter_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_per_key(
+        d, "source", "doc_id", "n_chars", 5, seed=11)
+    return out.select(
+        F.col("doc_id").cast("string").alias("id"), "source", "n_chars")
+
+
+ORACLE_WEIGHTED_SAMPLE_PER_KEY = """
+SELECT id, source, n_chars FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln((CAST(('0x' || substr(md5('11-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC,
+                    CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= 5
+"""
+
+
 def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free grouped train/val/test split: every doc of a source
     shares one split label, assignment = md5 uniform of the source cut
@@ -1886,6 +1914,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
     "shuffle_rank": q_shuffle_rank,
+    "weighted_sample_per_key": q_weighted_sample_per_key,
     "split_by_group": q_split_by_group,
     "quantile_buckets": q_quantile_buckets,
     "pii_scrub": q_pii_scrub,
@@ -1952,6 +1981,7 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
+    "weighted_sample_per_key": ORACLE_WEIGHTED_SAMPLE_PER_KEY,
     "split_by_group": ORACLE_SPLIT_BY_GROUP,
     "quantile_buckets": ORACLE_QUANTILE_BUCKETS,
     "pii_scrub": ORACLE_PII_SCRUB,

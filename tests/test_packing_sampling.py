@@ -392,3 +392,54 @@ def test_bucket_by_quantile_null_and_empty(spark):
 def test_bucket_by_quantile_rejects_bad_buckets(docs):
     with pytest.raises(ValueError):
         sampling.bucket_by_quantile(docs, "n_tok", 1)
+
+
+# ---- weighted_sample_per_key ---------------------------------------------------
+
+
+def test_weighted_sample_per_key_quota_determinism_and_weighting(docs, spark):
+    out = sampling.weighted_sample_per_key(
+        docs, "source", "doc_id", "n_tok", 5, seed=2)
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert set(per.values()) == {5}
+    # deterministic across partitionings
+    a = {(r.source, r.doc_id) for r in out.select("source", "doc_id").collect()}
+    b = {(r.source, r.doc_id) for r in sampling.weighted_sample_per_key(
+        docs.repartition(13), "source", "doc_id", "n_tok", 5, seed=2
+    ).select("source", "doc_id").collect()}
+    assert a == b
+    # within each group the winners are exactly the top-k by the A-ES
+    # priority computed independently in numpy
+    import hashlib, math
+    rows = docs.select("source", "doc_id", "n_tok").collect()
+    pri = {}
+    for r in rows:
+        if r.n_tok and r.n_tok > 0:
+            x = int(hashlib.md5(f"2-{r.doc_id}".encode()).hexdigest()[:8], 16)
+            u = (x + 0.5) / 4294967296.0
+            pri.setdefault(r.source, []).append(
+                (math.log(u) / r.n_tok, r.doc_id))
+    expect = {(s, d) for s, ps in pri.items()
+              for _, d in sorted(ps, key=lambda t: (-t[0], t[1]))[:5]}
+    assert a == expect
+
+
+def test_weighted_sample_per_key_drops_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [("g", "a", 3.0), ("g", "b", 0.0), ("g", "c", None), ("g", "d", 1.0)],
+        "g string, k string, w double")
+    out = sampling.weighted_sample_per_key(df, "g", "k", "w", 10)
+    assert {r.k for r in out.collect()} == {"a", "d"}
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_per_key(df, "g", "k", "w", 0)
+
+
+def test_weighted_sample_per_key_pretruncates_before_shuffle(spark):
+    d = spark.range(0, 1000).selectExpr(
+        "cast(id as string) as doc_id", "cast(id % 3 as string) as source",
+        "cast(id % 7 + 1 as double) as w")
+    plan = sampling.weighted_sample_per_key(
+        d, "source", "doc_id", "w", 7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in post, plan
