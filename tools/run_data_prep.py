@@ -10,8 +10,10 @@ the way a pretraining data pipeline composes them:
   4. near-dup clustering (MinHash-LSH candidates -> exact-Jaccard
      verify -> connected components), keep one doc per cluster;
   5. per-source quota cap + mixture rebalance (deterministic md5);
-  6. deterministic global shuffle;
-  7. pack into fixed-length token sequences (whitespace tokens ->
+  6. leakage-free train/val/test split by source group (map-only;
+     only the train split flows on to shuffling/packing);
+  7. deterministic global shuffle;
+  8. pack into fixed-length token sequences (whitespace tokens ->
      hashed ids — stand-in for the real tokenizer) and write the
      partitioned, position-sorted training shards.
 
@@ -94,10 +96,18 @@ def main() -> None:
     mixed = sampling.sample_mixture(
         capped, {s: (50 if s == "web" else 100) for s in sources})
 
-    # 6: deterministic shuffle
-    shuffled = shuffle.deterministic_shuffle(mixed, "doc_id", seed=1, buckets=64)
+    # 6: leakage-free split — every source lands wholly in one split,
+    # so near-dups sharing a source can't straddle train/eval
+    split = sampling.split_by_group(
+        mixed, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    split_counts = {r["split"]: r["c"] for r in split.groupBy("split").agg(
+        F.count("*").alias("c")).collect()}
+    train = split.filter(F.col("split") == "train").drop("split")
 
-    # 7: tokenize (hashed whitespace ids — stand-in) + pack + write.
+    # 7: deterministic shuffle (train split only)
+    shuffled = shuffle.deterministic_shuffle(train, "doc_id", seed=1, buckets=64)
+
+    # 8: tokenize (hashed whitespace ids — stand-in) + pack + write.
     # Packing concatenates in partition-arrival order, so the stream
     # MUST be sorted by (bucket, pos) within each partition after the
     # repartition — otherwise shuffle-fetch order (nondeterministic)
@@ -126,7 +136,9 @@ def main() -> None:
         "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
         "sf_dir": args.sf_dir, "docs_in": n_in,
         "docs_after_quality": q.count(), "docs_after_dedup": uniq.count(),
-        "docs_packed": mixed.count(), "sequences": n_seq,
+        "docs_by_split": split_counts,
+        "docs_packed": split_counts.get("train", 0),
+        "sequences": n_seq,
         "tokens_packed": int(n_tok), "seq_len": args.seq_len,
         "docs_per_sec": round(n_in / wall, 1), "out": out_dir,
     }))
