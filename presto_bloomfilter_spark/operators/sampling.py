@@ -159,7 +159,7 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     orderBy(...).limit(k) exactly that way (TakeOrderedAndProject: a
     per-partition heap + a k-row driver merge, no global sort).
 
-    Rows with weight <= 0 or NULL are excluded (probability 0).
+    Rows with weight <= 0, NULL, or NaN are excluded (probability 0).
     Ties beyond the float priority break on the key, so the result is
     total-ordered even under md5 collisions.
     """
@@ -167,7 +167,9 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
         raise ValueError(f"k must be positive, got {k}")
     u = md5_unit_interval(key_col, seed)
     w = F.col(weight_col).cast("double")
-    pr = F.when(w > 0, F.log(u) / w)
+    # NaN > 0 is true under Spark's NaN-largest ordering and NaN
+    # priorities would sort FIRST under desc — exclude explicitly
+    pr = F.when((w > 0) & ~F.isnan(w), F.log(u) / w)
     return (
         df.withColumn("__wpr", pr)
         .filter(F.col("__wpr").isNotNull())
@@ -212,8 +214,8 @@ def split_by_group(df: DataFrame, group_col: str, splits: dict[str, float],
     cum = 0.0
     for name, f in items[:-1]:
         cum += f
-        branch = F.when(u < F.lit(cum), F.lit(name))
-        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(
         F.when(F.col(group_col).isNotNull(), F.lit(items[-1][0])))
     return df.withColumn(out_col, expr)
@@ -234,8 +236,8 @@ def bucket_by_quantile(df: DataFrame, value_col: str, n_buckets: int,
     Bucket b (0-based) = number of cut points <= value; ties at a cut
     all land on the upper side, and degenerate distributions (a value
     spanning multiple cuts) simply leave intermediate buckets empty —
-    assignment stays monotone in the value.  NULL values get a NULL
-    bucket.  Rank accuracy follows the sketch: ~O(1/k) normalized rank
+    assignment stays monotone in the value.  NULL and NaN values get
+    a NULL bucket (the sketch never sees NaN either).  Rank accuracy follows the sketch: ~O(1/k) normalized rank
     error at the default k=200, so bucket POPULATIONS are near-equal
     while bucket MEMBERSHIP at the boundary is approximate — callers
     needing exact boundaries want an exact percentile job instead.
@@ -258,8 +260,11 @@ def bucket_by_quantile(df: DataFrame, value_col: str, n_buckets: int,
     cuts = [float(c) for c in np.atleast_1d(sk.quantile(qs))]
     arr = F.array(*[F.lit(c) for c in cuts])
     v = F.col(value_col).cast("double")
+    # NaN is dropped by the sketch, so treat it like NULL at assignment
+    # too (NaN-largest semantics would otherwise dump all NaNs into the
+    # top bucket and skew the promised near-equal populations)
     bucket = F.when(
-        v.isNotNull(),
+        v.isNotNull() & ~F.isnan(v),
         F.size(F.filter(arr, lambda c: c <= v)),
     )
     return df.withColumn(out_col, bucket)
@@ -284,14 +289,16 @@ def weighted_sample_per_key(df: DataFrame, group_col: str, key_col: str,
     its local top-k per group before shuffling, so a giant group
     ships at most k * input_partitions rows.
 
-    Rows with weight <= 0 or NULL are excluded (probability 0); ties
+    Rows with weight <= 0, NULL, or NaN are excluded (probability 0); ties
     beyond the float priority break on the key.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = md5_unit_interval(key_col, seed)
     wgt = F.col(weight_col).cast("double")
-    pr = F.when(wgt > 0, F.log(u) / wgt)
+    # same NaN exclusion as weighted_sample: NaN > 0 is true and NaN
+    # priorities would deterministically steal top-k slots
+    pr = F.when((wgt > 0) & ~F.isnan(wgt), F.log(u) / wgt)
     w = Window.partitionBy(group_col).orderBy(
         F.desc("__wpr"), F.col(key_col).cast("string"))
     return (

@@ -1001,7 +1001,8 @@ def q_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SPLIT_BY_GROUP = """
 SELECT CAST(doc_id AS VARCHAR) AS id, source,
-       CASE WHEN u < 0.5 THEN 'train'
+       CASE WHEN u IS NULL THEN NULL
+            WHEN u < 0.5 THEN 'train'
             WHEN u < 0.75 THEN 'val'
             ELSE 'test' END AS split
 FROM (

@@ -25,7 +25,8 @@ def test_data_prep_pipeline_runs_end_to_end(tmp_path):
     assert 0 < m["docs_after_dedup"] <= m["docs_in"]
     assert m["sequences"] > 0 and m["tokens_packed"] >= m["sequences"]
     # the grouped split partitions the post-mixture docs exhaustively
-    assert sum(m["docs_by_split"].values()) >= m["docs_packed"] > 0
+    assert sum(m["docs_by_split"].values()) == m["docs_mixed"]
+    assert m["docs_packed"] == m["docs_by_split"].get("train", 0) > 0
     assert set(m["docs_by_split"]) <= {"train", "val", "test"}
     # shards really landed, partitioned and readable
     assert any(out.rglob("*.parquet"))

@@ -443,3 +443,23 @@ def test_weighted_sample_per_key_pretruncates_before_shuffle(spark):
         .executedPlan().toString()
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in post, plan
+
+
+def test_weighted_samplers_exclude_nan_weights(spark):
+    df = spark.createDataFrame(
+        [("g", "a", 3.0), ("g", "b", float("nan")), ("g", "c", 1.0),
+         ("g", "d", 2.0)],
+        "g string, k string, w double")
+    top = sampling.weighted_sample(df, "k", "w", 2)
+    assert "b" not in {r.k for r in top.collect()}
+    per = sampling.weighted_sample_per_key(df, "g", "k", "w", 2)
+    assert "b" not in {r.k for r in per.collect()}
+
+
+def test_bucket_by_quantile_nan_gets_null_bucket(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (2.0,), (3.0,), (4.0,)], "v double")
+    out = sampling.bucket_by_quantile(df, "v", 2).collect()
+    by_v = {(None if r.v != r.v else r.v): r.bucket for r in out}
+    assert by_v[None] is None
+    assert all(b is not None for v, b in by_v.items() if v is not None)
