@@ -956,6 +956,33 @@ SELECT id, n_chars FROM (
 """
 
 
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion round trip: documents written as JSONL, read
+    back through load_jsonl (explicit schema, PERMISSIVE + corrupt
+    quarantine), clean rows returned.  Full value oracle — every
+    (id, source, n_chars, text) must survive the JSON encode/decode
+    byte-identically."""
+    import tempfile
+
+    from presto_bloomfilter_spark.sources.tables import load_jsonl, split_corrupt
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pbs_jsonl_") + "/docs"
+    d.select("doc_id", "text", "source", "n_chars").write.mode(
+        "overwrite").json(path)
+    back = load_jsonl(
+        spark, path, "doc_id bigint, text string, source string, n_chars bigint")
+    clean, _bad = split_corrupt(back)
+    return clean.select(
+        F.col("doc_id").cast("string").alias("id"), "source", "n_chars", "text")
+
+
+ORACLE_JSONL_INGEST = """
+SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars, text
+FROM documents
+"""
+
+
 def q_weighted_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source A-ES weighted sample (k=5 per source, weight =
     n_chars): the grouped sibling of weighted_sample.  The surviving
@@ -1915,6 +1942,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
     "shuffle_rank": q_shuffle_rank,
+    "jsonl_ingest": q_jsonl_ingest,
     "weighted_sample_per_key": q_weighted_sample_per_key,
     "split_by_group": q_split_by_group,
     "quantile_buckets": q_quantile_buckets,
@@ -1982,6 +2010,7 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
+    "jsonl_ingest": ORACLE_JSONL_INGEST,
     "weighted_sample_per_key": ORACLE_WEIGHTED_SAMPLE_PER_KEY,
     "split_by_group": ORACLE_SPLIT_BY_GROUP,
     "quantile_buckets": ORACLE_QUANTILE_BUCKETS,

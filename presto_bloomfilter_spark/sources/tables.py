@@ -59,3 +59,65 @@ def load_source(spark, source: str, snapshot_id: int | str | None = None):
             "snapshot_id requires an 'iceberg:' source; parquet paths "
             "have no snapshot log (pin a path-per-snapshot instead)")
     return spark.read.parquet(source)
+
+
+def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
+    """Schema-enforced JSONL ingestion with corrupt-line quarantine —
+    the raw-crawl entry point (web dumps arrive as JSONL long before
+    they are parquet).
+
+    ``schema`` is REQUIRED (a DDL string or StructType): schema
+    inference costs a full extra scan of the input before the real
+    one — at 100 TB that doubles ingest I/O, so this loader refuses to
+    infer.  Reading is PERMISSIVE: malformed lines land whole in
+    ``corrupt_col`` (added to the schema here) instead of failing the
+    job — one bad crawl record must not kill a million-task ingest.
+    Use ``split_corrupt`` to fork clean rows from the quarantine
+    stream; write the quarantine out for inspection rather than
+    dropping it silently.
+
+    Scale notes: JSON has no column pruning or predicate pushdown
+    (every byte of every line is parsed) — ingest once, convert to
+    parquet, and run the pipeline on the parquet.  Files split by line
+    boundaries, so parallelism follows file count/size as usual.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if schema is None:
+        raise ValueError(
+            "schema is required: inference would scan the input twice "
+            "(pass the DDL string for the expected layout)")
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if not isinstance(schema, StructType):
+        raise ValueError(f"schema must be a StructType/DDL string, got {schema}")
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(df, corrupt_col: str = "_corrupt_record"):
+    """Fork a PERMISSIVE-read DataFrame into (clean, quarantine):
+    clean rows with the corrupt column dropped, quarantined full rows
+    (data columns NULL, raw line in ``corrupt_col``).  Both sides are
+    lazy projections of the same scan.  The quarantine keeps every
+    column because Spark disallows queries over a raw JSON scan that
+    reference ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+
+    The same restriction bites a bare ``.count()`` on either side:
+    column pruning leaves only the corrupt column in the scan and
+    Spark raises.  Count via a query that keeps a data column (e.g.
+    ``clean.select("id").collect()`` / an aggregation over real
+    columns), or ``.cache()`` the loaded frame first — Spark's own
+    documented workaround."""
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, bad

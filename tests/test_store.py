@@ -116,3 +116,26 @@ def test_load_source_parquet_and_snapshot_guard(spark):
     with _pytest.raises(ValueError, match="iceberg"):
         load_source(spark, "/root/testdata/sf0.001/documents.parquet",
                     snapshot_id=42)
+
+
+def test_load_jsonl_schema_enforced_with_quarantine(spark, tmp_path):
+    from presto_bloomfilter_spark.sources.tables import load_jsonl, split_corrupt
+
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "source": "web"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": 2, "text": "second", "source": "books"}\n'
+        '{"doc_id": "not-a-number", "text": "bad type", "source": "web"}\n'
+    )
+    df = load_jsonl(spark, str(p), "doc_id bigint, text string, source string")
+    clean, bad = split_corrupt(df)
+    rows = {r.doc_id: r.text for r in clean.collect()}
+    assert rows == {1: "hello world", 2: "second"}
+    assert "_corrupt_record" not in clean.columns
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(quarantined) == 2 and "NOT JSON AT ALL" in quarantined
+    # schema is mandatory: no silent double-scan inference
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_jsonl(spark, str(p), None)
