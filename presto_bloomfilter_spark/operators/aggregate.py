@@ -739,9 +739,17 @@ def top_k_tokens(
         bound = phase1.filter(F.col("is_thr")).agg(F.sum("cnt")).collect()[0][0] or 0
     finally:
         phase1.unpersist()
-    if len(rows) == k and kth > bound:
+    # bound == 0 means NO partition truncated its local map (every
+    # M-th local count was 0): the candidate set provably covers every
+    # token in the corpus, so the ranking is exact even when fewer
+    # than k distinct tokens exist — len(rows) < k is then just "the
+    # corpus has < k tokens", not a coverage miss
+    if (kth > bound) and (len(rows) == k or bound == 0):
         spark = df.sparkSession
         return spark.createDataFrame(rows, result.schema)
+    if bound == 0 and not rows:
+        # empty corpus: exact (and empty) by the same argument
+        return result
     raise TopKNotCertified(
         f"cannot certify top-{k}: k-th candidate count {kth} does not "
         f"strictly exceed the non-candidate bound {bound} "

@@ -63,7 +63,18 @@ def _batch_tokens(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndar
         )
     # flatten() yields exactly the logical values (it honors any slice
     # offset), so pair it with value_lengths(), never raw .offsets
-    flat = col.flatten().to_numpy(zero_copy_only=False)
+    values = col.flatten()
+    if values.null_count:
+        # same silent-corruption trap one level down: a NULL ELEMENT
+        # inside a list escapes the row-level null_count above, and
+        # to_numpy would hand back NaN that a later int cast turns
+        # into INT32_MIN inside a training sequence
+        raise ValueError(
+            f"pack_concat_chunks: {values.null_count} NULL token "
+            f"element(s) inside '{name}' arrays; clean them before "
+            f"packing — a null token has no id"
+        )
+    flat = values.to_numpy(zero_copy_only=False)
     lens = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, lens
 

@@ -55,9 +55,6 @@ def md5_bucket(key_col: str, buckets: int = 100) -> Column:
     return hex_prefix_bucket(F.md5(F.col(key_col).cast("string")), buckets)
 
 
-_md5_bucket = md5_bucket  # backward-compat alias
-
-
 def sample_mixture(
     df: DataFrame,
     rates: dict[str, int],
@@ -79,7 +76,7 @@ def sample_mixture(
             raise ValueError(f"rate for {src!r} must be in [0, 100], got {pct}")
     if not rates:
         return df.filter(F.lit(False))
-    bucket = _md5_bucket(key_col)
+    bucket = md5_bucket(key_col)
     mapping = F.create_map(
         *[lit for src, pct in rates.items() for lit in (F.lit(src), F.lit(int(pct)))]
     )

@@ -135,24 +135,25 @@ def embedding_near_dup_pairs(
     ``hyperplane_lsh_buckets`` + a per-bucket verify when approximate
     recall is acceptable).
 
-    ``n_blocks`` defaults to ceil(sqrt(2 * defaultParallelism)) — the
-    smallest block count whose n_blocks*(n_blocks+1)/2 pair-groups
-    cover the cluster — computed WITHOUT a driver-side count job (the
-    query stays ONE job).  That default bounds nothing when rows far
-    exceed parallelism * block_rows, so pass ``approx_rows`` (any
-    cheap estimate: catalog stats, a prior count, the write-side row
-    count) to ALSO enforce ``block_rows``: n_blocks then becomes
-    max(parallelism-derived, ceil(approx_rows / block_rows)), still
-    with zero extra jobs.  Or pass ``n_blocks`` outright.  Inside each
-    task the similarity matmul is chunked so the transient scores
+    ``n_blocks`` defaults to
+    max(ceil(sqrt(2 * defaultParallelism)), ceil(rows / block_rows)) —
+    enough pair-groups to cover the cluster AND at most ``block_rows``
+    rows per block, so a task's gathered vectors are bounded no matter
+    the corpus size.  The row term uses ``approx_rows`` when given
+    (any cheap estimate: catalog stats, a prior count, the write-side
+    row count — keeps the query ONE job); otherwise it falls back to
+    one ``df.count()`` (metadata-only on a plain parquet scan) rather
+    than silently dropping the per-task memory bound.  Pass
+    ``n_blocks`` outright to skip both.  Inside each task the
+    similarity matmul is additionally chunked so the transient scores
     buffer stays bounded (~256 MB) even when a block is oversized.
     """
     if n_blocks is None:
         p = spark.sparkContext.defaultParallelism
-        n_blocks = max(int(math.ceil(math.sqrt(2.0 * p))), 1)
-        if approx_rows is not None:
-            n_blocks = max(n_blocks,
-                           int(math.ceil(approx_rows / float(block_rows))))
+        if approx_rows is None:
+            approx_rows = df.count()
+        n_blocks = max(int(math.ceil(math.sqrt(2.0 * p))),
+                       int(math.ceil(approx_rows / float(block_rows))), 1)
     blocks = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).withColumn("b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
@@ -587,7 +588,13 @@ def write_lsh_index(
     ``seed`` must match the later lsh_topk_indexed call — they define
     the hyperplanes."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "write_lsh_index: input DataFrame is empty and dim was "
+                "not given — pass dim= to index an (initially) empty "
+                "corpus")
+        dim = len(first[0])
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)
 
@@ -707,6 +714,9 @@ def pq_train(
     recipe (Jégou et al. 2011).  The corpus itself never collects;
     only the sample does, and codebook quality needs only a sample."""
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("pq_train: input DataFrame is empty — a codebook "
+                         "needs a training sample")
     mat = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
     n, dim = mat.shape
     if dim % m:
@@ -730,6 +740,34 @@ def pq_train(
     return PQCodebook(cents)
 
 
+def _pq_assign_codes(mat: np.ndarray, cb: np.ndarray,
+                     norms: np.ndarray) -> np.ndarray:
+    """codes[i, j] = nearest centroid of row i's j-th subvector —
+    argmax(2 x·c - |c|²) == argmin |x-c|², one matmul per subspace.
+    THE single definition of the PQ encode distance: pq_encode and
+    write_ivfpq_index must produce identical codes or the materialized
+    index silently diverges from ad-hoc encoding."""
+    m, _, dsub = cb.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        codes[:, j] = np.argmax(
+            2.0 * (sub @ cb[j].T) - norms[j][None, :], axis=1
+        ).astype(np.uint8)
+    return codes
+
+
+def _rerank_shortlist(spark, partials, k, shortlist_factor, rerank_with,
+                      queries, vec_col, id_col, exclude_self):
+    """Shared ADC-rerank tail: exact cosine over the broadcast-semi-join
+    restricted shortlist (k * shortlist_factor candidates per query)."""
+    shortlist = _rank_topk(partials, k * shortlist_factor)
+    cand_ids = shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
+    cand = rerank_with.join(F.broadcast(cand_ids), id_col, "left_semi")
+    return cosine_topk(spark, cand, queries, k=k, vec_col=vec_col,
+                       id_col=id_col, exclude_self=exclude_self)
+
+
 def pq_encode(
     df: DataFrame,
     codebook: PQCodebook,
@@ -747,12 +785,7 @@ def pq_encode(
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = _normalize(_to_matrix(pdf[vec_col]))
-            codes = np.empty((len(pdf), m), dtype=np.uint8)
-            for j in range(m):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                d = 2.0 * (sub @ cb[j].T) - norms[j][None, :]
-                codes[:, j] = np.argmax(d, axis=1).astype(np.uint8)
+            codes = _pq_assign_codes(_normalize(_to_matrix(pdf[vec_col])), cb, norms)
             yield pd.DataFrame({
                 "id": pdf[id_col].astype(np.int64),
                 "codes": [c.tobytes() for c in codes],
@@ -830,11 +863,8 @@ def pq_topk(
         partial, "query_id long, neighbor_id long, sim double")
     if rerank_with is None:
         return _rank_topk(partials, k)
-    shortlist = _rank_topk(partials, k * shortlist_factor)
-    cand_ids = shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
-    cand = rerank_with.join(F.broadcast(cand_ids), id_col, "left_semi")
-    return cosine_topk(spark, cand, queries, k=k, vec_col=vec_col,
-                       id_col=id_col, exclude_self=exclude_self)
+    return _rerank_shortlist(spark, partials, k, shortlist_factor,
+                             rerank_with, queries, vec_col, id_col, exclude_self)
 
 
 # ---- IVF-PQ: the 10^12-vector index --------------------------------------------
@@ -871,15 +901,9 @@ def write_ivfpq_index(
             if not len(pdf):
                 continue
             mat = _normalize(_to_matrix(pdf[vec_col]))
-            codes = np.empty((len(pdf), m), dtype=np.uint8)
-            for j in range(m):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = np.argmax(
-                    2.0 * (sub @ cb[j].T) - norms[j][None, :], axis=1
-                ).astype(np.uint8)
             yield pd.DataFrame({
                 "id": pdf[id_col].astype(np.int64),
-                "codes": [c.tobytes() for c in codes],
+                "codes": [c.tobytes() for c in _pq_assign_codes(mat, cb, norms)],
                 "list_id": np.argmax(mat @ cent.T, axis=1).astype(np.int64),
             })
 
@@ -961,8 +985,5 @@ def ivfpq_topk(
         partial, "query_id long, neighbor_id long, sim double")
     if rerank_with is None:
         return _rank_topk(partials, k)
-    shortlist = _rank_topk(partials, k * shortlist_factor)
-    cand_ids = shortlist.select(F.col("neighbor_id").alias(id_col)).distinct()
-    cand = rerank_with.join(F.broadcast(cand_ids), id_col, "left_semi")
-    return cosine_topk(spark, cand, queries, k=k, vec_col=vec_col,
-                       id_col=id_col, exclude_self=exclude_self)
+    return _rerank_shortlist(spark, partials, k, shortlist_factor,
+                             rerank_with, queries, vec_col, id_col, exclude_self)

@@ -92,7 +92,9 @@ def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
     if not isinstance(schema, StructType):
         raise ValueError(f"schema must be a StructType/DDL string, got {schema}")
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, StringType())
+        # StructType.add mutates in place — copy so the caller's schema
+        # object doesn't silently grow a _corrupt_record field
+        schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

@@ -270,3 +270,15 @@ def test_top_k_tokens_certification(spark, tokens):
     # the same flat corpus certifies once M covers the id space
     ok = agg.top_k_tokens(flat, "tokens", k=10, m_per_partition=5000, certify=True)
     assert ok.count() == 10
+
+
+def test_top_k_tokens_certifies_when_distinct_below_k(spark):
+    """A corpus with fewer than k distinct tokens is provably exact when
+    no partition truncated (bound == 0) — certify must NOT raise just
+    because len(result) < k."""
+    small = spark.range(0, 1000).selectExpr(
+        "array(cast(id % 7 as int)) as tokens").repartition(4)
+    got = agg.top_k_tokens(small, "tokens", k=20, certify=True)
+    rows = got.collect()
+    assert len(rows) == 7
+    assert {r.token for r in rows} == set(range(7))

@@ -463,3 +463,10 @@ def test_bucket_by_quantile_nan_gets_null_bucket(spark):
     by_v = {(None if r.v != r.v else r.v): r.bucket for r in out}
     assert by_v[None] is None
     assert all(b is not None for v, b in by_v.items() if v is not None)
+
+
+def test_pack_rejects_null_token_elements(spark):
+    df = spark.createDataFrame(
+        [("a", [1, None, 3])], "doc_id string, tokens array<int>")
+    with pytest.raises(Exception, match="NULL token element"):
+        packing.pack_concat_chunks(df, 4).collect()

