@@ -983,6 +983,29 @@ FROM documents
 """
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion round trip: documents written as quoted CSV, read
+    back through load_csv (explicit schema, PERMISSIVE quarantine),
+    clean rows returned — same full value oracle as jsonl_ingest, so
+    the quoting/escaping path is value-checked end to end."""
+    import tempfile
+
+    from presto_bloomfilter_spark.sources.tables import load_csv, split_corrupt
+
+    d = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pbs_csv_") + "/docs"
+    d.select("doc_id", "text", "source", "n_chars").write.mode(
+        "overwrite").option("header", "true").csv(path)
+    back = load_csv(
+        spark, path, "doc_id bigint, text string, source string, n_chars bigint")
+    clean, _bad = split_corrupt(back)
+    return clean.select(
+        F.col("doc_id").cast("string").alias("id"), "source", "n_chars", "text")
+
+
+ORACLE_CSV_INGEST = ORACLE_JSONL_INGEST
+
+
 def q_weighted_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source A-ES weighted sample (k=5 per source, weight =
     n_chars): the grouped sibling of weighted_sample.  The surviving
@@ -1943,6 +1966,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "shuffle_rank": q_shuffle_rank,
     "jsonl_ingest": q_jsonl_ingest,
+    "csv_ingest": q_csv_ingest,
     "weighted_sample_per_key": q_weighted_sample_per_key,
     "split_by_group": q_split_by_group,
     "quantile_buckets": q_quantile_buckets,
@@ -2011,6 +2035,7 @@ ORACLES = {
     "hash_sample": ORACLE_HASH_SAMPLE,
     "shuffle_rank": ORACLE_SHUFFLE_RANK,
     "jsonl_ingest": ORACLE_JSONL_INGEST,
+    "csv_ingest": ORACLE_CSV_INGEST,
     "weighted_sample_per_key": ORACLE_WEIGHTED_SAMPLE_PER_KEY,
     "split_by_group": ORACLE_SPLIT_BY_GROUP,
     "quantile_buckets": ORACLE_QUANTILE_BUCKETS,

@@ -61,26 +61,13 @@ def load_source(spark, source: str, snapshot_id: int | str | None = None):
     return spark.read.parquet(source)
 
 
-def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
-    """Schema-enforced JSONL ingestion with corrupt-line quarantine —
-    the raw-crawl entry point (web dumps arrive as JSONL long before
-    they are parquet).
-
-    ``schema`` is REQUIRED (a DDL string or StructType): schema
-    inference costs a full extra scan of the input before the real
-    one — at 100 TB that doubles ingest I/O, so this loader refuses to
-    infer.  Reading is PERMISSIVE: malformed lines land whole in
-    ``corrupt_col`` (added to the schema here) instead of failing the
-    job — one bad crawl record must not kill a million-task ingest.
-    Use ``split_corrupt`` to fork clean rows from the quarantine
-    stream; write the quarantine out for inspection rather than
-    dropping it silently.
-
-    Scale notes: JSON has no column pruning or predicate pushdown
-    (every byte of every line is parsed) — ingest once, convert to
-    parquet, and run the pipeline on the parquet.  Files split by line
-    boundaries, so parallelism follows file count/size as usual.
-    """
+def _quarantine_schema(schema, corrupt_col: str):
+    """Validate/normalize the caller's schema and append the corrupt
+    column — THE shared ingestion contract of load_jsonl/load_csv: an
+    explicit schema (inference would scan the input twice; at 100 TB
+    that doubles ingest I/O, so these loaders refuse to infer) plus a
+    PERMISSIVE corrupt-line column so one bad crawl record cannot kill
+    a million-task ingest."""
     from pyspark.sql.types import StringType, StructType
 
     if schema is None:
@@ -95,11 +82,52 @@ def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
         # StructType.add mutates in place — copy so the caller's schema
         # object doesn't silently grow a _corrupt_record field
         schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    return schema
+
+
+def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
+    """Schema-enforced JSONL ingestion with corrupt-line quarantine —
+    the raw-crawl entry point (web dumps arrive as JSONL long before
+    they are parquet).  See ``_quarantine_schema`` for the shared
+    contract and ``split_corrupt`` to fork clean rows from the
+    quarantine stream (write the quarantine out for inspection rather
+    than dropping it silently).
+
+    Scale notes: JSON has no column pruning or predicate pushdown
+    (every byte of every line is parsed) — ingest once, convert to
+    parquet, and run the pipeline on the parquet.  Files split by line
+    boundaries, so parallelism follows file count/size as usual.
+    """
+    schema = _quarantine_schema(schema, corrupt_col)
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
+    )
+
+
+def load_csv(spark, path: str, schema, sep: str = ",", header: bool = True,
+             corrupt_col: str = "_corrupt_record"):
+    """Schema-enforced CSV/TSV ingestion with corrupt-line quarantine —
+    same contract as ``load_jsonl`` (explicit schema, PERMISSIVE,
+    malformed/arity-mismatched lines land whole in ``corrupt_col``).
+    For TSV label/metadata files pass ``sep="\\t"``.
+
+    Same scale posture as JSONL: no pruning/pushdown into the text
+    scan — ingest once, convert to parquet.  Multiline (embedded
+    newline) records are NOT enabled: multiline CSV defeats line-split
+    parallelism; pre-clean such exports upstream instead.
+    """
+    schema = _quarantine_schema(schema, corrupt_col)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("sep", sep)
+        .option("header", str(bool(header)).lower())
+        .option("enforceSchema", "false")
+        .csv(path)
     )
 
 

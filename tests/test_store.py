@@ -139,3 +139,27 @@ def test_load_jsonl_schema_enforced_with_quarantine(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_jsonl(spark, str(p), None)
+
+
+def test_load_csv_schema_enforced_with_quarantine(spark, tmp_path):
+    from presto_bloomfilter_spark.sources.tables import load_csv, split_corrupt
+
+    p = tmp_path / "labels.csv"
+    p.write_text(
+        "doc_id,score,source\n"
+        "1,0.5,web\n"
+        "not-a-number,0.9,web\n"
+        "2,0.25,books\n"
+    )
+    df = load_csv(spark, str(p), "doc_id bigint, score double, source string")
+    clean, bad = split_corrupt(df)
+    rows = {r.doc_id: r.score for r in clean.collect()}
+    assert rows == {1: 0.5, 2: 0.25}
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert quarantined == ["not-a-number,0.9,web"]
+    # TSV via sep
+    t = tmp_path / "labels.tsv"
+    t.write_text("doc_id\tscore\n7\t1.5\n")
+    tdf, _ = split_corrupt(load_csv(
+        spark, str(t), "doc_id bigint, score double", sep="\t"))
+    assert [(r.doc_id, r.score) for r in tdf.collect()] == [(7, 1.5)]
