@@ -5,9 +5,13 @@ mergeable algebra as the reference's BloomFilter aggregation pattern
 (reference AbstractBloomFilterAggregation.java:19-60 — input/combine/
 output with a serializable state), different payload.
 
-Standard HLL (Flajolet et al. 2007) with the small-range linear-counting
-correction; default precision p=14 → 16384 registers, relative standard
-error 1.04/sqrt(2^p) ≈ 0.81%.  Merge = elementwise register max —
+Registers per Flajolet et al. 2007; the estimator is Ertl's improved
+raw estimator (arXiv:1702.01284) — τ/σ-corrected harmonic mean with
+uniform error across the whole range and no raw/linear-counting
+crossover (the classic estimator's +2-3% bias hump at n ≈ 2.5·m showed
+up directly in per-source token cardinalities at bench scale).  Default
+precision p=14 → 16384 registers, relative standard error
+1.04/sqrt(2^p) ≈ 0.81%.  Merge = elementwise register max —
 commutative, associative, idempotent, so parallelism-invariant at the
 byte level.  Cross-checkable against Spark's ``approx_count_distinct``.
 """
@@ -24,14 +28,32 @@ from presto_bloomfilter_spark.functions.hashing import hash_ints64, hash_strings
 _U64 = np.uint64
 
 
-def _alpha(m: int) -> float:
-    if m == 16:
-        return 0.673
-    if m == 32:
-        return 0.697
-    if m == 64:
-        return 0.709
-    return 0.7213 / (1.0 + 1.079 / m)
+def _sigma(x: float) -> float:
+    """Ertl (arXiv:1702.01284) σ: Σ-series for the zero-register term."""
+    if x == 1.0:
+        return float("inf")
+    y, z = 1.0, x
+    while True:
+        x = x * x
+        z_prev = z
+        z = z + x * y
+        y = 2.0 * y
+        if z == z_prev:
+            return z
+
+
+def _tau(x: float) -> float:
+    """Ertl τ: series for the saturated-register term."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y, z = 1.0, 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prev = z
+        y = 0.5 * y
+        z = z - (1.0 - x) * (1.0 - x) * y
+        if z == z_prev:
+            return z / 3.0
 
 
 @ser.register_kind(ser.KIND_HLL)
@@ -104,14 +126,25 @@ class HyperLogLog:
     # ---- estimate -----------------------------------------------------------
 
     def estimate(self) -> float:
+        """Ertl's improved raw estimator (arXiv:1702.01284, Alg. 6):
+        τ/σ-corrected harmonic mean over the register histogram —
+        uniform ~1.04/sqrt(m) error with NO raw/linear-counting
+        crossover.  The classic Flajolet estimator this replaces has a
+        well-known +2-3% bias hump right at n ≈ 2.5 m (the handoff
+        from linear counting to the raw estimate), which this
+        library's per-source token cardinalities land on at bench
+        scale; Ertl derives the correction analytically, so no
+        empirical bias tables are needed."""
         m = self.m
-        regs = self.registers.astype(np.float64)
-        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
-        if raw <= 2.5 * m:
-            zeros = int(np.count_nonzero(self.registers == 0))
-            if zeros:
-                return m * math.log(m / zeros)  # linear counting
-        return float(raw)
+        q = 64 - self.precision  # ranks run 1..q+1; C[q+1] = saturated
+        C = np.bincount(self.registers, minlength=q + 2)
+        z = m * _tau((m - float(C[q + 1])) / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + float(C[k]))
+        z += m * _sigma(float(C[0]) / m)
+        if z == float("inf"):
+            return 0.0  # empty sketch
+        return (m / (2.0 * math.log(2.0))) * m / z
 
     # ---- merge --------------------------------------------------------------
 

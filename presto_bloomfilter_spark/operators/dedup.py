@@ -244,15 +244,19 @@ def _banded_pairs_with_cap(bands: DataFrame, band_keys: list[str],
     Buckets of 2..max_bucket rows take the full equi-self-join (every
     in-bucket pair is a candidate).  Buckets LARGER than max_bucket —
     the degenerate case: boilerplate, empty docs, giant duplicate
-    clusters — fall back to STAR pairing against the bucket's min-id
-    row: O(bucket) candidates instead of O(bucket²), and because all
-    members of a giant duplicate cluster pair with the same
-    representative, downstream connected components still recovers the
-    full cluster.  (Dropping oversize buckets outright — the earlier
-    behavior — silently produced ZERO pairs for exactly the clusters
-    dedup exists to find.)  Every candidate is still exact-verified by
-    the caller, so the fallback can only cost recall on non-dup
-    in-bucket pairs, never precision.
+    clusters, coincidental band collisions — fall back to STAR pairing
+    against the bucket's min-id row PLUS CHAIN pairing of neighbors in
+    (payload, id) sort order: 2·O(bucket) candidates instead of
+    O(bucket²).  Star keeps a homogeneous dup cluster attached to one
+    representative; chain guarantees that equal-signature runs inside
+    a MIXED bucket stay connected even when the representative is far
+    from them (star alone silently lost such dups once coincidental
+    collisions pushed buckets past the cap).  Downstream connected
+    components recovers full clusters from either edge set.  (Dropping
+    oversize buckets outright — the earliest behavior — produced ZERO
+    pairs for exactly the clusters dedup exists to find.)  Every
+    candidate is still exact-verified by the caller, so the fallback
+    can only cost recall on non-dup in-bucket pairs, never precision.
 
     Pure Catalyst dataflow: an applyInPandas version paid ~2 ms of
     per-group pandas overhead per bucket — 26 s where this takes under
@@ -294,7 +298,32 @@ def _banded_pairs_with_cap(bands: DataFrame, band_keys: list[str],
             *[F.col(p).alias(f"{p}_b") for p in payload],
         )
     )
-    return full.unionByName(star).distinct()
+    # chain fallback alongside the star: adjacent pairs over the bucket
+    # sorted by (payload, id).  Star alone loses genuine dups in a
+    # MIXED oversize bucket — members connect only through the min-id
+    # rep, and when the rep is far from a dup pair (a coincidental
+    # band collision, routine at corpus scale) both star edges fail
+    # the caller's exact verify and the pair vanishes.  Sorting by
+    # payload makes every equal-signature run adjacent, so true dups
+    # chain together regardless of what the rep looks like; cost stays
+    # O(bucket) candidates.
+    row = F.struct("id", *payload)
+    wo = Window.partitionBy(*band_keys).orderBy(
+        *[F.col(p) for p in payload], F.col("id"))
+    prev_lt = F.col("__prev.id") < F.col("id")
+    chain = (
+        big.withColumn("__prev", F.lag(row).over(wo))
+        .filter(F.col("__prev").isNotNull())
+        .withColumn("__sa", F.when(prev_lt, F.col("__prev")).otherwise(row))
+        .withColumn("__sb", F.when(prev_lt, row).otherwise(F.col("__prev")))
+        .select(
+            F.col("__sa.id").alias("id_a"),
+            F.col("__sb.id").alias("id_b"),
+            *[F.col(f"__sa.{p}").alias(f"{p}_a") for p in payload],
+            *[F.col(f"__sb.{p}").alias(f"{p}_b") for p in payload],
+        )
+    )
+    return full.unionByName(star).unionByName(chain).distinct()
 
 
 def lsh_candidate_pairs(index: DataFrame, max_bucket: int = 64) -> DataFrame:
@@ -514,11 +543,13 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     than ``max_bucket`` emits star pairs against its min-id
     representative instead of the full self-join — a corpus with 10k
     copies of one template costs ~10k candidates per band instead of
-    ~10^8, and the cluster still surfaces whole (every copy pairs with
-    the representative at Hamming 0; connected components collapses
+    ~10^8, and the cluster still surfaces whole (star edges attach
+    copies to a representative; chain edges connect equal-simhash
+    neighbors even in mixed buckets; connected components collapses
     them).  Exhaustiveness is guaranteed for any pair sharing at least
-    one band bucket of <= max_bucket rows; the exact Hamming filter
-    keeps precision exact regardless."""
+    one band bucket of <= max_bucket rows, and for identical-simhash
+    pairs in buckets of ANY size (chain adjacency); the exact Hamming
+    filter keeps precision exact regardless."""
     sigs = simhash_signatures(df, text_col, id_col)
     bands = sigs.select(
         "id", "simhash", F.posexplode(F.array(*[

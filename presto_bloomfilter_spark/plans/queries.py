@@ -33,7 +33,14 @@ from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_
 from presto_bloomfilter_spark.sources.tables import load_table
 
 # oracle runs at sf0.01 only — the deterministic tokens parquet path
-_TOKENS_SQL = f"read_parquet('{tokens_parquet_path('/root/testdata/sf0.01')}')"
+# The oracle SQL strings are static (oracle_sql() takes no sf), so the
+# tokens-corpus path they read must be pinned at import: sf0.01, the
+# driver's gate scale, overridable via PBS_GATE_SF_DIR so an
+# off-default run (tools/check_correctness.py honors the same var)
+# compares both engines over the SAME corpus
+_TOKENS_SQL = (
+    f"read_parquet('{tokens_parquet_path(os.environ.get('PBS_GATE_SF_DIR', '/root/testdata/sf0.01'))}')"
+)
 
 _STOPWORD_SQL = "('the','a','of','and','to')"
 
@@ -786,19 +793,31 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup containment check: every constructed exact-dup
-    pair (doc, 'dup-'+doc) has Hamming distance 0, so the full pair
-    computation MUST surface it — asserted per pair against a DuckDB
-    oracle that enumerates the construction."""
+    """SimHash near-dup CONNECTIVITY check: every constructed exact-dup
+    pair (doc, 'dup-'+doc) has Hamming distance 0, so the two ids must
+    land in the same dup cluster — asserted per pair against a DuckDB
+    oracle that enumerates the construction.  Connectivity (same
+    component over the emitted pairs), not direct pair emission, is
+    the operator's contract: when a degenerate band bucket exceeds its
+    cap, star pairing keeps members connected through a representative
+    without materializing the quadratic bucket, so the direct pair may
+    legitimately be absent at scale while the cluster stays intact."""
     pairs = dedup.simhash_near_dup_pairs(_aug_documents(spark, sf_dir), "text", "id")
+    comp = dedup.components_from_pairs(pairs)
     d = load_table(spark, sf_dir, "documents")
     expected = d.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").cast("string").alias("id_a"),
         F.concat(F.lit("dup-"), F.col("doc_id").cast("string")).alias("id_b"),
     )
-    found = pairs.select("id_a", "id_b").withColumn("__f", F.lit(True))
-    return expected.join(found, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", F.coalesce(F.col("__f"), F.lit(False)).alias("found")
+    ca = comp.select(F.col("id").alias("id_a"), F.col("component").alias("__ca"))
+    cb = comp.select(F.col("id").alias("id_b"), F.col("component").alias("__cb"))
+    return (
+        expected.join(ca, "id_a", "left").join(cb, "id_b", "left")
+        .select(
+            "id_a", "id_b",
+            (F.col("__ca").isNotNull() & (F.col("__ca") == F.col("__cb"))
+             ).alias("found"),
+        )
     )
 
 
@@ -1423,7 +1442,12 @@ SELECT query_id, TRUE AS recall_ok FROM (
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (one map-only job for all queries): per-query
     recall@10 >= 0.6 vs the exact baseline, asserted as a boolean
-    (measured 0.7-1.0 per query at these settings on the sf0.01 data)."""
+    (measured 0.7-1.0 per query at these settings on the sf0.01 data).
+    NOTE: the 0.6 bound is calibrated to (bits=4, probe_radius=2) at
+    the sf0.01 gate corpus — recall of a fixed LSH parameterization is
+    corpus-size-dependent by nature (a larger near-random corpus
+    dilutes each probed bucket), so off-default PBS_GATE_SF_DIR runs
+    should expect this boolean, not the operator, to move."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
     approx = similarity.lsh_topk(spark, emb, queries, k=10, bits=4, probe_radius=2)

@@ -451,9 +451,10 @@ def test_simhash_degenerate_cluster_capped(spark):
     t0 = time.time()
     rows = out.collect()
     assert time.time() - t0 < 60  # capped fan-out: linear, not ~10^8
-    # star pairing: every copy pairs with the min-id representative at
-    # Hamming 0, so connected components recovers ONE 10k cluster
-    assert len(rows) == 10_000 - 1
+    # star + chain pairing: every copy pairs with the min-id
+    # representative and with its sort-neighbor, both at Hamming 0, so
+    # connected components recovers ONE 10k cluster from O(n) edges
+    assert 10_000 - 1 <= len(rows) <= 2 * (10_000 - 1)
     assert all(r.hamming == 0 for r in rows)
     comp = dedup.components_from_pairs(out)
     assert comp.select("component").distinct().count() == 1
@@ -617,3 +618,26 @@ def test_ivfpq_indexed_probe_prunes_and_recalls(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
     # index stores codes only — no float vectors on disk
     assert "embedding" not in spark.read.parquet(path).columns
+
+
+def test_capped_bucket_mixed_dups_stay_connected(spark):
+    """Recall bug found by the sf0.1 gate run: in a MIXED oversize
+    bucket (coincidental band collisions), star pairing alone connects
+    members only through the min-id rep — a genuine dup pair far from
+    the rep loses both star edges to the Hamming verify and vanishes.
+    Chain pairing over the (payload, id) sort must keep every
+    equal-signature run connected."""
+    from pyspark.sql import functions as F
+
+    # one band bucket of 200 rows: ids 0..199, signatures all distinct
+    # EXCEPT ids 150/151 which are identical; cap far below 200
+    rows = [(i, 0, 0, (1 << 40) + i * 1000) for i in range(200)]
+    rows[151] = (151, 0, 0, (1 << 40) + 150 * 1000)  # dup of id 150
+    bands = spark.createDataFrame(
+        rows, "id long, band int, band_val int, simhash long")
+    pairs = dedup._banded_pairs_with_cap(
+        bands, ["band", "band_val"], max_bucket=64, payload=("simhash",))
+    verified = pairs.filter(
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))) == 0)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (150, 151) in got  # chain edge; star would have lost it
