@@ -12,7 +12,11 @@ from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 
 
 def test_hll_error_within_published_bound():
-    for true_n in (100, 10_000, 1_000_000):
+    # 41_000 and 50_000 straddle n ≈ 2.5·m (m=16384), the classic
+    # estimator's raw/linear-counting crossover where its bias hump
+    # (+2-3%, ~3.7σ) breached this bound — pinned so a regression to a
+    # crossover-style estimator fails here, not in a bench-scale gate
+    for true_n in (100, 10_000, 41_000, 50_000, 1_000_000):
         h = HyperLogLog()
         h.add_ints(np.arange(true_n, dtype=np.int64))
         est = h.estimate()
