@@ -176,6 +176,7 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 _MINHASH_SEED_STEP = _U64(0x9E3779B97F4A7C15)
 _BAND_FOLD = _U64(0x100000001B3)
+_SIG_KEY_SEED = _U64(0xD6E8FEB86659FD93)
 
 
 def _minhash_signature(shingles: np.ndarray, num_perm: int) -> np.ndarray:
@@ -221,16 +222,21 @@ def minhash_signatures(
                 folded = splitmix64(
                     sig.T.reshape(ndocs, bands, rows_per_band) * _BAND_FOLD
                 ).sum(axis=2, dtype=_U64)
+                # whole-signature key: equal shingle sets => equal
+                # sig_key, the chain-pairing sort payload that keeps
+                # exact dups adjacent inside capped mixed buckets
+                sig_key = splitmix64(sig + _SIG_KEY_SEED).sum(axis=0, dtype=_U64)
             yield pd.DataFrame(
                 {
                     "id": np.repeat(pdf[id_col].astype(str).to_numpy(), bands),
                     "band": np.tile(np.arange(bands, dtype=np.int32), ndocs),
                     "band_hash": folded.ravel().view(np.int64),
+                    "sig_key": np.repeat(sig_key.view(np.int64), bands),
                 }
             )
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        fn, "id string, band int, band_hash long"
+        fn, "id string, band int, band_hash long, sig_key long"
     )
 
 
@@ -328,9 +334,18 @@ def _banded_pairs_with_cap(bands: DataFrame, band_keys: list[str],
 
 def lsh_candidate_pairs(index: DataFrame, max_bucket: int = 64) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from band-bucket
-    co-occurrence; oversize degenerate buckets degrade to star pairing
-    instead of dropping (see :func:`_banded_pairs_with_cap`)."""
-    return _banded_pairs_with_cap(index, ["band", "band_hash"], max_bucket)
+    co-occurrence; oversize degenerate buckets degrade to star+chain
+    pairing instead of dropping (see :func:`_banded_pairs_with_cap`).
+    The chain sorts by ``sig_key`` (whole-signature fold carried by
+    minhash_signatures) when present, so identical-shingle-set docs
+    stay connected even inside MIXED capped buckets whose min-id
+    representative is dissimilar to them — without it the chain would
+    sort by id alone and the simhash mixed-bucket recall bug would
+    recur here."""
+    payload = ("sig_key",) if "sig_key" in index.columns else ()
+    return _banded_pairs_with_cap(
+        index, ["band", "band_hash"], max_bucket, payload=payload
+    ).select("id_a", "id_b")
 
 
 def _jaccard(a: str, b: str) -> float:

@@ -975,51 +975,91 @@ SELECT id, n_chars FROM (
 """
 
 
-def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL ingestion round trip: documents written as JSONL, read
-    back through load_jsonl (explicit schema, PERMISSIVE + corrupt
-    quarantine), clean rows returned.  Full value oracle — every
-    (id, source, n_chars, text) must survive the JSON encode/decode
-    byte-identically."""
+# edge rows UNIONed into both ingest round trips (and their oracles)
+# so the gates exercise quoting, separators-in-values, empty strings,
+# and edge whitespace BY CONSTRUCTION — the synthetic corpus happens to
+# contain none of them, and a round trip that only ever sees clean
+# text would pass by accident.  (Embedded newlines are deliberately
+# absent: load_csv documents them as quarantine-bound, not lossless.)
+_INGEST_EDGE_ROWS = [
+    (-1, 'comma, "quoted" and \\backslash\\', "src_edge", 7),
+    (-2, "", "src_edge", 0),
+    (-3, "  padded  ", "src_edge", 5),
+]
+
+_INGEST_EDGE_SQL = """
+  SELECT -1 AS doc_id, 'comma, "quoted" and \\backslash\\' AS text,
+         'src_edge' AS source, 7 AS n_chars
+  UNION ALL SELECT -2, '', 'src_edge', 0
+  UNION ALL SELECT -3, '  padded  ', 'src_edge', 5
+"""
+
+
+def _ingest_roundtrip(spark, sf_dir, prefix, write_fn, load_fn) -> DataFrame:
+    """Shared body of the ingest gates: documents + edge rows → write
+    via ``write_fn(df, path)`` → read back via ``load_fn(path)`` →
+    clean split → canonical (id, source, n_chars, text)."""
     import tempfile
 
-    from presto_bloomfilter_spark.sources.tables import load_jsonl, split_corrupt
+    from presto_bloomfilter_spark.sources.tables import split_corrupt
 
-    d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="pbs_jsonl_") + "/docs"
-    d.select("doc_id", "text", "source", "n_chars").write.mode(
-        "overwrite").json(path)
-    back = load_jsonl(
-        spark, path, "doc_id bigint, text string, source string, n_chars bigint")
-    clean, _bad = split_corrupt(back)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars")
+    edges = spark.createDataFrame(
+        _INGEST_EDGE_ROWS, "doc_id bigint, text string, source string, n_chars bigint")
+    path = tempfile.mkdtemp(prefix=prefix) + "/docs"
+    write_fn(d.unionByName(edges), path)
+    clean, _bad = split_corrupt(load_fn(path))
     return clean.select(
         F.col("doc_id").cast("string").alias("id"), "source", "n_chars", "text")
 
 
-ORACLE_JSONL_INGEST = """
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion round trip: documents + constructed edge rows
+    (quotes, commas, empty string, edge whitespace) written as JSONL,
+    read back through load_jsonl (explicit schema, PERMISSIVE +
+    corrupt quarantine), clean rows returned.  Full value oracle —
+    every (id, source, n_chars, text) must survive the JSON
+    encode/decode byte-identically."""
+    from presto_bloomfilter_spark.sources.tables import load_jsonl
+
+    return _ingest_roundtrip(
+        spark, sf_dir, "pbs_jsonl_",
+        lambda df, p: df.write.mode("overwrite").json(p),
+        lambda p: load_jsonl(
+            spark, p, "doc_id bigint, text string, source string, n_chars bigint"),
+    )
+
+
+ORACLE_JSONL_INGEST = f"""
 SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars, text
-FROM documents
+FROM (SELECT doc_id, text, source, n_chars FROM documents
+      UNION ALL {_INGEST_EDGE_SQL})
 """
 
 
 def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV ingestion round trip: documents written as quoted CSV, read
-    back through load_csv (explicit schema, PERMISSIVE quarantine),
-    clean rows returned — same full value oracle as jsonl_ingest, so
-    the quoting/escaping path is value-checked end to end."""
-    import tempfile
+    """CSV ingestion round trip over documents + the same constructed
+    edge rows, using the faithful-round-trip recipe load_csv documents
+    (writer: sentinel nullValue + no edge-whitespace trimming; reader:
+    matching null_value) — quoting, separators-in-values, EMPTY STRING
+    vs NULL, and edge whitespace are value-checked end to end.
+    Embedded newlines are out of scope by documented design (multiline
+    off; such rows quarantine)."""
+    from presto_bloomfilter_spark.sources.tables import load_csv
 
-    from presto_bloomfilter_spark.sources.tables import load_csv, split_corrupt
-
-    d = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="pbs_csv_") + "/docs"
-    d.select("doc_id", "text", "source", "n_chars").write.mode(
-        "overwrite").option("header", "true").csv(path)
-    back = load_csv(
-        spark, path, "doc_id bigint, text string, source string, n_chars bigint")
-    clean, _bad = split_corrupt(back)
-    return clean.select(
-        F.col("doc_id").cast("string").alias("id"), "source", "n_chars", "text")
+    return _ingest_roundtrip(
+        spark, sf_dir, "pbs_csv_",
+        lambda df, p: (
+            df.write.mode("overwrite").option("header", "true")
+            .option("nullValue", "\\N")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(p)),
+        lambda p: load_csv(
+            spark, p, "doc_id bigint, text string, source string, n_chars bigint",
+            null_value="\\N"),
+    )
 
 
 ORACLE_CSV_INGEST = ORACLE_JSONL_INGEST

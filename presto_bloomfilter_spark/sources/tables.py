@@ -108,27 +108,42 @@ def load_jsonl(spark, path: str, schema, corrupt_col: str = "_corrupt_record"):
 
 
 def load_csv(spark, path: str, schema, sep: str = ",", header: bool = True,
-             corrupt_col: str = "_corrupt_record"):
+             corrupt_col: str = "_corrupt_record",
+             null_value: str | None = None):
     """Schema-enforced CSV/TSV ingestion with corrupt-line quarantine —
     same contract as ``load_jsonl`` (explicit schema, PERMISSIVE,
     malformed/arity-mismatched lines land whole in ``corrupt_col``).
     For TSV label/metadata files pass ``sep="\\t"``.
 
+    NULL vs empty string: CSV cannot distinguish them without a
+    convention.  Spark's default (``null_value=None`` here) reads BOTH
+    an unquoted empty field and a quoted ``\"\"`` as NULL — empty
+    strings silently become NULLs on the clean side.  When the
+    producer writes nulls as a sentinel (e.g. Spark writer
+    ``option(\"nullValue\", \"\\\\N\")``), pass the same sentinel as
+    ``null_value`` and empty strings round-trip faithfully (the
+    ``csv_ingest`` gate value-checks exactly this recipe, including
+    quotes/commas/edge whitespace).  Note the WRITER side must also
+    disable its default edge-whitespace trimming to preserve padding.
+
     Same scale posture as JSONL: no pruning/pushdown into the text
     scan — ingest once, convert to parquet.  Multiline (embedded
     newline) records are NOT enabled: multiline CSV defeats line-split
-    parallelism; pre-clean such exports upstream instead.
+    parallelism; such rows parse as arity mismatches and land in the
+    quarantine — pre-clean them upstream instead.
     """
     schema = _quarantine_schema(schema, corrupt_col)
-    return (
+    reader = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .option("sep", sep)
         .option("header", str(bool(header)).lower())
         .option("enforceSchema", "false")
-        .csv(path)
     )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path)
 
 
 def split_corrupt(df, corrupt_col: str = "_corrupt_record"):

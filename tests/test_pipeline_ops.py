@@ -641,3 +641,17 @@ def test_capped_bucket_mixed_dups_stay_connected(spark):
         F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))) == 0)
     got = {(r.id_a, r.id_b) for r in verified.collect()}
     assert (150, 151) in got  # chain edge; star would have lost it
+
+
+def test_minhash_capped_mixed_bucket_keeps_exact_dups(spark):
+    """The minhash sibling of the simhash mixed-bucket fix: equal
+    shingle sets share sig_key, so the chain keeps them adjacent even
+    when the whole bucket is capped and the min-id rep is unrelated."""
+    rows = [(i, 0, 7, 1000 + i) for i in range(200)]  # one big bucket
+    rows[151] = (151, 0, 7, 1000 + 150)  # same full signature as 150
+    idx = spark.createDataFrame(
+        rows, "id long, band int, band_hash long, sig_key long"
+    ).selectExpr("cast(id as string) id", "band", "band_hash", "sig_key")
+    got = {(r.id_a, r.id_b)
+           for r in dedup.lsh_candidate_pairs(idx, max_bucket=64).collect()}
+    assert ("150", "151") in got

@@ -163,3 +163,26 @@ def test_load_csv_schema_enforced_with_quarantine(spark, tmp_path):
     tdf, _ = split_corrupt(load_csv(
         spark, str(t), "doc_id bigint, score double", sep="\t"))
     assert [(r.doc_id, r.score) for r in tdf.collect()] == [(7, 1.5)]
+
+
+def test_load_csv_faithful_null_vs_empty_roundtrip(spark, tmp_path):
+    """The documented faithful recipe: writer sentinel nullValue +
+    no-trim, reader matching null_value — empty string, NULL, and edge
+    whitespace all survive; Spark's default (no null_value) coerces
+    empty strings to NULL, which is exactly why the option exists."""
+    from presto_bloomfilter_spark.sources.tables import load_csv, split_corrupt
+
+    d = tmp_path / "vals"
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x"), (4, "  pad  ")], "id bigint, t string")
+    (df.write.option("header", "true").option("nullValue", "\\N")
+       .option("ignoreLeadingWhiteSpace", "false")
+       .option("ignoreTrailingWhiteSpace", "false").csv(str(d)))
+    clean, _ = split_corrupt(load_csv(
+        spark, str(d), "id bigint, t string", null_value="\\N"))
+    got = {r.id: r.t for r in clean.collect()}
+    assert got == {1: "", 2: None, 3: "x", 4: "  pad  "}
+    # default semantics: both empty and sentinel-less null read as NULL
+    clean2, _ = split_corrupt(load_csv(spark, str(d), "id bigint, t string"))
+    got2 = {r.id: r.t for r in clean2.collect()}
+    assert got2[1] is None  # the documented coercion
