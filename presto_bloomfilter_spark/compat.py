@@ -81,8 +81,14 @@ def bloom_filter_load(source, timeout: float = 10.0) -> BloomFilter:
         if p.startswith(("http://", "https://")):
             sk = _sketch_from_url(p, timeout)
         else:
-            store = SketchStore(os.path.dirname(p) or ".")
-            sk = store.get(os.path.basename(p).removesuffix(".sketch"))
+            # pure read — do NOT construct a SketchStore here: its
+            # __init__ makedirs the parent, which fails on read-only
+            # mounts and leaves junk directories behind on typo'd paths
+            fp = p if p.endswith(".sketch") else p + ".sketch"
+            if not os.path.exists(fp) and os.path.exists(p):
+                fp = p  # a store path without the suffix convention
+            with open(fp, "rb") as f:
+                sk = ser.sketch_from_bytes(f.read())
         out = sk if out is None else out.merge(sk)
     return out
 
@@ -192,13 +198,27 @@ def register_sql_functions(spark: SparkSession) -> None:
         out = pd.array(np.zeros(len(els), dtype=bool), dtype="boolean")
         if len(els):
             # the blob is usually a scalar subquery (one distinct value
-            # per batch); factorize handles the general case.  NULL
+            # per batch); factorize handles the general case.  Group by
+            # the PBFS header+params PREFIX (48-byte header whose
+            # digest covers the payload, plus the params json it
+            # declares) — a multi-MB filter would otherwise be memcpy'd
+            # once PER ROW just to build a hashable group key.  NULL
             # blobs get code -1 (factorize drops None from uniques).
-            codes, uniques = pd.factorize(blobs.map(lambda b: bytes(b) if b is not None else None))
+            def prefix(b):
+                if b is None:
+                    return None
+                mv = memoryview(b)
+                hdr = ser._HEADER.size
+                plen = ser.read_params_length(bytes(mv[:hdr]))
+                return bytes(mv[: hdr + plen])
+
+            codes, uniques = pd.factorize(blobs.map(prefix))
             out[codes == -1] = None
             for u in range(len(uniques)):
                 mask = codes == u
-                sk = _cached_sketch(uniques[u])
+                # one full-blob copy per GROUP, not per row
+                first = int(np.flatnonzero(mask)[0])
+                sk = _cached_sketch(bytes(blobs.iloc[first]))
                 out[mask] = sk.might_contain_strings(els[mask])
         return pd.Series(out, dtype="boolean")
 

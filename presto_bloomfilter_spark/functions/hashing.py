@@ -48,8 +48,23 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_ints64(values: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Hash an integer array (any int dtype) to uint64, vectorized."""
-    x = np.asarray(values).astype(np.int64, copy=False).view(np.uint64)
+    """Hash an integer array (any int dtype) to uint64, vectorized.
+
+    Floating input raises: the classic trap is a nullable int column
+    that Arrow→pandas silently converted to float64 — NaN would cast
+    to INT64_MIN garbage and ids above 2^53 have ALREADY lost
+    precision, so hashing the cast-back would produce silent bloom
+    false negatives.  Mask the NULLs and keep the column integral
+    upstream (operators/probe.py's int path routes through a lossless
+    string cast for exactly this reason).
+    """
+    x = np.asarray(values)
+    if x.dtype.kind == "f":
+        raise ValueError(
+            "hash_ints64 got a floating array (nullable-int column "
+            "converted to float64?) — NaN and >2^53 values corrupt "
+            "silently; pass an integer array")
+    x = x.astype(np.int64, copy=False).view(np.uint64)
     if seed:
         with np.errstate(over="ignore"):
             x = x + _U64(seed & 0xFFFFFFFFFFFFFFFF) * _SM_GAMMA

@@ -100,7 +100,11 @@ class HyperLogLog:
             sh = big * _U64(shift)
             x >>= sh
             width += sh.astype(np.int64)
-        rank = 64 - width  # = 64 - bit_length + 1; in [1, 64]
+        # the |1 sentinel sits at bit 0, so an all-zero (64-p)-bit
+        # remainder scans to rank 64 — clamp to the domain max q+1
+        # (probability 2^-(64-p) per element, but an uncapped register
+        # would escape estimate()'s saturated bin C[q+1])
+        rank = np.minimum(64 - width, np.int64(64 - p + 1))  # in [1, q+1]
         # per-bucket max without the unbuffered np.maximum.at: histogram
         # (bucket, rank) pairs (rank ≤ 64 < 128), then take the highest
         # occupied rank per bucket — all buffered passes.
@@ -137,7 +141,10 @@ class HyperLogLog:
         empirical bias tables are needed."""
         m = self.m
         q = 64 - self.precision  # ranks run 1..q+1; C[q+1] = saturated
-        C = np.bincount(self.registers, minlength=q + 2)
+        # clip defensively: a legacy/foreign payload could carry a
+        # register above q+1, which bincount would park past the
+        # saturated bin and silently exclude from z
+        C = np.bincount(np.minimum(self.registers, q + 1), minlength=q + 2)
         z = m * _tau((m - float(C[q + 1])) / m)
         for k in range(q, 0, -1):
             z = 0.5 * (z + float(C[k]))

@@ -90,6 +90,15 @@ def read_hash(buf: bytes) -> bytes:
     return digest
 
 
+def read_params_length(buf: bytes) -> int:
+    """Length of the params-json section, from the header alone — lets
+    callers slice the identity prefix (header + params) of a blob
+    without touching the payload bytes."""
+    magic, ver, _, _, _, plen, _ = _unpack_header(buf)
+    _check(magic, ver)
+    return int(plen)
+
+
 def read_params(buf: bytes) -> dict:
     """Read params without decompressing the payload (reference parity:
     get_expected_insertions / get_false_positive_percentage scalar fns)."""

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections import OrderedDict
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -40,7 +41,14 @@ _sketch_cache: "OrderedDict[bytes, object]" = OrderedDict()
 
 
 def _cached_sketch(blob: bytes):
-    key = ser.read_hash(blob)
+    # key = sha256 of the WHOLE blob, not the header's payload-only
+    # digest: two sketches with byte-identical payloads but different
+    # kind/params (two empty filters of equal word count and different
+    # k; an empty HLL vs an equal-length zero bitset) must not collide
+    # into one cached object
+    import hashlib
+
+    key = hashlib.sha256(blob).digest()
     sk = _sketch_cache.get(key)
     if sk is None:
         sk = ser.sketch_from_bytes(blob)
@@ -116,16 +124,32 @@ def contains_udf(spark: SparkSession, sketch, ints: bool = False,
     bv = spark.sparkContext.broadcast(blob)
 
     if ints:
+        # Arrow→pandas turns a nullable int batch into float64: NaN for
+        # NULLs and SILENT precision loss above 2^53 (a snowflake-style
+        # id changes value → hash mismatch → bloom false negative).  So
+        # the int path casts to STRING JVM-side (lossless for bigint)
+        # and parses back to exact int64 here; NULLs probe False, same
+        # as the string form / reference null semantics.
 
         @pandas_udf("boolean")
-        def probe(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def probe_str(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             sk = _cached_sketch(bv.value)
             for s in it:
-                hits = sk.might_contain_ints(s.to_numpy())
+                out = np.zeros(len(s), dtype=bool)
+                mask = s.notna().to_numpy()
+                if mask.any():
+                    vals = s[mask].to_numpy().astype(np.int64)
+                    out[mask] = sk.might_contain_ints(vals)
                 if metrics is not None:
-                    metrics._probes.add(len(hits))
-                    metrics._misses.add(int(len(hits) - hits.sum()))
-                yield pd.Series(hits)
+                    metrics._probes.add(len(out))
+                    metrics._misses.add(int(len(out) - out.sum()))
+                yield pd.Series(out)
+
+        def probe(col):
+            from pyspark.sql import Column, functions as F
+
+            c = col if isinstance(col, Column) else F.col(col)
+            return probe_str(c.cast("string"))
 
     else:
 
@@ -168,10 +192,25 @@ def bloom_semi_join(
     automatically, but user-controlled and persistable — SURVEY.md §4).
     """
     int_types = {"tinyint", "smallint", "int", "bigint"}
-    ints = (
-        dict(probe_df.dtypes)[probe_col] in int_types
-        and dict(build_df.dtypes)[build_col] in int_types
-    )
+    pt, bt = dict(probe_df.dtypes)[probe_col], dict(build_df.dtypes)[build_col]
+    ints = pt in int_types and bt in int_types
+    numeric = int_types | {"float", "double", "decimal"}
+    if not ints and (pt.split("(")[0] in numeric) != (bt.split("(")[0] in numeric):
+        # a numeric key against a non-numeric one would fall through to
+        # the string path, where '5.0' != '5' silently DROPS matching
+        # rows that a plain semi join (numeric coercion) would keep —
+        # refuse instead of returning a wrong subset
+        raise ValueError(
+            f"bloom_semi_join key types are incomparable as strings: "
+            f"probe {probe_col}:{pt} vs build {build_col}:{bt}; cast "
+            f"both keys to a common type first")
+    if not ints and pt != bt and pt.split("(")[0] in numeric:
+        # e.g. double vs bigint: '5.0' vs '5' string forms diverge
+        raise ValueError(
+            f"bloom_semi_join mixed numeric key types: probe "
+            f"{probe_col}:{pt} vs build {build_col}:{bt} — their string "
+            f"forms differ ('5.0' vs '5'), which would silently drop "
+            f"matches; cast both keys to a common type first")
     # the bloom build reads raw (non-distinct) keys: inserts are
     # idempotent, so skipping .distinct() skips a whole shuffle of the
     # build side; only the exact-verify broadcast below needs dedup

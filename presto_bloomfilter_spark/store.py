@@ -176,9 +176,14 @@ class CheckpointedBuild:
         return f"{self.job_id}.part{pid}"
 
     def record_partition(self, pid: int, sketch, rows: int) -> None:
+        # serialize exactly once: the same blob is what gets persisted
+        # AND what the manifest hash describes (re-encoding a
+        # deserialized object would cost a second multi-MB encode per
+        # partition and could in principle diverge from the stored file)
+        blob = sketch.to_bytes() if hasattr(sketch, "to_bytes") else bytes(sketch)
         key = self.partition_key(pid)
-        self.store.put(key, sketch)
-        blob_hash = ser.read_hash(sketch.to_bytes()).hex()
+        self.store.put(key, blob)
+        blob_hash = ser.read_hash(blob).hex()
         self.manifest.partitions[str(pid)] = {"key": key, "sha256": blob_hash, "rows": rows}
         self._flush()
 
@@ -230,7 +235,10 @@ def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
     pruned = df.select(*spec.columns)
     new_parts = pruned.mapInArrow(partial, "pid int, sketch binary, rows long").collect()
     for r in new_parts:
-        ckpt.record_partition(r.pid, ser.sketch_from_bytes(r.sketch), r.rows)
+        # pass the executor's PBFS bytes straight through — decoding
+        # only to re-encode wasted two full serialization passes per
+        # partition blob
+        ckpt.record_partition(r.pid, bytes(r.sketch), r.rows)
     return ckpt.merged(), len(new_parts)
 
 

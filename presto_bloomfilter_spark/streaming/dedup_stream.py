@@ -225,7 +225,12 @@ class StreamingBloomDedup:
                 )
                 newest.merge(part)
         fresh.unpersist()
-        self.store.put(newest_key, newest)
+        if emitted:
+            # all-duplicate epochs insert nothing: the persisted filter
+            # is byte-identical to what's already on disk, so skip the
+            # multi-MB atomic rewrite (the epoch marker below still
+            # records the epoch as processed, preserving idempotence)
+            self.store.put(newest_key, newest)
         self._check_capacity(newest, epoch_id)
         _mark_epoch(self.store, self.job_id, epoch_id, self.keep_markers)
         return emitted

@@ -49,6 +49,14 @@ def windowed_sketch_stream(
     in *append* mode: one row per window, emitted when the watermark
     closes it.  Run with ``.writeStream.outputMode("append")``.
     """
+    # captured driver-side: timestamps reach the state function as
+    # SESSION-timezone-naive pandas values, and Timestamp.timestamp()
+    # would interpret them as UTC — localize with the real session zone
+    # or the timeout epoch is offset by the UTC delta (a window in a
+    # UTC-8 session would finalize ~8 h early via the clamp, then
+    # re-open and emit a SECOND row for the same window)
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC") or "UTC"
     win = F.window(F.col(time_col), window_duration)
     bucketed = (
         stream_df.withWatermark(time_col, watermark_delay)
@@ -91,7 +99,11 @@ def windowed_sketch_stream(
             # clamped to just past the current watermark because a batch
             # can deliver rows for a window the watermark already closed
             # (rows are admitted against the PREVIOUS batch's watermark)
-            end_ms = int(pd.Timestamp(window_end).timestamp() * 1000)
+            end_ms = int(
+                pd.Timestamp(window_end)
+                .tz_localize(session_tz, ambiguous=True,
+                             nonexistent="shift_forward")
+                .timestamp() * 1000)
             state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
         return
         yield  # pragma: no cover — make fold a generator in all paths

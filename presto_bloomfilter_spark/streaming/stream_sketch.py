@@ -20,7 +20,12 @@ drive it with a file source + ``Trigger.AvailableNow``.
 
 from __future__ import annotations
 
-from presto_bloomfilter_spark.operators.aggregate import SketchSpec, _unwrap, aggregate_sketch
+from presto_bloomfilter_spark.operators.aggregate import (
+    DEFAULT_FAN_IN,
+    SketchSpec,
+    _unwrap,
+    aggregate_sketch,
+)
 from presto_bloomfilter_spark.store import SketchStore
 
 
@@ -28,12 +33,11 @@ class StreamingSketchSink:
     """foreachBatch sink that folds each micro-batch into one sketch."""
 
     def __init__(self, spec: SketchSpec, store: SketchStore, job_id: str,
-                 fan_in: int = 16):
+                 fan_in: int = DEFAULT_FAN_IN):
         self.spec = spec
         self.store = store
         self.job_id = job_id
         self.fan_in = fan_in
-        self.current_key = f"{job_id}.current"
 
     def _batch_key(self, epoch_id: int) -> str:
         return f"{self.job_id}.batch{epoch_id}"

@@ -282,3 +282,36 @@ def test_top_k_tokens_certifies_when_distinct_below_k(spark):
     rows = got.collect()
     assert len(rows) == 7
     assert {r.token for r in rows} == set(range(7))
+
+
+def test_int_probe_nullable_and_beyond_2pow53(spark):
+    """Regression: a NULL in a probe batch makes Arrow→pandas deliver
+    float64, silently corrupting ids above 2^53 (false negatives) and
+    NaN-hashing NULLs.  The int probe path now round-trips through a
+    lossless string cast: big ids probe exactly, NULLs probe False."""
+    from presto_bloomfilter_spark.operators.probe import bloom_semi_join, filter_by_sketch
+
+    big_a, big_b = 9007199254740993, 9007199254740995  # 2^53+1, 2^53+3
+    build = spark.createDataFrame([(big_a,), (5,)], "k bigint")
+    probe = spark.createDataFrame(
+        [(big_a,), (big_b,), (None,), (5,)], "k bigint").coalesce(1)
+    out = bloom_semi_join(spark, probe, "k", build, "k",
+                          expected_insertions=1000, exact=True)
+    assert {r.k for r in out.collect()} == {big_a, 5}
+    # direct filter path: NULL rows must drop, the adjacent big id must
+    # NOT collide with the inserted one via float rounding
+    sk = agg.aggregate_sketch(
+        build, agg.bloom_over_ints("k", 1000, 0.0001))
+    kept = {r.k for r in filter_by_sketch(spark, probe, "k", sk, ints=True).collect()}
+    assert big_a in kept and 5 in kept and None not in kept
+    assert big_b not in kept  # float64 would have rounded both to 2^53+2
+
+
+def test_hash_ints64_rejects_float_arrays():
+    import numpy as np
+    import pytest as _pytest
+
+    from presto_bloomfilter_spark.functions.hashing import hash_ints64
+
+    with _pytest.raises(ValueError, match="floating"):
+        hash_ints64(np.array([1.0, np.nan]))

@@ -440,3 +440,37 @@ def test_sharded_streaming_capacity_error_survives_restart(spark, tmp_path):
     # and so does any later batch, duplicates or not
     with _pytest.raises(CapacityExceeded):
         d2.process_batch(batch, 1)
+
+
+def test_windowed_stream_non_utc_session_timezone(spark, tmp_path):
+    """Regression for the timeout-epoch timezone bug: in a session west
+    of UTC, the naive window_end interpreted as UTC fired the timeout
+    hours early — the window finalized prematurely, then late-but-valid
+    rows re-created state and a SECOND row appeared for the same
+    window.  With the session-zone localization every window must still
+    emit exactly one row with the same estimates as the UTC run."""
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    from presto_bloomfilter_spark.streaming.stateful import run_windowed_stream_from_files
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        indir = _write_ts_files(tmp_path, spark)
+        out = run_windowed_stream_from_files(
+            spark,
+            indir,
+            "ts timestamp, user_id long",
+            agg.hll_over_strings("user_id"),
+            time_col="ts",
+            window_duration="10 minutes",
+            watermark_delay="10 minutes",
+            checkpoint=str(tmp_path / "ckpt_tz"),
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    starts = [r.window_start for r in out]
+    assert len(starts) == len(set(starts)), f"duplicate window rows: {starts}"
+    got = {r.window_start.minute: round(sketch_from_bytes(r.sketch).estimate())
+           for r in out}
+    assert got.get(0) == 4 and got.get(10) == 2 and got.get(20) == 1, got
+    assert 40 not in got, got
