@@ -229,6 +229,20 @@ def _col_floats(batch: pa.RecordBatch, name: str) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def _col_ints(batch: pa.RecordBatch, name: str) -> np.ndarray:
+    """Non-null values of an integer column, exact int64.  Nulls are
+    dropped at the ARROW level: converting first would float the whole
+    batch (NaN for nulls, silent precision loss above 2^53) — the
+    int-hash guard in hashing.py would then reject it loudly, but the
+    insert semantics should simply ignore nulls like add_strings does."""
+    col = batch.column(batch.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = col.drop_null()
+    return col.to_numpy(zero_copy_only=False)
+
+
 # ---- prebuilt specs ----------------------------------------------------------
 
 
@@ -259,7 +273,7 @@ def bloom_over_ints(col: str, n: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
     return SketchSpec(
         (col,),
         lambda: BloomFilter(n, p),
-        lambda sk, b: sk.add_ints(_col_floats(b, col)),
+        lambda sk, b: sk.add_ints(_col_ints(b, col)),
     )
 
 
@@ -624,13 +638,9 @@ def merge_sketch_column(df: DataFrame, col: str = "sketch", fan_in: int = DEFAUL
         pruned = pruned.coalesce(target_partials)
     partials = pruned.mapInArrow(_merge_blobs, "sketch binary")
     n_parts = target_partials or pruned.rdd.getNumPartitions()
-    while n_parts > fan_in:
-        n_parts = -(-n_parts // fan_in)
-        partials = partials.repartition(n_parts).mapInArrow(_merge_blobs, "sketch binary")
-    blobs = [r.sketch for r in partials.collect()]
-    if not blobs:
-        raise ValueError("no sketches to merge")
-    return reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in blobs))
+    # shared tree-merge tail (bounded fan-in, threaded blob decode);
+    # raises the same ValueError on empty input
+    return _tree_merge_collect(partials, n_parts, fan_in)
 
 
 # ---- heavy hitters (two-phase top-k) ------------------------------------------
@@ -813,11 +823,33 @@ def _grouped_partial_build(spec: SketchSpec, key: str):
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        _NULL_GROUP = object()  # dict key for the NULL group
         sketches: dict = {}
         for b in batches:
             if not b.num_rows:
                 continue
-            keys = b.column(b.schema.get_field_index(key)).to_numpy(zero_copy_only=False)
+            kcol = b.column(b.schema.get_field_index(key))
+            if isinstance(kcol, pa.ChunkedArray):
+                kcol = kcol.combine_chunks()
+            if kcol.null_count:
+                # split the NULL-group rows off at the Arrow level:
+                # np.unique cannot sort None against str (TypeError),
+                # and a numeric key column with nulls would float to
+                # NaN — dropping nulls BEFORE to_numpy also keeps int
+                # keys exactly int64
+                null_mask = pc.is_null(kcol)
+                sub_null = b.filter(null_mask)
+                sk = sketches.get(_NULL_GROUP)
+                if sk is None:
+                    sk = sketches[_NULL_GROUP] = spec.factory()
+                spec.update(sk, sub_null)
+                b = b.filter(pc.invert(null_mask))
+                if not b.num_rows:
+                    continue
+                kcol = b.column(b.schema.get_field_index(key))
+            keys = kcol.to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(keys, return_inverse=True)
             if len(uniq) == 1:
                 sk = sketches.get(uniq[0])
@@ -834,7 +866,8 @@ def _grouped_partial_build(spec: SketchSpec, key: str):
         if sketches:
             ks = list(sketches)
             yield pa.RecordBatch.from_arrays(
-                [pa.array([str(k) for k in ks], pa.string()),
+                [pa.array([None if k is _NULL_GROUP else str(k) for k in ks],
+                          pa.string()),
                  pa.array([sketches[k].to_bytes() for k in ks], pa.binary())],
                 [key, "sketch"],
             )
@@ -877,6 +910,12 @@ def grouped_sketch(
 
     if strategy != "salted":
         raise ValueError(f"unknown strategy {strategy!r}")
+
+    # the declared output schema is '{key} string': cast JVM-side so a
+    # non-string group key (int year, double bucket) doesn't hit
+    # pyarrow's refusal to coerce into the string field — and so NULL
+    # keys flow through as NULL, matching the map_side path
+    pruned = pruned.withColumn(key, F.col(key).cast("string"))
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = spec.factory()

@@ -88,6 +88,18 @@ def token_ngrams(tokens_col: str, n: int):
     return F.array_distinct(grams)
 
 
+_EMPTY_GRAM_TOKEN = "\x00<empty-doc>"
+
+
+def _bloomable(col):
+    """'' is invisible to BloomFilter.add/might_contain (reference
+    empty-element semantics, bloom.py:164,205) but IS a legitimate gram
+    — an empty/whitespace-only doc's single gram — that the exact path
+    counts.  Map it to a sentinel on BOTH insert and probe so the bloom
+    paths keep the documented no-false-negative contract for it."""
+    return F.when(col == "", F.lit(_EMPTY_GRAM_TOKEN)).otherwise(col)
+
+
 def _doc_grams(df: DataFrame, grams_expr, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("string").alias("id"),
@@ -125,10 +137,11 @@ def _bloom_on_grams(train_grams: DataFrame, test_grams: DataFrame,
     # bloom inserts are idempotent: build straight over the exploded
     # grams, no distinct shuffle
     bf = agg.aggregate_sketch(
-        test_grams, agg.bloom_over_strings("g", expected_grams, fpp)
+        test_grams.select(_bloomable(F.col("g")).alias("g")),
+        agg.bloom_over_strings("g", expected_grams, fpp),
     )
     flagged = train_grams.withColumn(
-        "__hit", contains_udf(spark, bf)(F.col("g")).cast("int")
+        "__hit", contains_udf(spark, bf)(_bloomable(F.col("g"))).cast("int")
     )
     return flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -213,25 +226,26 @@ def contamination_sharded(
     from .sharded import build_sharded_bloom, persist_sharded_bloom, sharded_contains
 
     spark = train_df.sparkSession
-    test_grams = test_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+    test_grams = test_df.select(
+        F.explode(word_ngrams(text_col, n)).alias("g")
+    ).select(_bloomable(F.col("g")).alias("g"))
     family = build_sharded_bloom(
         test_grams, "g", shards, expected_grams_per_shard, fpp)
     persist_sharded_bloom(
         family, SketchStore(store_root), name, shards,
         expected_grams_per_shard, fpp)
-    grams = _doc_grams(train_df, word_ngrams(text_col, n), id_col)
-    totals = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        sharded_contains(spark, grams, "g", store_root, name, shards)
-        .groupBy("id").agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
+    grams = _doc_grams(train_df, word_ngrams(text_col, n), id_col) \
+        .withColumn("g", _bloomable(F.col("g")))
+    # ONE scan: every gram probes its shard and carries a hit flag;
+    # totals and hits aggregate together (the previous totals/hits
+    # join evaluated the full gram explosion twice)
+    flagged = sharded_contains(
+        spark, grams, "g", store_root, name, shards, flag_col="__hit")
     return (
-        totals.join(hits, "id", "left")
-        .select(
-            "id",
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
-            (F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"))
+        flagged.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__hit").cast("int")).alias("n_contaminated"),
+            (F.sum(F.col("__hit").cast("int")) / F.count(F.lit(1)))
             .cast("double")
             .alias("frac"),
         )

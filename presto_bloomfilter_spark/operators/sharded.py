@@ -110,16 +110,25 @@ def sharded_contains(
     name: str,
     shards: int,
     keep_hits: bool = True,
+    probe_parallelism: int | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Filter probe_df to rows whose key (probably) belongs to the
     family — no false negatives, per-shard FP bound.  With
     ``keep_hits=False`` the complement is returned (rows that
     DEFINITELY do not belong — the streaming-dedup "fresh rows" shape).
+    With ``flag_col`` set, EVERY row is returned with a boolean
+    membership column instead — the one-scan shape for callers that
+    need both totals and hits (contamination_sharded).
 
     The probe repartitions by shard so each task owns exactly one
-    shard, lazily loads THAT filter from the store (executor-local LRU
-    keyed by blob sha256), and probes the whole partition vectorized.
-    Peak executor memory: one shard filter, regardless of S.
+    shard by default, lazily loads THAT filter from the store
+    (executor-local LRU keyed by blob sha256), and probes the whole
+    partition vectorized — peak executor memory: one shard filter,
+    regardless of S.  ``probe_parallelism`` > shards lifts the S-task
+    cap for huge probe streams by salting within shards; a task may
+    then hold several shards' rows and loads each filter through the
+    LRU (peak memory: the filters present in the task, ≤ LRU cap).
 
     Fails LOUDLY on store misconfiguration: the family manifest
     (written by :func:`persist_sharded_bloom`) is validated on the
@@ -162,12 +171,33 @@ def sharded_contains(
             f"shards {missing}; the family was not published atomically"
         )
 
+    # the probe key is Spark-cast to string ONCE, JVM-side, and carried
+    # through the shuffle: the build inserted Spark cast("string")
+    # forms, and probing pandas astype(str) instead would silently
+    # false-negative every value whose pandas stringification differs
+    # (a NULL in the batch floats the column: '12345.0' vs '12345';
+    # booleans 'True' vs 'true'; ids >2^53 losing precision)
     with_shard = probe_df.withColumn(
-        "__shard", _shard_col(F.col(probe_col).cast("string"), shards)
-    ).repartition(shards, "__shard")
+        "__k", F.col(probe_col).cast("string")
+    ).withColumn("__shard", _shard_col(F.col("__k"), shards))
+    if probe_parallelism and probe_parallelism > shards:
+        # spread each shard's rows over many tasks: hash-partitioning
+        # on (shard, salt) means a task may hold rows of SEVERAL
+        # shards, each loaded lazily through the executor LRU — peak
+        # memory is bounded by the filters actually present in the
+        # task (≤ min(S, LRU capacity)), traded for full parallelism
+        with_shard = with_shard.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.coalesce(F.col("__k"), F.lit(""))),
+                   F.lit(max(1, probe_parallelism // shards))),
+        ).repartition(probe_parallelism, "__shard", "__salt")
+    else:
+        with_shard = with_shard.repartition(shards, "__shard")
     out_fields = probe_df.schema.fields
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     keep_cols = [f.name for f in out_fields]
+    if flag_col is not None:
+        out_schema += f", {flag_col} boolean"
 
     def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         store = SketchStore(store_root)
@@ -188,8 +218,13 @@ def sharded_contains(
                         f"exist); store unreachable or partially persisted"
                     )
                 sk = _cached_sketch(store.get_bytes(key))
-                mask = sk.might_contain_strings(sub[probe_col].astype(str))
-                yield sub.loc[mask if keep_hits else ~mask, keep_cols]
+                mask = sk.might_contain_strings(sub["__k"])
+                if flag_col is not None:
+                    out = sub[keep_cols].copy()
+                    out[flag_col] = mask
+                    yield out
+                else:
+                    yield sub.loc[mask if keep_hits else ~mask, keep_cols]
 
     return with_shard.mapInPandas(probe, out_schema)
 

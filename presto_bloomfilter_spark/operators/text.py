@@ -21,16 +21,23 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality metrics per doc, pure built-in expressions:
-    word count, average word length, stopword ratio."""
-    words = F.split(F.col(text_col), " ")
+    word count, average word length, stopword ratio.  Words follow the
+    repo-wide ``str.split()`` semantics (whitespace runs, no empties —
+    contamination.split_words), so 'a  b' is 2 words, not 3."""
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    words = split_words(text_col)
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    n_chars = F.length(F.col(text_col))
+    # sum of the words' own lengths — not chars-minus-separators, which
+    # silently assumed single-space joining
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w))
     return df.select(
         F.col(id_col).cast("string").alias("id"),
         n_words.cast("int").alias("n_words"),
-        ((n_chars - (n_words - F.lit(1))) / n_words).cast("double").alias("avg_word_len"),
+        (word_chars.cast("double") / n_words).alias("avg_word_len"),
         (n_stop.cast("double") / n_words).alias("stopword_ratio"),
     )
 
@@ -62,11 +69,22 @@ def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
-                   max_stopword_ratio: float = 0.9) -> DataFrame:
-    """Filter low-quality docs; predicate stays JVM-side so it pushes
-    into the scan pipeline."""
-    words = F.split(F.col(text_col), " ")
-    return df.filter(F.size(words) >= min_words)
+                   max_stopword_ratio: float | None = None) -> DataFrame:
+    """Filter low-quality docs; predicates stay JVM-side so they push
+    into the scan pipeline.  Words follow the repo-wide ``str.split()``
+    semantics (whitespace runs, no empties).  ``max_stopword_ratio``
+    (None = off) drops docs whose stopword fraction EXCEEDS the bound —
+    it was previously accepted and silently ignored."""
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    words = split_words(text_col)
+    out = df.filter(F.size(words) >= min_words)
+    if max_stopword_ratio is not None:
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+        n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        out = out.filter(
+            (n_stop.cast("double") / F.size(words)) <= max_stopword_ratio)
+    return out
 
 
 def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:

@@ -854,9 +854,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_QUALITY_FILTER = """
+ORACLE_QUALITY_FILTER = r"""
 SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
-WHERE len(string_split(text, ' ')) >= 40
+WHERE len(list_filter(string_split_regex(text, '\s+'), w -> w != '')) >= 40
 """
 
 
@@ -1228,12 +1228,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_QUALITY = f"""
 SELECT CAST(doc_id AS VARCHAR) AS id,
-       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
-       CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-         / len(string_split(text, ' ')) AS avg_word_len,
-       CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOPWORD_SQL})) AS DOUBLE)
-         / len(string_split(text, ' ')) AS stopword_ratio
-FROM documents
+       CAST(len(words) AS INTEGER) AS n_words,
+       CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+         / len(words) AS avg_word_len,
+       CAST(len(list_filter(words, w -> w IN {_STOPWORD_SQL})) AS DOUBLE)
+         / len(words) AS stopword_ratio
+FROM (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS words
+      FROM documents)
 """
 
 

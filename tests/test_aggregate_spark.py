@@ -315,3 +315,38 @@ def test_hash_ints64_rejects_float_arrays():
 
     with _pytest.raises(ValueError, match="floating"):
         hash_ints64(np.array([1.0, np.nan]))
+
+
+def test_bloom_over_ints_ignores_nulls(spark):
+    """Nulls in an int column are ignored like add_strings ignores
+    None — previously the Arrow→numpy float conversion crashed the
+    whole build via the hash_ints64 float guard."""
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k bigint").coalesce(1)
+    sk = agg.aggregate_sketch(df, agg.bloom_over_ints("k", 1000, 0.01))
+    assert sk.might_contain(1) and sk.might_contain(3)
+
+
+def test_grouped_sketch_null_keys_both_strategies(spark):
+    """A NULL group key must neither crash the map_side Arrow split
+    (np.unique can't sort None vs str) nor diverge between strategies:
+    both emit a NULL-keyed row covering the null group's values."""
+    df = spark.createDataFrame(
+        [("a", "x1"), (None, "x2"), ("a", "x3"), (None, "x4")],
+        "g string, v string").coalesce(1)
+    for strategy, kw in (("map_side", {}), ("salted", {"salt": 2})):
+        out = {r["g"]: r["sketch"] for r in agg.grouped_sketch(
+            df, "g", agg.hll_over_strings("v"), strategy=strategy, **kw).collect()}
+        assert set(out) == {"a", None}, (strategy, set(out))
+        from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+        assert round(sketch_from_bytes(out[None]).estimate()) == 2, strategy
+
+
+def test_grouped_sketch_salted_int_key(spark):
+    """Non-string group keys through the salted path: the declared
+    '{key} string' schema previously made pyarrow refuse the int→string
+    conversion."""
+    df = spark.createDataFrame(
+        [(2021, "a"), (2021, "b"), (2022, "c")], "year int, v string")
+    out = {r["year"]: r["sketch"] for r in agg.grouped_sketch(
+        df, "year", agg.hll_over_strings("v"), strategy="salted", salt=2).collect()}
+    assert set(out) == {"2021", "2022"}

@@ -160,3 +160,42 @@ def test_sharded_contamination_matches_exact_contract(spark, tiny, tmp_path):
         assert shd[k].n_grams == exact[k].n_grams
         assert shd[k].n_contaminated >= exact[k].n_contaminated
         assert shd[k].frac - exact[k].frac <= 0.01
+
+
+def test_contamination_bloom_counts_empty_doc_grams(spark):
+    """An empty/whitespace-only doc's single gram is '' — invisible to
+    BloomFilter (reference empty-element semantics) but counted by the
+    exact path.  The bloom paths map it to a sentinel, so exact and
+    bloom must agree that an empty train doc is contaminated by an
+    empty test doc (previously a silent false negative)."""
+    from presto_bloomfilter_spark.operators import contamination as C
+
+    train = spark.createDataFrame(
+        [(1, "   "), (2, "real words here three grams worth")],
+        "doc_id long, text string")
+    test = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    exact = {r.id: r.n_contaminated for r in
+             C.contamination_exact(train, test).collect()}
+    bloom = {r.id: r.n_contaminated for r in
+             C.contamination_bloom(train, test, expected_grams=1000).collect()}
+    assert exact["1"] == 1 and exact["2"] == 0
+    assert bloom["1"] == 1, "empty-doc gram lost by the bloom path"
+    assert bloom["2"] == 0
+
+
+def test_contamination_sharded_single_scan_and_parity(spark, tmp_path):
+    """The sharded path now probes with a hit FLAG (one gram scan for
+    totals+hits) and must match contamination_bloom row for row."""
+    from presto_bloomfilter_spark.operators import contamination as C
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "no overlap at all here")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(9, "alpha beta gamma epsilon")], "doc_id long, text string")
+    a = {r.id: (r.n_grams, r.n_contaminated) for r in C.contamination_sharded(
+        train, test, str(tmp_path / "st"), shards=2,
+        expected_grams_per_shard=1000).collect()}
+    b = {r.id: (r.n_grams, r.n_contaminated) for r in
+         C.contamination_bloom(train, test, expected_grams=1000).collect()}
+    assert a == b

@@ -137,7 +137,7 @@ def test_text_quality_values(spark, docs):
     out = {r.id: r for r in text.text_quality(docs, "text", "doc_id").collect()}
     sample = docs.limit(20).collect()
     for r in sample:
-        words = r.text.split(" ")
+        words = r.text.split()
         m = out[str(r.doc_id)]
         assert m.n_words == len(words)
         stops = sum(w in text.STOPWORDS for w in words)
@@ -655,3 +655,21 @@ def test_minhash_capped_mixed_bucket_keeps_exact_dups(spark):
     got = {(r.id_a, r.id_b)
            for r in dedup.lsh_candidate_pairs(idx, max_bucket=64).collect()}
     assert ("150", "151") in got
+
+
+def test_text_quality_whitespace_run_semantics(spark):
+    """CLAUDE.md invariant: word semantics everywhere = str.split().
+    'a  b' (double space) is 2 words; tabs/newlines split too; avg word
+    length comes from the words themselves, not chars-minus-separators."""
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "x\ty\nzz"), (3, "the the the notstop")],
+        "doc_id long, text string")
+    out = {r.id: r for r in text.text_quality(df, "text", "doc_id").collect()}
+    assert out["1"].n_words == 2 and abs(out["1"].avg_word_len - 1.0) < 1e-12
+    assert out["2"].n_words == 3 and abs(out["2"].avg_word_len - 4 / 3) < 1e-12
+    assert abs(out["3"].stopword_ratio - 0.75) < 1e-12
+    # quality_filter: same word definition + the (previously dead)
+    # stopword bound actually filters
+    kept = {r.doc_id for r in text.quality_filter(
+        df, min_words=2, max_stopword_ratio=0.5).collect()}
+    assert kept == {1, 2}  # doc 3 is 75% stopwords

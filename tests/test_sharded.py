@@ -127,3 +127,34 @@ def test_probe_deleted_shard_object_raises(spark, keys_df, tmp_path):
     with pytest.raises(Exception) as ei:
         sharded_contains(spark, keys_df, "k", store_root, "fam", 4).count()
     assert "missing from sketch store" in str(ei.value)
+
+
+def test_sharded_contains_exact_string_forms_and_parallelism(spark, tmp_path):
+    """The probe must use Spark cast('string') forms like the build —
+    pandas astype(str) on a NULL-floated int batch probed '12345.0'
+    against an inserted '12345' (silent false negatives).  Also drives
+    probe_parallelism > shards (salted shard spread)."""
+    from presto_bloomfilter_spark.operators.sharded import (
+        build_sharded_bloom, persist_sharded_bloom, sharded_contains,
+    )
+    from presto_bloomfilter_spark.store import SketchStore
+
+    root = str(tmp_path / "fam")
+    big = 9007199254740993  # > 2^53: floats would round it
+    build = spark.createDataFrame([(big,), (5,), (7,)], "k bigint")
+    fam = build_sharded_bloom(build, "k", 4, 1000)
+    persist_sharded_bloom(fam, SketchStore(root), "f", 4, 1000)
+    probe = spark.createDataFrame(
+        [(big,), (None,), (5,), (999,)], "k bigint").coalesce(1)
+    kept = {r.k for r in sharded_contains(
+        spark, probe, "k", root, "f", 4).collect()}
+    assert big in kept and 5 in kept
+    assert None not in kept and 999 not in kept
+    # salted wide probe returns the same row set
+    kept2 = {r.k for r in sharded_contains(
+        spark, probe, "k", root, "f", 4, probe_parallelism=16).collect()}
+    assert kept2 == kept
+    # flag mode returns every row with a membership flag
+    flagged = {r.k: r["__hit"] for r in sharded_contains(
+        spark, probe, "k", root, "f", 4, flag_col="__hit").collect()}
+    assert flagged[big] and flagged[5] and not flagged[999] and not flagged[None]
