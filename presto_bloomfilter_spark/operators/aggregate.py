@@ -942,10 +942,13 @@ def grouped_sketch(
 
 
 def grouped_merge_sketch_column(df: DataFrame, key: str, col: str = "sketch") -> DataFrame:
-    """Grouped merge of pre-built sketches → DataFrame[key, sketch]."""
+    """Grouped merge of pre-built sketches → DataFrame[key, sketch].
+    The key keeps its input type (an int key stays int)."""
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = reduce(lambda a, b: a.merge(b), (sketch_from_bytes(x) for x in pdf[col]))
         return pd.DataFrame({key: [pdf[key].iloc[0]], "sketch": [sk.to_bytes()]})
 
-    return df.select(key, col).groupBy(key).applyInPandas(merge_group, f"{key} string, sketch binary")
+    key_type = df.schema[key].dataType.simpleString()
+    return df.select(key, col).groupBy(key).applyInPandas(
+        merge_group, f"{key} {key_type}, sketch binary")

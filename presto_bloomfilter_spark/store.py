@@ -96,13 +96,45 @@ class SketchStore:
     def load_merged(self, keys: list[str]):
         """Union of several persisted sketches — the reference's
         bloom_filter_load-as-aggregation shape (it GETs and unions per
-        input row)."""
+        input row).  Driver-side sequential: use only for ≤fan-in keys;
+        ``load_merged_distributed`` is the scale path."""
         if not keys:
             raise ValueError("no keys")
         out = self.get(keys[0])
         for k in keys[1:]:
             out.merge(self.get(k))
         return out
+
+    def load_merged_distributed(self, spark, keys: list[str], fan_in: int = 16):
+        """Union of many persisted sketches WITHOUT the driver ever
+        holding more than fan-in blobs: one Spark task per ~fan_in keys
+        loads its blobs store-side and emits one partial, then the
+        shared bounded-fan-in tree merge finishes.  The store root must
+        be reachable from executors (shared fs / object store — the same
+        assumption the atomic-rename persist already makes)."""
+        from presto_bloomfilter_spark.operators.aggregate import _tree_merge_collect
+
+        import pyarrow as pa
+
+        if not keys:
+            raise ValueError("no keys")
+        store = self  # picklable (just the root path); shipped to tasks
+        n_tasks = max(1, -(-len(keys) // fan_in))
+        kdf = spark.createDataFrame(
+            [(k,) for k in sorted(keys)], "key string").repartition(n_tasks)
+
+        def load_and_merge(batches):
+            sk = None
+            for b in batches:
+                for k in b.column(0).to_pylist():
+                    other = ser.sketch_from_bytes(store.get_bytes(k))
+                    sk = other if sk is None else sk.merge(other)
+            if sk is not None:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([sk.to_bytes()], pa.binary())], ["sketch"])
+
+        partials = kdf.mapInArrow(load_and_merge, "sketch binary")
+        return _tree_merge_collect(partials, n_tasks, fan_in)
 
 
 @dataclass
@@ -187,27 +219,53 @@ class CheckpointedBuild:
         self.manifest.partitions[str(pid)] = {"key": key, "sha256": blob_hash, "rows": rows}
         self._flush()
 
+    def record_partition_meta(self, pid: int, sha256: str, rows: int,
+                              flush: bool = True) -> None:
+        """Record lineage for a partial the TASK already persisted
+        executor-side (scale path: the blob never visits the driver —
+        only (pid, sha256, rows) does).  Refuses to record lineage for a
+        blob that is not actually in the store."""
+        key = self.partition_key(pid)
+        if not self.store.exists(key):
+            raise ValueError(f"partial {key!r} missing from store; task persist failed?")
+        self.manifest.partitions[str(pid)] = {"key": key, "sha256": sha256, "rows": rows}
+        if flush:
+            self._flush()
+
     def _flush(self) -> None:
         tmp = self.manifest_path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(self.manifest.to_json())
         os.replace(tmp, self.manifest_path)
 
-    def merged(self):
-        """Merge all persisted partials into the final sketch."""
-        keys = [v["key"] for v in self.manifest.partitions.values()]
-        return self.store.load_merged(sorted(keys))
+    def merged(self, spark=None, fan_in: int = 16):
+        """Merge all persisted partials into the final sketch.
+
+        With a SparkSession and more than fan-in partials, the merge
+        runs as a distributed bounded-fan-in tree (the driver never
+        holds more than fan-in blobs); otherwise the small driver-side
+        sequential merge."""
+        keys = sorted(v["key"] for v in self.manifest.partitions.values())
+        if spark is not None and len(keys) > fan_in:
+            return self.store.load_merged_distributed(spark, keys, fan_in)
+        return self.store.load_merged(keys)
 
 
 def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
-                           source_snapshot: str = ""):
+                           source_snapshot: str = "", fan_in: int = 16):
     """Build a sketch over df with per-partition checkpointing: each
     partition's partial sketch persists before the final merge; on
     restart only missing partitions are recomputed.
 
-    Partition partials are computed with mapInArrow (same partial-build
-    path as aggregate_sketch) but keyed by partition id so lineage is
-    explicit.  Returns (sketch, n_partitions_computed).
+    Scale posture (north_rule: no driver hotspot): each TASK persists
+    its own partial straight into the store (the per-key atomic rename
+    makes concurrent attempts/retries safe — last writer wins with
+    identical deterministic bytes), and only (pid, sha256, rows)
+    lineage rows cross to the driver.  The final merge reuses the
+    bounded-fan-in tree via ``CheckpointedBuild.merged(spark)``, so at
+    10k partitions the driver holds ≤fan-in blobs and one small lineage
+    list — never the partial set.  Returns (sketch,
+    n_partitions_computed).
     """
     from collections.abc import Iterator
 
@@ -215,31 +273,36 @@ def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
     from pyspark import TaskContext
 
     ckpt = CheckpointedBuild(store, job_id, source_snapshot=source_snapshot)
-    done = ckpt.done_partitions()
+    done = frozenset(ckpt.done_partitions())
 
     def partial(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pid = TaskContext.get().partitionId()
+        if pid in done:
+            return
         sk = spec.factory()
         rows = 0
-        if pid not in done:
-            for b in batches:
-                rows += b.num_rows
-                if b.num_rows:
-                    spec.update(sk, b)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([pid], pa.int32()), pa.array([sk.to_bytes()], pa.binary()),
-                 pa.array([rows], pa.int64())],
-                ["pid", "sketch", "rows"],
-            )
+        for b in batches:
+            rows += b.num_rows
+            if b.num_rows:
+                spec.update(sk, b)
+        blob = sk.to_bytes()
+        # executor-side persist: blob goes store-ward from the task that
+        # built it; the driver only ever sees the 3-field lineage row
+        store.put(f"{job_id}.part{pid}", blob)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], pa.int32()),
+             pa.array([ser.read_hash(blob).hex()], pa.string()),
+             pa.array([rows], pa.int64())],
+            ["pid", "sha256", "rows"],
+        )
 
     pruned = df.select(*spec.columns)
-    new_parts = pruned.mapInArrow(partial, "pid int, sketch binary, rows long").collect()
-    for r in new_parts:
-        # pass the executor's PBFS bytes straight through — decoding
-        # only to re-encode wasted two full serialization passes per
-        # partition blob
-        ckpt.record_partition(r.pid, bytes(r.sketch), r.rows)
-    return ckpt.merged(), len(new_parts)
+    lineage = pruned.mapInArrow(partial, "pid int, sha256 string, rows long").collect()
+    for r in lineage:
+        ckpt.record_partition_meta(r.pid, r.sha256, r.rows, flush=False)
+    if lineage:
+        ckpt._flush()  # one manifest write per run, not one per partition
+    return ckpt.merged(spark, fan_in=fan_in), len(lineage)
 
 
 # ---- table sink (reference's Cassandra backend analogue) ---------------------
@@ -276,22 +339,38 @@ def read_sketch_table(spark, path: str):
     return spark.read.parquet(path)
 
 
-def load_sketch_table_merged(spark, path: str, key_col: str | None = None):
+def load_sketch_table_merged(spark, path: str, key_col: str | None = None,
+                             max_keys: int = 100_000):
     """Merge a sketch table back into python objects: one merged sketch
     per key (dict) when key_col is given, else one global merge of every
-    row — the bloom_filter_load-over-a-table pattern."""
-    rows = spark.read.parquet(path).collect()
+    row — the bloom_filter_load-over-a-table pattern.
+
+    Scale posture: the merge work happens in Spark, not the driver.
+    Ungrouped → the bounded-fan-in tree (merge_sketch_column); grouped →
+    a per-key blob shuffle-merge, so the driver collects exactly ONE
+    blob per key, never the full table.  The result is still a Python
+    dict, so grouped loads are guarded by ``max_keys`` (a dict of >100k
+    multi-MB sketches is a driver OOM whatever the merge path — raise
+    the guard consciously if your sketches are small)."""
+    from presto_bloomfilter_spark.operators.aggregate import (
+        grouped_merge_sketch_column,
+        merge_sketch_column,
+    )
+
+    tbl = spark.read.parquet(path)
+    if key_col is None:
+        try:
+            return merge_sketch_column(tbl.select("sketch"))
+        except ValueError:
+            raise ValueError(f"no sketches in table {path}") from None
+    one_per_key = grouped_merge_sketch_column(
+        tbl.select(key_col, "sketch"), key_col)
+    rows = one_per_key.limit(max_keys + 1).collect()
     if not rows:
         raise ValueError(f"no sketches in table {path}")
-    if key_col is None:
-        out = None
-        for r in rows:
-            sk = ser.sketch_from_bytes(r.sketch)
-            out = sk if out is None else out.merge(sk)
-        return out
-    merged: dict = {}
-    for r in rows:
-        sk = ser.sketch_from_bytes(r.sketch)
-        k = r[key_col]
-        merged[k] = sk if k not in merged else merged[k].merge(sk)
-    return merged
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"sketch table {path} has >{max_keys} distinct {key_col!r} keys; "
+            "a driver-side dict at that cardinality is a hotspot — keep it "
+            "as a DataFrame (grouped_merge_sketch_column) or raise max_keys")
+    return {r[key_col]: ser.sketch_from_bytes(r.sketch) for r in rows}

@@ -80,6 +80,46 @@ def test_manifest_lineage(tmp_path, spark, sf_dir):
         assert len(v["sha256"]) == 64 and store.exists(v["key"])
 
 
+def test_checkpointed_aggregate_driver_never_holds_partials(spark, sf_dir, tmp_path, monkeypatch):
+    """Scale posture over ≥64 partitions: tasks persist their own
+    partials executor-side and only (pid, sha256, rows) lineage rows
+    reach the driver; the final merge is the distributed bounded-fan-in
+    tree, so DRIVER-side store reads are zero (worker processes don't
+    see this monkeypatch — any driver-side blob load would count)."""
+    store = SketchStore(str(tmp_path))
+    tokens = load_tokens(spark, sf_dir).repartition(64)
+    spec = agg.hll_over_strings("doc_id")
+
+    driver_reads = []
+    real_get_bytes = SketchStore.get_bytes
+    monkeypatch.setattr(SketchStore, "get_bytes",
+                        lambda self, key: driver_reads.append(key) or real_get_bytes(self, key))
+
+    sk1, computed1 = checkpointed_aggregate(
+        spark, tokens, spec, store, "big", "snap-A", fan_in=8)
+    assert computed1 == 64
+    assert driver_reads == []  # merge ran in tasks, not the driver
+    assert sk1 == agg.aggregate_sketch(tokens, spec)
+
+    # resume recomputes ZERO partitions and still merges distributed
+    sk2, computed2 = checkpointed_aggregate(
+        spark, tokens, spec, store, "big", "snap-A", fan_in=8)
+    assert computed2 == 0 and sk2 == sk1 and driver_reads == []
+
+    # lineage is complete: 64 partials, all persisted, hashes recorded
+    ck = CheckpointedBuild(store, "big")
+    assert len(ck.manifest.partitions) == 64
+    assert all(store.exists(v["key"]) and len(v["sha256"]) == 64
+               for v in ck.manifest.partitions.values())
+
+
+def test_record_partition_meta_refuses_missing_blob(tmp_path):
+    store = SketchStore(str(tmp_path))
+    ck = CheckpointedBuild(store, "jobX")
+    with pytest.raises(ValueError, match="missing from store"):
+        ck.record_partition_meta(0, "0" * 64, 10)
+
+
 def test_sketch_table_sink_roundtrip(spark, tmp_path):
     from presto_bloomfilter_spark.operators import aggregate as agg
     from presto_bloomfilter_spark.sources.corpus import load_tokens
@@ -105,6 +145,41 @@ def test_sketch_table_sink_roundtrip(spark, tmp_path):
         assert abs(sk.estimate() - exact[src]) / exact[src] < 0.05
     glob = load_sketch_table_merged(spark, path)
     assert glob.estimate() > 0
+
+
+def test_sketch_table_keyed_merge_is_distributed(spark, tmp_path, monkeypatch):
+    """Keyed sketch-table loads merge per key IN SPARK: with two table
+    rows per key the driver deserializes exactly one (merged) blob per
+    key — never the full table — and the merged estimates prove the
+    per-key union actually happened.  The max_keys guard stops silent
+    driver hotspots at high key cardinality."""
+    import presto_bloomfilter_spark.store as store_mod
+    from presto_bloomfilter_spark.sources.corpus import load_tokens
+    from presto_bloomfilter_spark.store import load_sketch_table_merged, write_sketch_table
+
+    tokens = load_tokens(spark, "/root/testdata/sf0.001")
+    half_a = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    half_b = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 != 0)
+    per_src_a = agg.grouped_sketch(half_a, "source", agg.hll_over_strings("doc_id"))
+    per_src_b = agg.grouped_sketch(half_b, "source", agg.hll_over_strings("doc_id"))
+    path = str(tmp_path / "split_table")
+    write_sketch_table(per_src_a.union(per_src_b), path)
+    n_keys = per_src_a.count()
+    assert spark.read.parquet(path).count() == 2 * n_keys  # 2 rows/key on disk
+
+    decoded = []
+    real_from_bytes = store_mod.ser.sketch_from_bytes
+    monkeypatch.setattr(store_mod.ser, "sketch_from_bytes",
+                        lambda b: decoded.append(1) or real_from_bytes(b))
+    merged = load_sketch_table_merged(spark, path, key_col="source")
+    assert len(decoded) == n_keys == len(merged)  # one blob per key at the driver
+    exact = {r.source: r.d for r in tokens
+             .groupBy("source").agg(F.countDistinct("doc_id").alias("d")).collect()}
+    for src, sk in merged.items():
+        assert abs(sk.estimate() - exact[src]) / exact[src] < 0.05
+
+    with pytest.raises(ValueError, match="max_keys"):
+        load_sketch_table_merged(spark, path, key_col="source", max_keys=1)
 
 
 def test_load_source_parquet_and_snapshot_guard(spark):
