@@ -295,6 +295,38 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(fn, "id long, bucket long")
 
 
+def adaptive_lsh_params(n_rows: int, target_bucket_rows: int = 64) -> tuple[int, int]:
+    """Corpus-size-derived multi-probe LSH defaults: (bits, probe_radius).
+
+    ``bits ≈ log2(n / target_bucket_rows)`` keeps the expected bucket
+    occupancy near ``target_bucket_rows`` whatever the corpus size — the
+    same sizing-from-data posture as the reference's
+    bloom_filter(el, n, p) (BloomFilterAggregation.java:41-62), where
+    geometry derives from expected insertions rather than being a fixed
+    constant the user must re-tune per corpus.  probe_radius=2 probes
+    1 + bits + bits*(bits-1)/2 of the 2^bits buckets — on clustered
+    embeddings most of a query's true neighbors share its bucket, and
+    on adversarially-uniform data (the synthetic test corpus) the
+    coverage fraction itself floors the recall.  Raise
+    ``target_bucket_rows`` for more recall, lower it for more pruning.
+    """
+    bits = int(round(math.log2(max(n_rows, 2) / float(target_bucket_rows))))
+    return max(1, min(bits, 24)), 2
+
+
+def adaptive_ivf_params(n_rows: int) -> tuple[int, int]:
+    """Corpus-size-derived IVF defaults: (n_lists, nprobe).
+
+    ``n_lists ≈ sqrt(n)`` balances quantizer cost against list length
+    (the standard IVF sizing); ``nprobe = ceil(0.6 * n_lists)`` targets
+    recall@10 ≥ 0.6 even on uniform-random embeddings, where recall is
+    floored by the scanned fraction — clustered real corpora reach the
+    same recall at much smaller nprobe, so treat this as the safe
+    default and dial nprobe down once measured recall allows."""
+    n_lists = max(4, min(int(round(math.sqrt(max(n_rows, 16)))), 4096))
+    return n_lists, max(1, int(math.ceil(0.6 * n_lists)))
+
+
 def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, bits))
@@ -433,15 +465,18 @@ def write_ivf_index(df: DataFrame, centroids: np.ndarray, path: str,
         fn, f"{id_col} long, {vec_col} array<float>, list_id long"
     )
     assigned.write.mode(mode).partitionBy("list_id").parquet(path)
+    _write_index_meta(df.sparkSession, path,
+                      {"kind": "ivf", "n_lists": int(len(cent)),
+                       "centroids": [[float(x) for x in c] for c in cent]})
 
 
 def ivf_topk_indexed(
     spark: SparkSession,
     index_path: str,
     queries: list[tuple[int, list[float]]],
-    centroids: np.ndarray,
+    centroids: np.ndarray | None = None,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -449,7 +484,15 @@ def ivf_topk_indexed(
     scan reads only the union of all queries' nprobe lists via
     partition pruning — `.explain` shows the list_id PartitionFilters —
     then one map-only pass computes per-partition top-k per query.
-    Same output shape and assignment rule as ivf_topk."""
+    Same output shape and assignment rule as ivf_topk.  ``centroids``
+    defaults to the quantizer the index build recorded in its
+    ``_pbs_meta`` sidecar; ``nprobe`` defaults to the adaptive
+    0.6*n_lists rule."""
+    if centroids is None:
+        meta = read_index_meta(spark, index_path)
+        centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    if nprobe is None:
+        nprobe = max(1, int(math.ceil(0.6 * len(centroids))))
     qids = [int(q[0]) for q in queries]
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     qlists = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
@@ -470,23 +513,34 @@ def ivf_topk(
     base: DataFrame,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
+    n_lists: int | None = None,
+    nprobe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
     train_sample: int = 4096,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: spherical-kmeans coarse quantizer, search
     only the ``nprobe`` inverted lists nearest each query.  Same output
     shape as cosine_topk; recall vs the exact baseline is a measured
     property (tests), not a promise.
 
+    ``n_lists``/``nprobe`` default to ``adaptive_ivf_params`` over the
+    corpus row count (``approx_rows`` when given, else one
+    metadata-only ``base.count()``): n_lists ≈ sqrt(n) tracks the
+    corpus instead of being a per-scale constant.
+
     All queries run in ONE map-only Spark job (see _fused_ann_topk);
     candidate set ≈ nprobe/n_lists of the corpus per query.  To amortize
     the quantizer across many query batches, materialize ``ivf_assign``
     partitioned-by(list_id) and probe that table instead.
     """
+    if n_lists is None:
+        n = approx_rows if approx_rows is not None else base.count()
+        n_lists, _ = adaptive_ivf_params(n)
+    if nprobe is None:
+        nprobe = max(1, int(math.ceil(0.6 * n_lists)))
     sample_rows = (
         base.select(id_col, vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
     )
@@ -539,11 +593,12 @@ def lsh_topk(
     base: DataFrame,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
-    bits: int = 8,
+    bits: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
-    probe_radius: int = 1,
+    probe_radius: int | None = None,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute force restricted to the query's LSH
     bucket plus all buckets within Hamming distance ``probe_radius``
@@ -551,11 +606,22 @@ def lsh_topk(
     loses on near-orthogonal data).  Same output shape as cosine_topk;
     recall vs exact is a measured property (tests), not a promise.
 
+    ``bits``/``probe_radius`` default to ``adaptive_lsh_params`` over
+    the corpus row count (``approx_rows`` when given — catalog stats, a
+    prior count — else one metadata-only ``base.count()``): geometry
+    derives from the data, so the same call works at sf0.001 and at
+    corpus scale without per-scale re-tuning.
+
     All queries run in ONE map-only Spark job (see _fused_ann_topk);
     each query's candidate set is 1 + bits (at radius 1) of the 2^bits
     buckets.  For a standing corpus, materialize the index once with
     ``write_lsh_index`` and probe it with ``lsh_topk_indexed`` — a
     partition-pruned scan instead of a full-corpus pass."""
+    if bits is None:
+        n = approx_rows if approx_rows is not None else base.count()
+        bits, _ = adaptive_lsh_params(n)
+    if probe_radius is None:
+        probe_radius = 2
     dim = len(queries[0][1])
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)
@@ -567,15 +633,39 @@ def lsh_topk(
     return _fused_ann_topk(spark, base, probe_sets, assign, k, vec_col, id_col)
 
 
+def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist index parameters as a one-row JSON table under
+    ``<path>/_pbs_meta`` (underscore-prefixed → invisible to the parquet
+    scan, like _SUCCESS).  Written through Spark so it lands on whatever
+    filesystem the index itself uses."""
+    import json as _json
+
+    (spark.createDataFrame([(_json.dumps(meta, sort_keys=True),)], "meta string")
+     .coalesce(1).write.mode("overwrite").json(path + "/_pbs_meta"))
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    """Load the parameters a write_*_index call recorded alongside the
+    index, so probes never have to re-specify (and can never mismatch)
+    the build-time geometry."""
+    import json as _json
+
+    rows = spark.read.json(path + "/_pbs_meta").collect()
+    if not rows:
+        raise ValueError(f"no index metadata under {path}/_pbs_meta")
+    return _json.loads(rows[0].meta)
+
+
 def write_lsh_index(
     df: DataFrame,
     path: str,
-    bits: int = 8,
+    bits: int | None = None,
     dim: int | None = None,
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    approx_rows: int | None = None,
 ) -> None:
     """Materialize the LSH index: (id, vector, bucket) parquet table
     PARTITIONED BY bucket — the probe side then reads only the probed
@@ -584,9 +674,11 @@ def write_lsh_index(
     probed-buckets/2^bits of the corpus, not the corpus.
 
     One mapInPandas pass carries the vector alongside its bucket (no
-    post-hoc self-join against hyperplane_lsh_buckets).  ``bits``/
-    ``seed`` must match the later lsh_topk_indexed call — they define
-    the hyperplanes."""
+    post-hoc self-join against hyperplane_lsh_buckets).  ``bits``
+    defaults to ``adaptive_lsh_params`` over the corpus row count; the
+    chosen (bits, seed, dim) are recorded in a ``_pbs_meta`` sidecar so
+    ``lsh_topk_indexed`` probes with the exact build geometry without
+    the caller re-specifying it."""
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -595,6 +687,9 @@ def write_lsh_index(
                 "not given — pass dim= to index an (initially) empty "
                 "corpus")
         dim = len(first[0])
+    if bits is None:
+        n = approx_rows if approx_rows is not None else df.count()
+        bits, _ = adaptive_lsh_params(n)
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)
 
@@ -611,6 +706,8 @@ def write_lsh_index(
         fn, f"{id_col} long, {vec_col} array<float>, bucket long"
     )
     assigned.write.mode(mode).partitionBy("bucket").parquet(path)
+    _write_index_meta(df.sparkSession, path,
+                      {"kind": "lsh", "bits": bits, "seed": seed, "dim": dim})
 
 
 def lsh_topk_indexed(
@@ -618,9 +715,9 @@ def lsh_topk_indexed(
     index_path: str,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
-    bits: int = 8,
-    seed: int = 7,
-    probe_radius: int = 1,
+    bits: int | None = None,
+    seed: int | None = None,
+    probe_radius: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -629,7 +726,13 @@ def lsh_topk_indexed(
     partition pruning — `.explain` shows the bucket PartitionFilters —
     then one map-only pass computes per-partition top-k per query.
     Same probe-set construction as lsh_topk, so the two return the
-    same candidates; ``bits``/``seed`` must match the index build."""
+    same candidates.  ``bits``/``seed`` default to the values the index
+    build recorded in its ``_pbs_meta`` sidecar — the probe can't
+    silently mismatch the build geometry."""
+    if bits is None or seed is None:
+        meta = read_index_meta(spark, index_path)
+        bits = meta["bits"] if bits is None else bits
+        seed = meta["seed"] if seed is None else seed
     dim = len(queries[0][1])
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)

@@ -1483,16 +1483,13 @@ SELECT query_id, TRUE AS recall_ok FROM (
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (one map-only job for all queries): per-query
-    recall@10 >= 0.6 vs the exact baseline, asserted as a boolean
-    (measured 0.7-1.0 per query at these settings on the sf0.01 data).
-    NOTE: the 0.6 bound is calibrated to (bits=4, probe_radius=2) at
-    the sf0.01 gate corpus — recall of a fixed LSH parameterization is
-    corpus-size-dependent by nature (a larger near-random corpus
-    dilutes each probed bucket), so off-default PBS_GATE_SF_DIR runs
-    should expect this boolean, not the operator, to move."""
+    recall@10 >= 0.6 vs the exact baseline, asserted as a boolean.
+    bits/probe_radius are DATA-DERIVED (adaptive_lsh_params: bits ≈
+    log2(n/64), radius 2), so the same call holds the bound at every
+    PBS_GATE_SF_DIR scale — no per-scale calibration."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
-    approx = similarity.lsh_topk(spark, emb, queries, k=10, bits=4, probe_radius=2)
+    approx = similarity.lsh_topk(spark, emb, queries, k=10)
     return _ann_recall_check(spark, emb, approx, queries)
 
 
@@ -1501,30 +1498,30 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (write_lsh_index → parquet partitioned-by(bucket) →
     lsh_topk_indexed partition-pruned probe): same probe-set
     construction as ann_lsh, so the same recall bound holds — the
-    standing-index path a real corpus uses."""
+    standing-index path a real corpus uses.  The build picks
+    data-derived bits and records them in the index's _pbs_meta
+    sidecar; the probe reads them back, so neither side hardcodes a
+    per-scale constant."""
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
     path = tempfile.mkdtemp(prefix="pbs_lsh_idx_") + "/index"
-    similarity.write_lsh_index(emb, path, bits=4, seed=7)
-    approx = similarity.lsh_topk_indexed(
-        spark, path, queries, k=10, bits=4, seed=7, probe_radius=2
-    )
+    similarity.write_lsh_index(emb, path, seed=7)
+    approx = similarity.lsh_topk_indexed(spark, path, queries, k=10)
     return _ann_recall_check(spark, emb, approx, queries)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (spherical-kmeans coarse quantizer, nprobe inverted
     lists, one map-only job for all queries): per-query recall@10 >= 0.6
-    vs the exact baseline, asserted as a boolean (measured 0.7-1.0 per
-    query at these settings on the sf0.01 data).  Like ann_lsh, the
-    bound is calibrated to (n_lists=16, nprobe=6) at the sf0.01 corpus;
-    at sf0.001 the 16 lists hold ~3 vectors each and one query's
-    recall can drop below the bound — parameterization, not operator."""
+    vs the exact baseline, asserted as a boolean.  n_lists/nprobe are
+    DATA-DERIVED (adaptive_ivf_params: n_lists ≈ sqrt(n), nprobe =
+    0.6*n_lists), so the bound holds at every PBS_GATE_SF_DIR scale —
+    no per-scale calibration."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(5).collect()]
-    approx = similarity.ivf_topk(spark, emb, queries, k=10, n_lists=16, nprobe=6)
+    approx = similarity.ivf_topk(spark, emb, queries, k=10)
     return _ann_recall_check(spark, emb, approx, queries)
 
 

@@ -540,6 +540,56 @@ def test_lsh_indexed_probe_partition_prunes(spark, emb, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_adaptive_ann_params_track_corpus_size():
+    """Geometry derives from data (the reference's bloom_filter(el,n,p)
+    posture): bucket occupancy stays near target as n grows; IVF lists
+    track sqrt(n); both clamp at tiny and huge n."""
+    from presto_bloomfilter_spark.operators.similarity import (
+        adaptive_ivf_params, adaptive_lsh_params)
+
+    assert adaptive_lsh_params(500) == (3, 2)
+    assert adaptive_lsh_params(2_000) == (5, 2)
+    b1, _ = adaptive_lsh_params(10_000_000)
+    assert 16 <= b1 <= 18  # log2(1e7/64) ≈ 17.3
+    assert adaptive_lsh_params(1)[0] == 1          # tiny clamp
+    assert adaptive_lsh_params(10**12)[0] == 24    # huge clamp
+    assert adaptive_ivf_params(500) == (22, 14)    # √500≈22, ceil(.6*22)
+    assert adaptive_ivf_params(2_000) == (45, 27)
+    assert adaptive_ivf_params(1) == (4, 3)        # floor
+    assert adaptive_ivf_params(10**9)[0] == 4096   # cap
+
+
+def test_index_meta_sidecar_roundtrip(spark, emb, tmp_path):
+    """write_*_index records its chosen geometry in a _pbs_meta sidecar
+    (invisible to the parquet scan); parameterless probes read it back
+    and return exactly what a fully-specified probe returns."""
+    from presto_bloomfilter_spark.operators.similarity import read_index_meta
+
+    lpath = str(tmp_path / "lsh_auto")
+    similarity.write_lsh_index(emb, lpath, seed=7)  # bits data-derived
+    meta = read_index_meta(spark, lpath)
+    n = emb.count()
+    assert meta["kind"] == "lsh" and meta["seed"] == 7
+    assert meta["bits"] == similarity.adaptive_lsh_params(n)[0]
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.orderBy("vec_id").limit(3).collect()]
+    auto = similarity.lsh_topk_indexed(spark, lpath, queries, k=5)
+    full = similarity.lsh_topk_indexed(spark, lpath, queries, k=5,
+                                       bits=meta["bits"], seed=7, probe_radius=2)
+    assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in full.collect()}
+
+    ipath = str(tmp_path / "ivf_auto")
+    sample = np.array([r.embedding for r in emb.orderBy("vec_id").limit(512).collect()],
+                      dtype=np.float64)
+    cent = similarity.spherical_kmeans(sample, 8, seed=7)
+    similarity.write_ivf_index(emb, cent, ipath)
+    imeta = read_index_meta(spark, ipath)
+    assert imeta["kind"] == "ivf" and imeta["n_lists"] == 8
+    np.testing.assert_allclose(np.asarray(imeta["centroids"]), cent, rtol=1e-6)
+    auto_i = similarity.ivf_topk_indexed(spark, ipath, queries, k=5)  # centroids+nprobe from sidecar
+    full_i = similarity.ivf_topk_indexed(spark, ipath, queries, cent, k=5, nprobe=5)
+    assert {tuple(r) for r in auto_i.collect()} == {tuple(r) for r in full_i.collect()}
+
+
 # ---- product quantization ---------------------------------------------------
 
 
