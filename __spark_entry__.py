@@ -41,4 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # a few oracles are lazy callables (they precompute expected values
+    # in pure Python and emit a VALUES table) — resolve them here so the
+    # driver always receives plain SQL strings
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

@@ -51,15 +51,29 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs,
-# digit runs, punctuation runs (each optionally space-prefixed).  The
-# same RE2-compatible pattern runs JVM-side here and in the DuckDB
-# oracle, so counts are engine-comparable.
-BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# digit runs, punctuation runs (each optionally space-prefixed), plus a
+# trailing whitespace-run catch-all so the alternation PARTITIONS the
+# whole string (GPT-2 uses \s+(?!\S) lookahead for this; RE2 has no
+# lookahead, so multi-space runs keep all their spaces in one chunk
+# instead of donating the last one to the next word — still lossless,
+# which is what detokenize-roundtrip requires).  The same
+# RE2-compatible pattern runs JVM-side here and in the DuckDB oracle,
+# so counts are engine-comparable.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
-def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """BPE-ish regex token counting — the pre-tokenization pass of a
-    GPT-2-style tokenizer, JVM-side (regexp_extract_all, no Python)."""
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    merges=None) -> DataFrame:
+    """BPE token counting.  With a trained ``merges`` table
+    (operators/bpe.bpe_train) this counts REAL merges-table BPE tokens
+    via the vectorized kernel; without one it falls back to counting
+    pre-tokenizer chunks (the regexp_extract_all pass that feeds the
+    merge phase) — a cheap JVM-only upper-ish proxy."""
+    if merges is not None:
+        from presto_bloomfilter_spark.operators.bpe import tokenize_bpe
+
+        return tokenize_bpe(df, merges, text_col, id_col).select(
+            "id", F.col("n_tok").alias("n_bpe_tokens"))
     return df.select(
         F.col(id_col).cast("string").alias("id"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))

@@ -1261,6 +1261,76 @@ FROM documents
 """
 
 
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merges-table BPE (operators/bpe): train on the gate subset,
+    tokenize with the vectorized Arrow kernel, and emit per doc the
+    token count, an md5 over the space-joined token-id stream, and the
+    detokenize-roundtrip boolean (decode must reproduce the input text
+    byte-exactly).  FULL VALUE ORACLE: _oracle_tokenize_bpe recomputes
+    (n_tok, tokens_md5) per doc with an INDEPENDENT pipeline — DuckDB
+    RE2 pre-tokenization + the pure-Python reference per-chunk encoder
+    (bpe.encode_chunk_reference) over merges re-trained from the
+    DuckDB-derived histogram — so chunking, training input, and merge
+    application are all cross-engine-checked, not just row counts."""
+    from presto_bloomfilter_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(256)
+    merges = bpe.bpe_train(docs, n_merges=384, sample_rows=256)
+    toks = bpe.tokenize_bpe(docs, merges)
+    dec = bpe.detokenize_bpe(toks, merges).withColumnRenamed("text", "decoded")
+    orig = docs.select(F.col("doc_id").cast("string").alias("id"),
+                       F.col("text").alias("orig"))
+    return (
+        toks.join(dec, "id").join(orig, "id")
+        .select(
+            "id",
+            "n_tok",
+            F.md5(F.concat_ws(
+                " ", F.expr("transform(tokens, x -> cast(x as string))"))
+            ).alias("tokens_md5"),
+            (F.col("decoded") == F.col("orig")).alias("roundtrip_ok"),
+        )
+    )
+
+
+def _oracle_tokenize_bpe() -> str:
+    """Independent-engine oracle for q_tokenize_bpe, resolved lazily at
+    oracle_sql() time (it computes the expected values in pure Python
+    and emits them as a VALUES table)."""
+    import hashlib
+
+    import duckdb
+
+    from collections import Counter
+
+    from presto_bloomfilter_spark.operators.bpe import train_from_counts
+
+    sf = os.environ.get("PBS_GATE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, regexp_extract_all(text, ?) "
+        "FROM read_parquet(?) ORDER BY doc_id LIMIT 256",
+        [text.BPE_ISH_PATTERN, f"{sf}/documents.parquet"],
+    ).fetchall()
+    counts: Counter = Counter()
+    for _, chunks in rows:
+        for c in chunks:
+            counts[c.encode("utf-8")] += 1
+    # replicate bpe_train's deterministic histogram cap (count desc,
+    # chunk asc in code-point order — == UTF-8 binary order)
+    capped = dict(sorted(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0].decode("utf-8")))[:65_536])
+    m = train_from_counts(capped, 384)
+    vals = []
+    for doc_id, chunks in rows:
+        ids: list[int] = []
+        for c in chunks:
+            ids.extend(m.encode_chunk_reference(c.encode("utf-8")))
+        md5 = hashlib.md5(" ".join(map(str, ids)).encode()).hexdigest()
+        vals.append(f"('{doc_id}', {len(ids)}, '{md5}', TRUE)")
+    return ("SELECT * FROM (VALUES " + ", ".join(vals)
+            + ") AS t(id, n_tok, tokens_md5, roundtrip_ok)")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.4 — blocked
     brute-force over a broadcast matrix (see similarity module for the
@@ -2046,6 +2116,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
+    "tokenize_bpe": q_tokenize_bpe,
     "embedding_near_dup": q_embedding_near_dup,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2115,6 +2186,7 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "token_count": ORACLE_TOKEN_COUNT,
     "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
+    "tokenize_bpe": _oracle_tokenize_bpe,  # lazy: resolved at oracle_sql() time
     "embedding_near_dup": ORACLE_EMBEDDING_NEAR_DUP,
     "lang_id": ORACLE_LANG_ID,
     "fingerprint": ORACLE_FINGERPRINT,
