@@ -429,6 +429,14 @@ def main() -> None:
         "total_tokens": total_tokens,
         "tokens_per_sec": round(total_tokens / build_sec) if build_sec else None,
     }
+    # registry↔driver parity: record how many gate queries exist so a
+    # correctness file covering a subset of the registry is visible
+    try:
+        from presto_bloomfilter_spark.plans.queries import ORACLES, QUERIES
+        result["gate_queries_registered"] = len(QUERIES)
+        result["gate_queries_with_sql_oracle"] = len(ORACLES)
+    except Exception:
+        pass
     if do_scaling:
         result["scaling"] = scaling_run()
     print(json.dumps(result))

@@ -904,18 +904,19 @@ def grouped_sketch(
     pruned = df.select(*dict.fromkeys(cols))
     out_schema = f"{key} string, sketch binary"
 
+    # the output schema is '{key} string': normalize non-string group
+    # keys through ONE stringification — Spark's cast-to-string — for
+    # BOTH strategies, so a double/boolean key yields the same label
+    # ('1.0E-7', 'true') whichever dataflow built it; NULL keys flow
+    # through as NULL either way
+    pruned = pruned.withColumn(key, F.col(key).cast("string"))
+
     if strategy == "map_side":
         partials = pruned.mapInArrow(_grouped_partial_build(spec, key), out_schema)
         return grouped_merge_sketch_column(partials, key)
 
     if strategy != "salted":
         raise ValueError(f"unknown strategy {strategy!r}")
-
-    # the declared output schema is '{key} string': cast JVM-side so a
-    # non-string group key (int year, double bucket) doesn't hit
-    # pyarrow's refusal to coerce into the string field — and so NULL
-    # keys flow through as NULL, matching the map_side path
-    pruned = pruned.withColumn(key, F.col(key).cast("string"))
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = spec.factory()

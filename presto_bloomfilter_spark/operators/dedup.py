@@ -588,9 +588,26 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
 # ---- dup-cluster connected components ------------------------------------------
 
 
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate plan lineage between iterative rounds.  With a
+    ``checkpoint_dir`` this is a RELIABLE checkpoint (survives executor
+    loss on a real cluster — the directory should be shared storage);
+    without one it falls back to localCheckpoint, which stores blocks
+    on executors only: cheaper, but an executor loss mid-iteration
+    makes the job unrecoverable — fine on local mode / retry-the-job
+    pipelines, not for long multi-round jobs at cluster scale."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def components_from_pairs(pairs_df: DataFrame, id_a: str = "id_a",
                           id_b: str = "id_b",
-                          max_iterations: int = 50) -> DataFrame:
+                          max_iterations: int = 50,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pair edges: the step after
     pair detection in every dedup pipeline (keep one representative per
     duplicate CLUSTER, not per pair — pairs (a,b),(b,c) must collapse
@@ -606,37 +623,37 @@ def components_from_pairs(pairs_df: DataFrame, id_a: str = "id_a",
     an exact convergence check.  Each round is one shuffle join keyed
     on node id; rounds needed = graph diameter.  Near-dup clusters are
     dense (diameter rarely above a few hops), so this is the right
-    shape at corpus scale; a pathological million-hop chain would want
-    the large-star/small-star variant, which this function documents
-    rather than implements.  Labels propagate through
-    ``localCheckpoint`` each round so the plan never accumulates
-    lineage.
+    shape at corpus scale; for pathological diameters use
+    ``components_star`` (large-star/small-star contraction, O(log n)
+    rounds on any diameter).  Labels propagate through ``_ckpt`` each
+    round so the plan never accumulates lineage (pass
+    ``checkpoint_dir`` for executor-loss-safe reliable checkpoints).
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iterations`` — loud, never a silently-partial clustering.
     """
     edges = pairs_df.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(
+    edges = _ckpt(edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
+    ).distinct(), checkpoint_dir)
+    labels = _ckpt(
         edges.select("src").distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("label"))
-        .localCheckpoint()
+        .select(F.col("src").alias("id"), F.col("src").alias("label")),
+        checkpoint_dir,
     )
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"].alias("id"),
                 F.least(labels["label"], F.coalesce(nbr["nlabel"], labels["label"]))
                 .alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = (
             new_labels.alias("n")
@@ -649,6 +666,101 @@ def components_from_pairs(pairs_df: DataFrame, id_a: str = "id_a",
             return labels.select(F.col("id"), F.col("label").alias("component"))
     raise RuntimeError(
         f"components_from_pairs did not converge in {max_iterations} rounds "
-        f"(graph diameter exceeds the bound) — raise max_iterations or use a "
-        f"star-contraction variant for extreme-diameter graphs"
+        f"(graph diameter exceeds the bound) — raise max_iterations or use "
+        f"components_star, whose round count is O(log n) on any diameter"
+    )
+
+
+def components_star(pairs_df: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b", max_rounds: int = 60,
+                    checkpoint_dir: str | None = None) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — same output contract as
+    ``components_from_pairs`` ((id, component) per endpoint, component
+    = min id in the cluster), but the round count is O(log n) in the
+    NODE count regardless of graph diameter, so a million-hop chain
+    converges in ~20 rounds instead of a million.
+
+    Each round is two shuffle-group phases over the edge list:
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u});
+    - small-star(u): u and every neighbor v < u attach to the same m.
+
+    Both phases keep every edge incident to a node's minimum, so
+    connectivity is invariant; contraction halves the height of the
+    forest per round.  Convergence = the canonical edge set's
+    (count, hash-sum) fingerprint stops changing — one cheap aggregate
+    per round, no full diff.  Lineage is truncated per round via
+    ``_ckpt`` (pass ``checkpoint_dir`` for executor-loss-safe reliable
+    checkpoints on long jobs)."""
+    # ids keep their input type — the algorithm only needs a total
+    # order (string ids label by lexicographic min, like
+    # components_from_pairs)
+    raw = pairs_df.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # every input endpoint must appear in the output — nodes whose only
+    # edges are self-loops become singleton components
+    nodes = _ckpt(raw.select("u").union(raw.select("v")).distinct(),
+                  checkpoint_dir)
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    edges = _ckpt(edges, checkpoint_dir)
+
+    def fingerprint(e: DataFrame):
+        row = e.select(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # xor: no ANSI overflow
+        ).collect()[0]
+        return (row.n, row.h)
+
+    def neighborhood_min(e: DataFrame):
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (bi.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        return mins, bi
+
+    fp = fingerprint(edges)
+    for _ in range(max_rounds):
+        # large-star: (v, m) for v > u
+        mins, bi = neighborhood_min(edges)
+        large = (
+            bi.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = _ckpt(large.distinct(), checkpoint_dir)
+        # small-star: (v, m) for v < u, plus (u, m)
+        mins, bi = neighborhood_min(edges)
+        small = (
+            bi.filter(F.col("v") < F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        edges = _ckpt(small, checkpoint_dir)
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            # fixpoint: every edge is (child, root-min); emit labels,
+            # plus singleton self-labels for edge-less endpoints
+            labeled = (
+                edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+                .union(edges.select(F.col("v").alias("id"), F.col("v").alias("component")))
+                .distinct()
+            )
+            singles = nodes.join(
+                labeled.select(F.col("id").alias("u")).distinct(), "u", "left_anti"
+            ).select(F.col("u").alias("id"), F.col("u").alias("component"))
+            return labeled.union(singles)
+        fp = new_fp
+    raise RuntimeError(
+        f"components_star did not converge in {max_rounds} rounds — "
+        f"that exceeds the O(log n) bound for any real graph; "
+        f"inspect the edge input"
     )

@@ -75,6 +75,17 @@ def _batch_tokens(batch: pa.RecordBatch, name: str) -> tuple[np.ndarray, np.ndar
             f"packing — a null token has no id"
         )
     flat = values.to_numpy(zero_copy_only=False)
+    if flat.dtype.kind == "i" and flat.dtype.itemsize > 4 and len(flat):
+        # array<bigint> input: the eventual int32 cast would silently
+        # WRAP out-of-range ids, corrupting packed training sequences —
+        # fail loud instead, matching the NULL checks above
+        mn, mx = int(flat.min()), int(flat.max())
+        if mn < np.iinfo(np.int32).min or mx > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"pack_concat_chunks: token id outside int32 range in "
+                f"'{name}' (saw {mn}..{mx}); packed sequences are "
+                f"array<int32> — remap ids before packing"
+            )
     lens = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, lens
 

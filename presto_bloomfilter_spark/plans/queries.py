@@ -1922,6 +1922,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components_from_pairs(chain)
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same multi-hop chain input and oracle as dup_clusters, computed
+    by large-star/small-star contraction (components_star) — the
+    O(log n)-rounds variant for extreme-diameter pair graphs; the two
+    algorithms must agree exactly."""
+    docs = _aug_documents(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("id")
+    chain = (
+        docs.withColumn("prev", F.lag("id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return dedup.components_star(chain)
+
+
 ORACLE_DUP_CLUSTERS = f"""
 WITH gr AS (
   SELECT id, MIN(id) OVER (PARTITION BY text) AS mn,
@@ -2141,6 +2156,7 @@ QUERIES = {
     "checkpoint_resume": q_checkpoint_resume,
     "streaming_windowed_users": q_streaming_windowed_users,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_star": q_dup_clusters_star,
 }
 
 ORACLES = {
@@ -2211,4 +2227,5 @@ ORACLES = {
     "checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
     "streaming_windowed_users": ORACLE_STREAMING_WINDOWED_USERS,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
+    "dup_clusters_star": ORACLE_DUP_CLUSTERS,
 }

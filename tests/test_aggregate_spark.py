@@ -350,3 +350,21 @@ def test_grouped_sketch_salted_int_key(spark):
     out = {r["year"]: r["sketch"] for r in agg.grouped_sketch(
         df, "year", agg.hll_over_strings("v"), strategy="salted", salt=2).collect()}
     assert set(out) == {"2021", "2022"}
+
+
+def test_grouped_sketch_key_labels_agree_across_strategies(spark):
+    """Double/boolean group keys stringify identically through both
+    strategies (one JVM cast-to-string for both) — previously map_side
+    used Python str() ('1e-07', 'True') while salted used Spark's cast
+    ('1.0E-7', 'true')."""
+    df = spark.createDataFrame(
+        [(1e-07, "a"), (1e-07, "b"), (0.5, "c"), (1e-07, "d")],
+        "k double, v string")
+    bools = spark.createDataFrame(
+        [(True, "a"), (False, "b")], "k boolean, v string")
+    for frame in (df, bools):
+        spec = agg.hll_over_strings("v")
+        m = {r["k"] for r in agg.grouped_sketch(frame, "k", spec).collect()}
+        s = {r["k"] for r in agg.grouped_sketch(
+            frame, "k", spec, strategy="salted", salt=2).collect()}
+        assert m == s, (m, s)

@@ -147,6 +147,54 @@ def test_components_nonconvergence_is_loud(spark):
         dedup.components_from_pairs(pairs, max_iterations=2)
 
 
+def test_components_star_parity_with_label_propagation(spark):
+    from presto_bloomfilter_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22),
+         (30, 30), (3, 7), (7, 8)],
+        "id_a long, id_b long",
+    )
+    lp = {(r.id, r.component)
+          for r in dedup.components_from_pairs(pairs).collect()}
+    st = {(r.id, r.component) for r in dedup.components_star(pairs).collect()}
+    assert st == lp and len(st) > 0
+
+
+def test_components_star_path_graph_converges_in_log_rounds(spark):
+    """The case label propagation can't touch: a 10k-node path graph
+    has diameter 10k (label-prop would need 10k rounds), but
+    large-star/small-star contraction must finish within ~log2(n)
+    alternating rounds — max_rounds=25 is the O(log n) assertion."""
+    from presto_bloomfilter_spark.operators import dedup
+
+    n = 10_000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = dedup.components_star(path, max_rounds=25)
+    comp = out.groupBy("component").count().collect()
+    assert len(comp) == 1 and comp[0].component == 0 and comp[0]["count"] == n
+
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to RELIABLE
+    checkpoints (shared-storage RDD snapshots an executor loss can
+    re-read) — results identical, checkpoint files actually written."""
+    import os
+
+    from presto_bloomfilter_spark.operators import dedup
+
+    ckdir = str(tmp_path / "ck")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    comp = {(r.id, r.component)
+            for r in dedup.components_from_pairs(
+                pairs, checkpoint_dir=ckdir).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+    walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert walked, "no reliable checkpoint files written"
+
+
 def test_sharded_contamination_matches_exact_contract(spark, tiny, tmp_path):
     """Sharded-family form: same schema, no false negatives, bounded
     overcount — peak executor state is one shard filter."""

@@ -38,6 +38,18 @@ def test_pack_conserves_tokens_and_lengths(docs):
     assert total_in // L - 4 <= n_full <= total_in // L
 
 
+def test_pack_rejects_out_of_int32_token_ids(spark):
+    """array<bigint> input with an id past int32 must fail loud — the
+    silent astype wrap corrupted packed sequences before."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 2**40])], "doc_id string, tokens array<bigint>")
+    with pytest.raises(Exception, match="int32 range"):
+        packing.pack_concat_chunks(df, 4).collect()
+    ok = spark.createDataFrame(
+        [("a", [1, 2, 3])], "doc_id string, tokens array<bigint>")
+    assert packing.pack_concat_chunks(ok, 2).count() > 0
+
+
 def test_pack_eos_separators(docs):
     L = 50
     n_docs = docs.count()

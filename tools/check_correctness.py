@@ -99,6 +99,12 @@ def main() -> int:
             print("  oracle:", b[neq].head(3).to_dict("records"))
             continue
         print(f"OK   {name}: {len(a)} rows  [{dt:.1f}s]")
+    checked = [n for n in qs if not only or n in only]
+    # registry↔driver parity: make a partial sweep (or a driver file
+    # that covers only a subset of the registry) visible at a glance
+    print(f"REGISTERED: {len(qs)} queries ({len(oracles)} with SQL oracles); "
+          f"CHECKED: {len(checked)}"
+          + ("" if len(checked) == len(qs) else " — PARTIAL RUN"))
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
