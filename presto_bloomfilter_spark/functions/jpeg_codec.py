@@ -1,0 +1,537 @@
+"""Minimal pure-stdlib baseline JPEG (JFIF) codec — struct + numpy only.
+
+The sibling of ``png_codec``: exists so the multimodal "real decode"
+path covers the dominant crawl image format in containers without
+Pillow.  Scope is baseline sequential DCT (SOF0), 8-bit, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart intervals, and
+standard or custom huffman/quant tables; progressive (SOF2) and
+arithmetic coding raise a clear ValueError.  When Pillow IS present,
+``operators/multimodal.py`` prefers it — this module is the
+dependency-free fallback, correctness-first (the huffman bit loop is
+Python; fine for gate fixtures and thumbnails, not a bulk decoder).
+
+Format reference: the public JPEG standard (ITU-T T.81 / ISO 10918-1)
+and the JFIF specification.  The encoder emits baseline 4:4:4 (or
+grayscale) with the Annex K example tables scaled by ``quality``, which
+is what lets the test suite construct fixtures without any imaging
+library; encode→decode reconstruction error is bounded by the
+quantization step, asserted in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---- shared tables -----------------------------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+
+# Annex K example quantization tables (luminance, chrominance)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K example huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8-point DCT-II basis: A @ block @ A.T = DCT coefficients
+_K = np.arange(8)
+_DCT_A = np.sqrt(2.0 / 8.0) * np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16.0)
+_DCT_A[0] /= np.sqrt(2.0)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_A @ block @ _DCT_A.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT_A.T @ coef @ _DCT_A
+
+
+def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((table * s + 50) // 100, 1, 255)
+    return q.astype(np.int32)
+
+
+# ---- bit IO ------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; stops cleanly at markers (RST handled by caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _HitRestart()
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_skip_restart(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        # the 0xFFDx marker sits at pos (possibly after fill stopped on it)
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        assert 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        self.pos += 2
+
+
+class _HitRestart(Exception):
+    pass
+
+
+# ---- huffman -----------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) per T.81 C.2 canonical code assignment."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decoder(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → value lookup for the bit-serial decoder."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code in scan data")
+
+
+def _extend(value: int, length: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map unsigned bits to the signed coefficient."""
+    if length == 0:
+        return 0
+    return value if value >= (1 << (length - 1)) else value - (1 << length) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value → (ssss category, unsigned bits) for encoding."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    return n, (v if v > 0 else v + (1 << n) - 1)
+
+
+# ---- encoder -----------------------------------------------------------------
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """Encode a uint8 array (h, w) or (h, w, 3) as baseline JFIF JPEG
+    (grayscale or YCbCr 4:4:4, Annex K tables scaled by quality).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs — mainly so the decoder's restart path has a generator."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, ch = a.shape
+    if ch == 3:  # RGB → YCbCr (JFIF / BT.601 full-range)
+        f = a.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+
+    qluma = _scale_quant(QUANT_LUMA, quality)
+    qchroma = _scale_quant(QUANT_CHROMA, quality)
+    qtabs = [qluma] if ch == 1 else [qluma, qchroma]
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(q.flatten()[ZIGZAG].astype(np.uint8))
+    # SOF0
+    ncomp = ch
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # no subsampling
+    # DHT
+    hts = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if ch == 3:
+        hts += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, values) in hts:
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3F\x00"
+
+    dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
+    ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    blocks_h = (h + 7) // 8
+    blocks_w = (w + 7) // 8
+    mcu_count = 0
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)])
+                bw = _BitWriter()
+                prev_dc = [0] * ncomp
+            mcu_count += 1
+            for ci in range(ncomp):
+                tsel = 0 if ci == 0 else 1
+                plane = planes[ci]
+                block = np.empty((8, 8), np.float64)
+                y0, x0 = by * 8, bx * 8
+                sub = plane[y0:min(y0 + 8, h), x0:min(x0 + 8, w)]
+                # edge replication padding
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                if sub.shape[0] < 8:
+                    block[sub.shape[0]:, :sub.shape[1]] = sub[-1:, :]
+                if sub.shape[1] < 8:
+                    block[:, sub.shape[1]:] = block[:, sub.shape[1] - 1: sub.shape[1]]
+                coef = _dct2(block - 128.0)
+                q = qtabs[tsel]
+                zz = np.round(coef.flatten()[ZIGZAG] / q.flatten()[ZIGZAG]).astype(np.int64)
+                # DC
+                diff = int(zz[0]) - prev_dc[ci]
+                prev_dc[ci] = int(zz[0])
+                n, v = _magnitude(diff)
+                code, length = dc_codes[tsel][n]
+                bw.write(code, length)
+                if n:
+                    bw.write(v, n)
+                # AC with run-lengths
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[tsel][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    n, v = _magnitude(int(zz[k]))
+                    code, length = ac_codes[tsel][(run << 4) | n]
+                    bw.write(code, length)
+                    bw.write(v, n)
+                    run = 0
+                if run:
+                    code, length = ac_codes[tsel][0x00]  # EOB
+                    bw.write(code, length)
+    bw.flush()
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# ---- decoder -----------------------------------------------------------------
+
+
+def jpeg_read_header(buf: bytes) -> tuple[int, int, str]:
+    """(width, height, mode) from SOF0/1 without decoding scan data."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment in JPEG stream")
+        marker = buf[pos + 1]
+        if marker in (0xC0, 0xC1):
+            h, w, ncomp = struct.unpack(">HHB", buf[pos + 5: pos + 10])
+            # mode names follow PIL's convention for decoded JPEGs
+            # ("L" / "RGB"), so metadata is engine-independent
+            return w, h, ("L" if ncomp == 1 else "RGB")
+        if marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported by the baseline codec")
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", buf[pos + 2: pos + 4])[0]
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def jpeg_decode(buf: bytes):
+    """Decode a baseline JFIF JPEG to a uint8 numpy array — (h, w) for
+    grayscale, (h, w, 3) RGB otherwise.  Raises ValueError on
+    progressive/arithmetic streams or malformed data."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 2 > len(buf):
+            raise ValueError("truncated JPEG (no SOS)")
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment in JPEG stream")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before scan data")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        seg_len = struct.unpack(">H", buf[pos: pos + 2])[0]
+        body = buf[pos + 2: pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec_id = body[b]
+                if prec_id >> 4:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(body[b + 1: b + 65], dtype=np.uint8).astype(np.int32)
+                q = np.empty(64, np.int32)
+                q[ZIGZAG] = zz
+                qtabs[prec_id & 0x0F] = q.reshape(8, 8)
+                b += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError(f"{precision}-bit JPEG not supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported by the baseline codec")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF 0x{marker:02X} not supported by the baseline codec")
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                bits = list(body[b + 1: b + 17])
+                nvals = sum(bits)
+                values = list(body[b + 17: b + 17 + nvals])
+                table = _build_decoder(bits, values)
+                if tc_th >> 4:
+                    ac_tabs[tc_th & 0x0F] = table
+                else:
+                    dc_tabs[tc_th & 0x0F] = table
+                b += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ncomp = body[0]
+            scan = []
+            for i in range(ncomp):
+                cs, tdta = body[1 + 2 * i: 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
+            break
+        # APPn / COM / others: skipped via seg_len
+
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in scan:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes[c["id"]] = np.zeros((ph, pw), np.float64)
+
+    reader = _BitReader(buf, pos)
+    prev_dc = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_and_skip_restart()
+                prev_dc = {c["id"]: 0 for c in scan}
+            try:
+                for c in scan:
+                    q = qtabs[c["tq"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = np.zeros(64, np.int64)
+                            s = _decode_symbol(reader, dc_tabs[c["td"]])
+                            diff = _extend(reader.read_bits(s), s)
+                            prev_dc[c["id"]] += diff
+                            zz[0] = prev_dc[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_symbol(reader, ac_tabs[c["ta"]])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC coefficient index out of range")
+                                zz[k] = _extend(reader.read_bits(s), s)
+                                k += 1
+                            coef = np.zeros(64, np.float64)
+                            coef[ZIGZAG] = zz * q.flatten()[ZIGZAG]
+                            block = _idct2(coef.reshape(8, 8)) + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+            except _HitRestart:
+                raise ValueError("restart marker mid-MCU: corrupt scan data") from None
+            mcu_count += 1
+
+    if len(scan) == 1:
+        out = planes[scan[0]["id"]][:h, :w]
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # upsample chroma to full resolution, then YCbCr → RGB
+    full = []
+    for c in scan:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import png_codec
+from ..functions import jpeg_codec, png_codec
 
 MEDIA_SCHEMA = "id string, media binary, media_type string"
 META_SCHEMA = "id string, n_bytes int, first_byte int, fake_width int, fake_height int"
@@ -42,20 +42,30 @@ def _pil():
 
 
 def _decode_any(blob: bytes):
-    """(width, height, mode) via PIL when present, else the PNG codec."""
+    """(width, height, mode) via PIL when present, else the stdlib
+    codecs (PNG or baseline JPEG, dispatched on magic bytes)."""
     image_mod = _pil()
     if image_mod is not None:
         img = image_mod.open(io.BytesIO(blob))
         return img.width, img.height, img.mode
+    if blob[:2] == b"\xFF\xD8":
+        return jpeg_codec.jpeg_read_header(blob)
     return png_codec.png_read_header(blob)  # raises ValueError on non-PNG
+
+
+def _decode_pixels(blob: bytes):
+    """uint8 pixel array via the stdlib codecs (PNG / baseline JPEG)."""
+    if blob[:2] == b"\xFF\xD8":
+        return jpeg_codec.jpeg_decode(blob)
+    return png_codec.png_decode(blob)
 
 
 def _unsupported(blob: bytes) -> NotImplementedError:
     head = blob[:8].hex() if blob else "<empty>"
     return NotImplementedError(
-        "payload is not a baseline PNG and Pillow (PIL) is not installed "
-        f"(leading bytes {head}); install Pillow for other formats or use "
-        "the *_stub forms for format-agnostic dataflow"
+        "payload is not a baseline PNG or baseline JPEG and Pillow (PIL) "
+        f"is not installed (leading bytes {head}); install Pillow for "
+        "other formats or use the *_stub forms for format-agnostic dataflow"
     )
 
 
@@ -131,13 +141,14 @@ def extract_metadata_image(media_df: DataFrame) -> DataFrame:
 def resize_image(media_df: DataFrame, width: int = 224, height: int = 224,
                  fmt: str = "PNG") -> DataFrame:
     """REAL image resize — PIL when installed (any input format, output
-    ``fmt``), else stdlib PNG decode → nearest-neighbor resample → PNG
-    re-encode.  Binary in, re-encoded fixed-dimension binary out —
-    identical schema and batch shape to resize_stub, so pipelines swap
-    decoder by function name only."""
-    if _pil() is None and fmt.upper() != "PNG":
+    ``fmt``), else stdlib decode (PNG or baseline JPEG, by magic bytes)
+    → nearest-neighbor resample → re-encode.  Binary in, re-encoded
+    fixed-dimension binary out — identical schema and batch shape to
+    resize_stub, so pipelines swap decoder by function name only."""
+    if _pil() is None and fmt.upper() not in ("PNG", "JPEG", "JPG"):
         raise NotImplementedError(
-            f"output format {fmt!r} requires Pillow; PNG is supported natively")
+            f"output format {fmt!r} requires Pillow; PNG and baseline "
+            f"JPEG are supported natively")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = _pil()
@@ -152,11 +163,14 @@ def resize_image(media_df: DataFrame, width: int = 224, height: int = 224,
                     payloads.append(out.getvalue())
                 else:
                     try:
-                        arr = png_codec.png_decode(blob)
+                        arr = _decode_pixels(blob)
                     except ValueError as e:
                         raise _unsupported(blob) from e
-                    payloads.append(png_codec.png_encode(
-                        png_codec.resize_nearest(arr, width, height)))
+                    resized = png_codec.resize_nearest(arr, width, height)
+                    if fmt.upper() in ("JPEG", "JPG"):
+                        payloads.append(jpeg_codec.jpeg_encode(resized))
+                    else:
+                        payloads.append(png_codec.png_encode(resized))
             yield pd.DataFrame(
                 {"id": pdf["id"], "resized": payloads,
                  "width": np.full(len(pdf), width, dtype=np.int32),

@@ -1701,6 +1701,70 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode (the dominant crawl format), cross-engine-
+    checked: synthesize a baseline JFIF JPEG per document (smooth
+    gradient seeded from the text length, dims = len%48+8 x len%32+8),
+    run it through extract_metadata_image (PIL or the stdlib baseline
+    JPEG codec), and ALSO decode the pixels and assert the
+    reconstruction tracks the encoded gradient (mean abs error < 8 at
+    quality 90 — JPEG is lossy, so the pixel check is a bounded-error
+    boolean rather than an exact hash).  The oracle recomputes expected
+    dims from length(text) in pure SQL; a decoder that misparses SOF,
+    huffman tables, or the scan stream fails the dims or the bound."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions import jpeg_codec as jc  # noqa: PLC0415
+    from ..operators import multimodal as mm  # noqa: PLC0415
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").orderBy("doc_id").limit(256))
+
+    def gradient(w: int, h: int) -> "np.ndarray":
+        gx = np.linspace(0, 255, w)[None, :]
+        gy = np.linspace(0, 255, h)[:, None]
+        r = np.broadcast_to(gx, (h, w))
+        g = np.broadcast_to(gy, (h, w))
+        b = np.broadcast_to((gx + gy) / 2, (h, w))
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def make_jpeg(it):
+        for pdf in it:
+            payloads, ok = [], []
+            for t in pdf["text"]:
+                n = len(t)
+                w, h = n % 48 + 8, n % 32 + 8
+                img = gradient(w, h)
+                blob = jc.jpeg_encode(img, quality=90)
+                dec = jc.jpeg_decode(blob)
+                err = float(np.abs(dec.astype(np.float64) - img).mean())
+                payloads.append(blob)
+                ok.append(bool(dec.shape == img.shape and err < 8.0))
+            yield pd.DataFrame({"id": pdf["doc_id"].astype(str),
+                                "media": payloads, "pixels_ok": ok})
+
+    media = docs.mapInPandas(make_jpeg, "id string, media binary, pixels_ok boolean")
+    meta = mm.extract_metadata_image(media.select("id", "media"))
+    return meta.join(media.select("id", "pixels_ok"), "id").select(
+        "id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mode").alias("mode"),
+        "pixels_ok",
+    )
+
+
+ORACLE_MULTIMODAL_JPEG_DECODE = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(length(text) % 48 + 8 AS INTEGER) AS width,
+       CAST(length(text) % 32 + 8 AS INTEGER) AS height,
+       'RGB' AS mode,
+       TRUE AS pixels_ok
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
+"""
+
+
 def _contamination_split(spark: SparkSession, sf_dir: str):
     """Deterministic md5-bucket train/test split of the documents table
     (same engine-portable predicate as hash_sample): bucket < 10 is the
@@ -2147,6 +2211,7 @@ QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "contamination_exact": q_contamination_exact,
     "contamination_bloom": q_contamination_bloom,
     "contamination_tokens": q_contamination_tokens,
@@ -2218,6 +2283,7 @@ ORACLES = {
     "ann_ivfpq": ORACLE_ANN_RECALL,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_png_decode": ORACLE_MULTIMODAL_PNG_DECODE,
+    "multimodal_jpeg_decode": ORACLE_MULTIMODAL_JPEG_DECODE,
     "contamination_exact": ORACLE_CONTAMINATION_EXACT,
     "contamination_bloom": ORACLE_CONTAMINATION_BLOOM,
     "contamination_tokens": ORACLE_CONTAMINATION_TOKENS,
