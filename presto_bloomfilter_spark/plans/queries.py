@@ -727,6 +727,62 @@ def _aug_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orig.unionAll(dups).unionAll(nears)
 
 
+_SUBSTR_SENT = ("quorum basalt lattice ember copper violet saffron "
+                "meridian umbra zephyr cobalt harbor")  # 12 words
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (hashed-window formulation of Lee et al.
+    2022): a 12-word sentinel is appended to every doc_id%5==0 doc on
+    BOTH engines, so cross-document duplicated spans exist by
+    construction; duplicated_spans must recover each injected region
+    (merged to maximal spans at 8-word-window granularity) — FULL value
+    oracle: DuckDB recomputes every span with the same window hashing +
+    island-merge semantics in pure SQL."""
+    from presto_bloomfilter_spark.operators import substring as subs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SUBSTR_SENT)))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    return subs.duplicated_spans(docs, min_len=8).select(
+        "id", F.col("start").alias("start_w"), F.col("end").alias("end_w"))
+
+
+ORACLE_SUBSTRING_DEDUP = rf"""
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' {_SUBSTR_SENT}' ELSE text END AS text
+  FROM documents
+),
+d AS (
+  SELECT id, string_split_regex(trim(text), '\s+') AS ws FROM aug
+  WHERE trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) >= 8
+),
+gi AS (
+  SELECT id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM d
+),
+g AS (
+  SELECT id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gr FROM gi
+),
+dup AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) >= 2),
+m AS (SELECT id, pos FROM g JOIN dup USING (gr)),
+isl AS (
+  SELECT id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+             PARTITION BY id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS ni
+  FROM m
+),
+isl2 AS (SELECT id, pos, SUM(ni) OVER (PARTITION BY id ORDER BY pos) AS island FROM isl)
+SELECT id, CAST(MIN(pos) AS INTEGER) AS start_w, CAST(MAX(pos) + 8 AS INTEGER) AS end_w
+FROM isl2 GROUP BY id, island
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_aug_documents(spark, sf_dir), "text", "id")
 
@@ -2176,6 +2232,7 @@ QUERIES = {
     "persist_load_roundtrip": q_persist_load_roundtrip,
     "sketch_introspection": q_sketch_introspection,
     "dedup_exact": q_dedup_exact,
+    "substring_dedup": q_substring_dedup,
     "drop_exact_dups": q_drop_exact_dups,
     "quality_filter": q_quality_filter,
     "hash_sample": q_hash_sample,
@@ -2248,6 +2305,7 @@ ORACLES = {
     "persist_load_roundtrip": ORACLE_PERSIST_LOAD_ROUNDTRIP,
     "sketch_introspection": ORACLE_SKETCH_INTROSPECTION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "substring_dedup": ORACLE_SUBSTRING_DEDUP,
     "drop_exact_dups": ORACLE_DROP_EXACT_DUPS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "hash_sample": ORACLE_HASH_SAMPLE,

@@ -1,0 +1,78 @@
+"""Exact-substring dedup (hashed-window): span recovery, island merge,
+cross-doc-only mode, hash-verify parity, and span stripping."""
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import substring as ss
+
+SENT = "zeta eta theta iota kappa lam mu nu xi omicron"  # 10 words
+
+
+def _docs(spark):
+    return spark.createDataFrame([
+        (0, "a b c d e f g h i j " + SENT + " unique0 tail0"),
+        (1, "k l m n o p q r s t " + SENT + " unique1 tail1"),
+        (2, "plain words only here nothing shared at all among docs"),
+        (3, "short doc"),
+        (4, SENT + " " + SENT),   # intra-doc adjacent repeat
+        (5, ""),
+    ], "doc_id long, text string")
+
+
+def test_duplicated_spans_recover_injected_overlap(spark):
+    spans = {(r.id, r.start, r.end)
+             for r in ss.duplicated_spans(_docs(spark), min_len=8).collect()}
+    # the 10 shared words sit at word index 10..19 in docs 0 and 1
+    assert ("0", 10, 20) in spans and ("1", 10, 20) in spans
+    # doc4 = SENT+SENT: every window duplicated → one maximal span
+    assert ("4", 0, 20) in spans
+    # no spans for unshared / short / empty docs
+    assert not any(i in ("2", "3", "5") for i, _, _ in spans)
+
+
+def test_cross_doc_only_and_verify_parity(spark):
+    docs = _docs(spark)
+    base = sorted(map(tuple, ss.duplicated_spans(docs, min_len=8).collect()))
+    ver = sorted(map(tuple, ss.duplicated_spans(docs, min_len=8, verify=True).collect()))
+    assert base == ver
+    cross = sorted(map(tuple,
+                       ss.duplicated_spans(docs, min_len=8,
+                                           cross_doc_only=True).collect()))
+    assert ("0", 10, 20) in cross and ("1", 10, 20) in cross
+
+
+def test_intra_doc_repeat_detected_only_without_cross_flag(spark):
+    docs = spark.createDataFrame(
+        [(0, SENT + " filler one two three four five six seven " + SENT),
+         (1, "totally different content with no repeats whatsoever in here")],
+        "doc_id long, text string")
+    both = ss.duplicated_spans(docs, min_len=8).collect()
+    assert {r.id for r in both} == {"0"}
+    cross = ss.duplicated_spans(docs, min_len=8, cross_doc_only=True).collect()
+    assert cross == []  # the repeat is within one doc
+
+
+def test_strip_duplicated_spans_matches_python_reference(spark):
+    docs = _docs(spark)
+    stripped = {r.id: r.text
+                for r in ss.strip_duplicated_spans(docs, min_len=8).collect()}
+    spans = {}
+    for r in ss.duplicated_spans(docs, min_len=8).collect():
+        spans.setdefault(r.id, []).append((r.start, r.end))
+    for row in docs.collect():
+        rid = str(row.doc_id)
+        words = row.text.split()
+        keep = [w for i, w in enumerate(words)
+                if not any(s <= i < e for s, e in spans.get(rid, []))]
+        assert stripped[rid] == " ".join(keep), rid
+    # untouched docs pass through byte-identical (not re-joined words)
+    assert stripped["2"] == "plain words only here nothing shared at all among docs"
+    assert stripped["4"] == ""
+
+
+def test_spans_scale_posture_no_python_in_plan(spark):
+    """The whole detector is Catalyst: no Python workers anywhere in
+    the plan (mapInPandas/BatchEvalPython absent)."""
+    plan = (ss.duplicated_spans(_docs(spark), min_len=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
