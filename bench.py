@@ -73,8 +73,9 @@ def make_spark(cpus: int, tokens_dir: str = SF_DIR):
     )
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
-    """Headline queries; returns (name→sec, total_tokens)."""
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
+    """Headline queries; returns (name→median_sec, name→min_sec,
+    name→[samples], total_tokens)."""
     from pyspark.sql import functions as F
 
     from presto_bloomfilter_spark.operators import aggregate as agg
@@ -94,10 +95,14 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
     # dedup/text signature generation over the documents table — the
     # hottest per-byte pass of a training pipeline (batch-vectorized
     # kernels)
-    from presto_bloomfilter_spark.operators import dedup, packing, text
+    from presto_bloomfilter_spark.operators import bpe, dedup, packing, substring, text
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     n_docs = docs.count()
+    # trained once, outside the per-query timings (it lands in the
+    # suite's total wall like the warm pass does): a production
+    # pipeline amortizes training across the whole corpus
+    bpe_merges = bpe.bpe_train(docs, n_merges=384, sample_rows=256)
 
     # fused family: bloom+CMS+HLL in ONE scan — the flagship build path.
     # bloom sized to the workload (~50k distinct token ids → n=1M keeps
@@ -127,6 +132,13 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, int]:
         ("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count()),
         ("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count()),
         ("fingerprint_signatures", lambda: text.fingerprint(docs, "text", "doc_id").count()),
+        # round-4 operators: real BPE tokenize (vectorized merge kernel
+        # over the whole docs corpus; merges trained once, untimed) and
+        # exact-substring span detection (pure Catalyst)
+        ("bpe_tokenize", lambda: bpe.tokenize_bpe(docs, bpe_merges).agg(
+            F.sum("n_tok")).collect()),
+        ("substring_spans", lambda: substring.duplicated_spans(
+            docs, min_len=8).count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS
