@@ -71,8 +71,11 @@ def test_unsupported_streams_fail_loud():
         jc.jpeg_decode(sof2)
 
 
-_REAL_JPEG = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-              "python3.11/test/imghdrdata/python.jpg")
+# CPython ships a real-encoder-produced 4:2:0 JPEG in its own test
+# data; resolve it relative to the running stdlib so the test is
+# environment-agnostic (skips where the test suite isn't installed)
+_REAL_JPEG = os.path.join(os.path.dirname(os.__file__),
+                          "test", "imghdrdata", "python.jpg")
 
 
 @pytest.mark.skipif(not os.path.exists(_REAL_JPEG),
