@@ -178,10 +178,16 @@ class _BitReader:
     def align_and_skip_restart(self) -> None:
         self.acc = 0
         self.nbits = 0
-        # the 0xFFDx marker sits at pos (possibly after fill stopped on it)
+        # the 0xFFDx marker sits at pos (possibly after fill stopped on
+        # it); T.81 permits any number of 0xFF fill bytes before the
+        # marker code itself
         while self.data[self.pos] != 0xFF:
             self.pos += 1
-        assert 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        while self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, found 0xFF{self.data[self.pos + 1]:02X}")
         self.pos += 2
 
 
@@ -365,8 +371,23 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
 # ---- decoder -----------------------------------------------------------------
 
 
+def _check_ncomp(ncomp: int) -> None:
+    if ncomp not in (1, 3):
+        raise ValueError(
+            f"{ncomp}-component JPEG (CMYK/unknown) not supported by the "
+            f"baseline codec — install Pillow for these")
+
+
 def jpeg_read_header(buf: bytes) -> tuple[int, int, str]:
-    """(width, height, mode) from SOF0/1 without decoding scan data."""
+    """(width, height, mode) from SOF0/1 without decoding scan data.
+    Raises ValueError on non-JPEG, truncated, or unsupported streams."""
+    try:
+        return _read_header_impl(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG ({e})") from e
+
+
+def _read_header_impl(buf: bytes) -> tuple[int, int, str]:
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -376,6 +397,7 @@ def jpeg_read_header(buf: bytes) -> tuple[int, int, str]:
         marker = buf[pos + 1]
         if marker in (0xC0, 0xC1):
             h, w, ncomp = struct.unpack(">HHB", buf[pos + 5: pos + 10])
+            _check_ncomp(ncomp)
             # mode names follow PIL's convention for decoded JPEGs
             # ("L" / "RGB"), so metadata is engine-independent
             return w, h, ("L" if ncomp == 1 else "RGB")
@@ -392,7 +414,15 @@ def jpeg_read_header(buf: bytes) -> tuple[int, int, str]:
 def jpeg_decode(buf: bytes):
     """Decode a baseline JFIF JPEG to a uint8 numpy array — (h, w) for
     grayscale, (h, w, 3) RGB otherwise.  Raises ValueError on
-    progressive/arithmetic streams or malformed data."""
+    progressive/arithmetic/CMYK streams, truncation, or malformed
+    data."""
+    try:
+        return _decode_impl(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG ({e})") from e
+
+
+def _decode_impl(buf: bytes):
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -430,6 +460,7 @@ def jpeg_decode(buf: bytes):
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
+            _check_ncomp(ncomp)
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]

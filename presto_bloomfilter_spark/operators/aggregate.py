@@ -598,7 +598,21 @@ def grouped_sketch_from_parquet(
     """
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    # key labels come from Python str() in the fused kernel; str() and
+    # Spark's cast-to-string agree for string/int keys but NOT for
+    # double ('1e-07' vs '1.0E-7') or boolean ('True' vs 'true') — so
+    # restrict this dataflow to the types whose labels are identical to
+    # grouped_sketch's, instead of silently diverging
+    ktype = pf.schema_arrow.field(key).type
+    if not (pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
+            or pa.types.is_integer(ktype)):
+        raise ValueError(
+            f"grouped_sketch_from_parquet: key {key!r} has type {ktype} — "
+            f"str() labels would diverge from grouped_sketch's JVM "
+            f"cast-to-string; pre-cast the key to string (or use "
+            f"grouped_sketch)")
     n_rg = meta.num_row_groups
     if n_tasks is None:
         n_tasks = spark.sparkContext.defaultParallelism

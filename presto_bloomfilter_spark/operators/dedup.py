@@ -598,7 +598,15 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     pipelines, not for long multi-round jobs at cluster scale."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        cur = sc._jsc.sc().getCheckpointDir()
+        # honor the CALLER's directory: silently checkpointing into a
+        # previously-set session dir would void the durability the
+        # caller asked for.  Spark stores dir/<uuid> (often with a
+        # scheme prefix), so "already set to this dir" = the requested
+        # path appears in the effective one.  Note setCheckpointDir is
+        # session-global — an unavoidable side effect of reliable
+        # checkpoints, called out here rather than hidden.
+        if cur.isEmpty() or checkpoint_dir.rstrip("/") not in cur.get():
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
     return df.localCheckpoint()

@@ -295,6 +295,17 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(fn, "id long, bucket long")
 
 
+# the one place the adaptive dials live — the docstrings below invite
+# tuning them, so every probe path must read them from here
+_DEFAULT_PROBE_RADIUS = 2
+_NPROBE_FRACTION = 0.6
+
+
+def default_nprobe(n_lists: int) -> int:
+    """nprobe for a given list count under the adaptive recall target."""
+    return max(1, int(math.ceil(_NPROBE_FRACTION * n_lists)))
+
+
 def adaptive_lsh_params(n_rows: int, target_bucket_rows: int = 64) -> tuple[int, int]:
     """Corpus-size-derived multi-probe LSH defaults: (bits, probe_radius).
 
@@ -311,7 +322,7 @@ def adaptive_lsh_params(n_rows: int, target_bucket_rows: int = 64) -> tuple[int,
     ``target_bucket_rows`` for more recall, lower it for more pruning.
     """
     bits = int(round(math.log2(max(n_rows, 2) / float(target_bucket_rows))))
-    return max(1, min(bits, 24)), 2
+    return max(1, min(bits, 24)), _DEFAULT_PROBE_RADIUS
 
 
 def adaptive_ivf_params(n_rows: int) -> tuple[int, int]:
@@ -324,7 +335,7 @@ def adaptive_ivf_params(n_rows: int) -> tuple[int, int]:
     same recall at much smaller nprobe, so treat this as the safe
     default and dial nprobe down once measured recall allows."""
     n_lists = max(4, min(int(round(math.sqrt(max(n_rows, 16)))), 4096))
-    return n_lists, max(1, int(math.ceil(0.6 * n_lists)))
+    return n_lists, default_nprobe(n_lists)
 
 
 def _lsh_planes(dim: int, bits: int, seed: int) -> np.ndarray:
@@ -492,7 +503,7 @@ def ivf_topk_indexed(
         meta = read_index_meta(spark, index_path)
         centroids = np.asarray(meta["centroids"], dtype=np.float64)
     if nprobe is None:
-        nprobe = max(1, int(math.ceil(0.6 * len(centroids))))
+        nprobe = default_nprobe(len(centroids))
     qids = [int(q[0]) for q in queries]
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     qlists = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
@@ -540,7 +551,7 @@ def ivf_topk(
         n = approx_rows if approx_rows is not None else base.count()
         n_lists, _ = adaptive_ivf_params(n)
     if nprobe is None:
-        nprobe = max(1, int(math.ceil(0.6 * n_lists)))
+        nprobe = default_nprobe(n_lists)
     sample_rows = (
         base.select(id_col, vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
     )
@@ -621,7 +632,7 @@ def lsh_topk(
         n = approx_rows if approx_rows is not None else base.count()
         bits, _ = adaptive_lsh_params(n)
     if probe_radius is None:
-        probe_radius = 2
+        probe_radius = _DEFAULT_PROBE_RADIUS
     dim = len(queries[0][1])
     planes = _lsh_planes(dim, bits, seed)
     weights = _bucket_weights(bits)
@@ -717,7 +728,7 @@ def lsh_topk_indexed(
     k: int = 10,
     bits: int | None = None,
     seed: int | None = None,
-    probe_radius: int = 2,
+    probe_radius: int = _DEFAULT_PROBE_RADIUS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:

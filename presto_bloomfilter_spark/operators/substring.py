@@ -28,14 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _words(text_col: str):
+    """str.split() semantics as a Column: split on whitespace runs and
+    drop empties — Spark's trim() removes only 0x20 spaces, so a
+    leading tab/newline would otherwise emit an empty first word and
+    shift every span index off the documented word numbering."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
 def _word_grams(df: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFrame:
     """(id, pos, h): xxhash64 of each length-min_len word window.
     Word semantics = the repo-wide str.split() (whitespace runs, no
     empties); docs shorter than min_len words emit nothing."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
     d = (
-        df.select(F.col(id_col).cast("string").alias("id"), words.alias("w"))
-        .filter(F.trim(F.col(text_col)) != "")
+        df.select(F.col(id_col).cast("string").alias("id"),
+                  _words(text_col).alias("w"))
         .filter(F.size("w") >= min_len)
     )
     gram_expr = (
@@ -113,9 +120,9 @@ def strip_duplicated_spans(
     spans = duplicated_spans(df, text_col, id_col, min_len, cross_doc_only)
     span_lists = spans.groupBy("id").agg(
         F.collect_list(F.struct("start", "end")).alias("spans"))
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col).cast("string").alias("id"),
-                     F.col(text_col).alias("__orig"), words.alias("w"))
+                     F.col(text_col).alias("__orig"),
+                     _words(text_col).alias("w"))
     joined = base.join(span_lists, "id", "left")
     kept = F.expr(
         "filter(transform(w, (x, i) -> struct(x as x, i as i)), "

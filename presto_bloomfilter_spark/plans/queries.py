@@ -758,8 +758,11 @@ WITH aug AS (
   FROM documents
 ),
 d AS (
-  SELECT id, string_split_regex(trim(text), '\s+') AS ws FROM aug
-  WHERE trim(text) <> '' AND len(string_split_regex(trim(text), '\s+')) >= 8
+  SELECT id, ws FROM (
+    SELECT id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+    FROM aug
+  ) WHERE len(ws) >= 8
 ),
 gi AS (
   SELECT id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM d

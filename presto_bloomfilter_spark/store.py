@@ -137,6 +137,13 @@ class SketchStore:
         return _tree_merge_collect(partials, n_tasks, fan_in)
 
 
+def _partition_key(job_id: str, pid: int) -> str:
+    """The one definition of a checkpointed build's per-partition store
+    key — shared by the executor-side persist closure and the driver's
+    manifest bookkeeping, so the two can never drift."""
+    return f"{job_id}.part{pid}"
+
+
 @dataclass
 class Manifest:
     """Checkpoint manifest for a resumable sketch-build job."""
@@ -205,7 +212,7 @@ class CheckpointedBuild:
         return {int(p) for p in self.manifest.partitions}
 
     def partition_key(self, pid: int) -> str:
-        return f"{self.job_id}.part{pid}"
+        return _partition_key(self.job_id, pid)
 
     def record_partition(self, pid: int, sketch, rows: int) -> None:
         # serialize exactly once: the same blob is what gets persisted
@@ -288,7 +295,7 @@ def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
         blob = sk.to_bytes()
         # executor-side persist: blob goes store-ward from the task that
         # built it; the driver only ever sees the 3-field lineage row
-        store.put(f"{job_id}.part{pid}", blob)
+        store.put(_partition_key(job_id, pid), blob)
         yield pa.RecordBatch.from_arrays(
             [pa.array([pid], pa.int32()),
              pa.array([ser.read_hash(blob).hex()], pa.string()),
@@ -361,8 +368,12 @@ def load_sketch_table_merged(spark, path: str, key_col: str | None = None,
     if key_col is None:
         try:
             return merge_sketch_column(tbl.select("sketch"))
-        except ValueError:
-            raise ValueError(f"no sketches in table {path}") from None
+        except ValueError as e:
+            # only rebrand the EMPTY-input error; a corrupt blob's
+            # ValueError must stay loud and accurate
+            if "no sketches to merge" in str(e):
+                raise ValueError(f"no sketches in table {path}") from None
+            raise
     one_per_key = grouped_merge_sketch_column(
         tbl.select(key_col, "sketch"), key_col)
     rows = one_per_key.limit(max_keys + 1).collect()

@@ -352,6 +352,22 @@ def test_grouped_sketch_salted_int_key(spark):
     assert set(out) == {"2021", "2022"}
 
 
+def test_grouped_from_parquet_rejects_diverging_key_types(spark, tmp_path):
+    """The fused parquet dataflow labels keys with Python str(); for
+    double/boolean keys that diverges from grouped_sketch's JVM
+    cast-to-string, so it must refuse rather than silently emit
+    mismatched labels."""
+    p = str(tmp_path / "dbl")
+    spark.createDataFrame(
+        [(1e-07, "a"), (0.5, "b")], "k double, v string").write.parquet(p)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cast-to-string"):
+        agg.grouped_sketch_from_parquet(spark, p + "/" +
+                                        next(f for f in __import__("os").listdir(p)
+                                             if f.endswith(".parquet")),
+                                        "k", agg.hll_over_strings("v"))
+
+
 def test_grouped_sketch_key_labels_agree_across_strategies(spark):
     """Double/boolean group keys stringify identically through both
     strategies (one JVM cast-to-string for both) — previously map_side

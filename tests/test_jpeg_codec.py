@@ -69,6 +69,24 @@ def test_unsupported_streams_fail_loud():
         jc.jpeg_read_header(sof2)
     with pytest.raises(ValueError, match="progressive"):
         jc.jpeg_decode(sof2)
+    # 4-component (CMYK-shaped) baseline: ValueError, not garbage RGB
+    cmyk = (b"\xFF\xD8\xFF\xC0" + struct.pack(">H", 20)
+            + b"\x08\x00\x10\x00\x10\x04"
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]))
+    with pytest.raises(ValueError, match="component"):
+        jc.jpeg_read_header(cmyk)
+    with pytest.raises(ValueError, match="component"):
+        jc.jpeg_decode(cmyk)
+
+
+def test_truncated_jpeg_raises_valueerror_not_indexerror():
+    img = _gradient(24, 24, 3)
+    blob = jc.jpeg_encode(img, quality=90)
+    for cut in (4, len(blob) // 3, len(blob) - 3):
+        with pytest.raises(ValueError):
+            jc.jpeg_decode(blob[:cut])
+    with pytest.raises(ValueError):
+        jc.jpeg_read_header(blob[:6])
 
 
 # CPython ships a real-encoder-produced 4:2:0 JPEG in its own test

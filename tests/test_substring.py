@@ -70,6 +70,24 @@ def test_strip_duplicated_spans_matches_python_reference(spark):
     assert stripped["4"] == ""
 
 
+def test_word_indices_follow_str_split_despite_edge_whitespace(spark):
+    """Spark's trim() removes only 0x20 spaces — a leading newline/tab
+    must NOT shift span indices off Python str.split() numbering."""
+    docs = spark.createDataFrame(
+        [(0, "\n\ta0 b0 " + SENT + " t0"),
+         (1, "a1 b1 " + SENT + " t1\n"),
+         (2, SENT + " other words")],
+        "doc_id long, text string")
+    spans = {r.id: (r.start, r.end)
+             for r in ss.duplicated_spans(docs, min_len=8).collect()}
+    # str.split() puts SENT at words 2..11 in docs 0/1 and 0..9 in doc 2
+    assert spans["0"] == (2, 12) and spans["1"] == (2, 12)
+    assert spans["2"] == (0, 10)
+    stripped = {r.id: r.text
+                for r in ss.strip_duplicated_spans(docs, min_len=8).collect()}
+    assert stripped["0"] == "a0 b0 t0"  # no empty-word artifacts
+
+
 def test_spans_scale_posture_no_python_in_plan(spark):
     """The whole detector is Catalyst: no Python workers anywhere in
     the plan (mapInPandas/BatchEvalPython absent)."""

@@ -56,7 +56,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # raw registry, NOT entrymod.oracle_sql(): a few oracles are lazy
+    # callables whose resolution is expensive (the BPE one trains and
+    # reference-encodes in pure Python) — resolve per checked name so a
+    # targeted run never pays for oracles it doesn't use
+    from presto_bloomfilter_spark.plans.queries import ORACLES as oracles
     failures = []
     import time
 
@@ -77,7 +81,8 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            sql = oracles[name]
+            odf = con.execute(sql() if callable(sql) else sql).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle error {e}")

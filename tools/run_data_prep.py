@@ -6,16 +6,19 @@ the way a pretraining data pipeline composes them:
 
   1. quality filter (min length) + Gopher repetition cut;
   2. PII scrub (map-only regexp pass);
-  3. exact dedup (md5 digest, first doc per digest wins);
+  3. exact dedup (md5 digest, first doc per digest wins), then
+     exact-substring strip (cross-doc repeated boilerplate removed at
+     8-word-window granularity, operators/substring);
   4. near-dup clustering (MinHash-LSH candidates -> exact-Jaccard
      verify -> connected components), keep one doc per cluster;
   5. per-source quota cap + mixture rebalance (deterministic md5);
   6. leakage-free train/val/test split by source group (map-only;
      only the train split flows on to shuffling/packing);
   7. deterministic global shuffle;
-  8. pack into fixed-length token sequences (whitespace tokens ->
-     hashed ids — stand-in for the real tokenizer) and write the
-     partitioned, position-sorted training shards.
+  8. REAL BPE tokenize (merges trained on a bounded sample of the
+     train split, vectorized apply kernel — operators/bpe), pack into
+     fixed-length sequences, write the partitioned position-sorted
+     training shards.
 
 Every stage is shuffle-bounded the way the module docstrings promise
 (map-only scrub/pack, digest-only dedup shuffle, banded LSH, bucketed
@@ -54,7 +57,8 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from presto_bloomfilter_spark.operators import dedup, packing, sampling, shuffle, text
+    from presto_bloomfilter_spark.operators import (
+        bpe, dedup, packing, sampling, shuffle, substring, text)
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -76,8 +80,17 @@ def main() -> None:
         "doc_id", F.col("doc_id").cast(docs.schema["doc_id"].dataType)), "doc_id")
     scrubbed = text.pii_scrub(q)
 
-    # 3: exact dedup — first doc per md5(text)
+    # 3: exact dedup — first doc per md5(text) — then strip substrings
+    # repeated ACROSS surviving docs (boilerplate the doc-level dedup
+    # can't see); stripping before near-dup keeps shared boilerplate
+    # from manufacturing spurious near-dup pairs
     exact = dedup.drop_exact_dups(scrubbed, "text", "doc_id")
+    id_type = docs.schema["doc_id"].dataType
+    stripped = substring.strip_duplicated_spans(
+        exact, "text", "doc_id", min_len=8, cross_doc_only=True)
+    exact = exact.drop("text").join(
+        stripped.select(F.col("id").cast(id_type).alias("doc_id"), "text"),
+        "doc_id")
 
     # 4: near-dup clusters -> keep the cluster-min representative
     pairs = dedup.minhash_near_dup_pairs(exact, "text", "doc_id", threshold=0.7)
@@ -105,22 +118,26 @@ def main() -> None:
     # 7: deterministic shuffle (train split only)
     shuffled = shuffle.deterministic_shuffle(train, "doc_id", seed=1, buckets=64)
 
-    # 8: tokenize (hashed whitespace ids — stand-in) + pack + write.
-    # Packing concatenates in partition-arrival order, so the stream
-    # MUST be sorted by (bucket, pos) within each partition after the
-    # repartition — otherwise shuffle-fetch order (nondeterministic)
-    # would decide sequence composition and defeat step 6 entirely
-    tok = shuffled.select(
-        "shuffle_bucket", "shuffle_pos",
-        F.transform(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""),
-            lambda w: F.pmod(F.xxhash64(w), F.lit(65536)).cast("int"),
-        ).alias("tokens"),
+    # 8: REAL BPE tokenize (merges trained on a bounded sample of the
+    # train split; n_tok derives from raw text, not assumed) + pack +
+    # write.  Packing concatenates in partition-arrival order, so the
+    # stream MUST be sorted by (bucket, pos) within each partition
+    # after the repartition — otherwise shuffle-fetch order
+    # (nondeterministic) would decide sequence composition and defeat
+    # step 6 entirely
+    merges = bpe.bpe_train(train, "text", "doc_id",
+                           n_merges=512, sample_rows=512)
+    tokids = bpe.tokenize_bpe(shuffled, merges, "text", "doc_id")
+    tok = (
+        shuffled.select(F.col("doc_id").cast("string").alias("id"),
+                        "shuffle_bucket", "shuffle_pos")
+        .join(tokids, "id")
+        .select("shuffle_bucket", "shuffle_pos", "tokens")
     )
     packed = packing.pack_concat_chunks(
         tok.repartition(args.cpus, "shuffle_bucket")
         .sortWithinPartitions("shuffle_bucket", "shuffle_pos"),
-        args.seq_len, eos_id=0)
+        args.seq_len, eos_id=merges.vocab_size)  # EOS = first free id
     packed.write.mode("overwrite").parquet(out_dir)
 
     shards = spark.read.parquet(out_dir)
