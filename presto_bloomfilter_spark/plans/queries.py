@@ -2106,6 +2106,53 @@ FROM documents
 """
 
 
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-delta sketch maintenance (north_rule: Iceberg-snapshot
+    resumability — a table grows by adding immutable data files; at
+    10^12 rows the sketch must follow by processing ONLY the new files,
+    never rebuilding).  The gate proves the delta accounting (first
+    update sketches snapshot A's files, the second only snapshot B's
+    delta, a re-run is a 0-file no-op) and that the incrementally
+    maintained sketch is BYTE-identical to a full rebuild over the
+    whole table (merge associativity); the estimate is value-checked
+    cross-engine."""
+    import glob
+    import tempfile
+
+    from presto_bloomfilter_spark.store import SketchStore, incremental_aggregate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    root = tempfile.mkdtemp(prefix="pbs_inc_")
+    docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).repartition(2).write.parquet(root + "/a")
+    docs.filter(F.crc32(F.col("doc_id")) % 2 != 0).repartition(2).write.parquet(root + "/b")
+    files_a = sorted(glob.glob(root + "/a/*.parquet"))
+    files_b = sorted(glob.glob(root + "/b/*.parquet"))
+    store = SketchStore(tempfile.mkdtemp(prefix="pbs_incstore_"))
+    spec = agg.hll_over_strings("doc_id")
+
+    _, n1 = incremental_aggregate(spark, files_a, spec, store, "inc")
+    sk2, n2 = incremental_aggregate(spark, files_a + files_b, spec, store, "inc")
+    sk3, n3 = incremental_aggregate(spark, files_a + files_b, spec, store, "inc")
+    full = agg.aggregate_sketch(spark.read.parquet(root + "/a", root + "/b"), spec)
+    n_exact = docs.distinct().count()
+    est = sk2.estimate()
+    return spark.createDataFrame(
+        [(n_exact,
+          bool(abs(est - n_exact) <= 0.03 * n_exact),
+          bool(n1 == len(files_a) and n2 == len(files_b) and n3 == 0),
+          bool(sk2.to_bytes() == full.to_bytes() == sk3.to_bytes()))],
+        "n_docs long, hll_ok boolean, delta_counts_ok boolean, identical_to_full boolean",
+    )
+
+
+ORACLE_INCREMENTAL_UPDATE = """
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       TRUE AS hll_ok, TRUE AS delta_counts_ok, TRUE AS identical_to_full
+FROM documents
+"""
+
+
 def q_streaming_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed stateful streaming (applyInPandasWithState):
     per-day HLL sketches of distinct users over the events table,
@@ -2279,6 +2326,7 @@ QUERIES = {
     "streaming_dedup_sharded": q_streaming_dedup_sharded,
     "streaming_sketch_maintenance": q_streaming_sketch_maintenance,
     "checkpoint_resume": q_checkpoint_resume,
+    "incremental_update": q_incremental_update,
     "streaming_windowed_users": q_streaming_windowed_users,
     "dup_clusters": q_dup_clusters,
     "dup_clusters_star": q_dup_clusters_star,
@@ -2352,6 +2400,7 @@ ORACLES = {
     "streaming_dedup_sharded": ORACLE_STREAMING_DEDUP,
     "streaming_sketch_maintenance": ORACLE_STREAMING_SKETCH_MAINTENANCE,
     "checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
+    "incremental_update": ORACLE_INCREMENTAL_UPDATE,
     "streaming_windowed_users": ORACLE_STREAMING_WINDOWED_USERS,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "dup_clusters_star": ORACLE_DUP_CLUSTERS,

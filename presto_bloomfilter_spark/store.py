@@ -312,6 +312,165 @@ def checkpointed_aggregate(spark, df, spec, store: SketchStore, job_id: str,
     return ckpt.merged(spark, fan_in=fan_in), len(lineage)
 
 
+# ---- snapshot-delta incremental maintenance ----------------------------------
+
+
+def _file_key(job_id: str, path: str) -> str:
+    """Store key for one data file's partial sketch — content-addressed
+    by path hash so any filename is safe as a key and the executor-side
+    persist and driver bookkeeping can never drift."""
+    import hashlib
+
+    return f"{job_id}.file-{hashlib.sha256(path.encode()).hexdigest()[:20]}"
+
+
+def snapshot_fingerprint(files_with_sizes) -> str:
+    """Deterministic id of a file-set snapshot: sha256 over the sorted
+    (path, size) pairs — the parquet-directory analogue of an Iceberg
+    snapshot id."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for path, size in sorted(files_with_sizes):
+        h.update(f"{path}\x00{size}\n".encode())
+    return h.hexdigest()[:32]
+
+
+class IncrementalBuild:
+    """Snapshot-delta sketch maintenance over an append-only file set.
+
+    The north_rule's tables grow the way Iceberg tables do: a new
+    snapshot adds immutable data files.  At 10^12 rows a full rebuild
+    per snapshot is off the table; merge associativity means the sketch
+    can follow the table by processing ONLY the files added since the
+    last update and merging their partials with the already-persisted
+    ones.  Per-FILE lineage (path → store key, sha256, rows, size)
+    lives in a manifest next to the sketches; each update records the
+    new snapshot fingerprint.
+
+    Scale posture matches ``checkpointed_aggregate``: tasks persist
+    their own partial executor-side, only (path, sha256, rows) lineage
+    crosses to the driver, and the final merge runs through the
+    bounded-fan-in distributed tree — the driver never holds more than
+    fan-in blobs no matter how many files the table has accumulated.
+
+    Sketches are not subtractable, so a REWRITTEN or VANISHED file is a
+    loud error, not silent drift: compactions/updates need a rebuild
+    under a fresh job_id (with content-addressed file names, as in
+    Iceberg, rewrites surface as new files and trip exactly this check).
+
+    Result-equality contract: estimates are always valid for any spec;
+    BYTE identity with a full rebuild (what gate ``incremental_update``
+    asserts) additionally holds for the grouping-insensitive sketches —
+    bloom (bitset OR), HLL (register max), CMS (counter sum), theta
+    (k-smallest set union) — but not KLL/t-digest, whose compaction
+    depends on how the input was batched.
+    """
+
+    def __init__(self, store: SketchStore, job_id: str, params: dict | None = None):
+        self.store = store
+        self.job_id = _safe_key(job_id)
+        self._meta_key = f"{job_id}.incremental"
+        if store.meta_exists(self._meta_key):
+            d = json.loads(store.get_meta(self._meta_key))
+            if d.get("job_id") != job_id:  # pragma: no cover — defensive
+                raise ValueError(f"manifest job_id {d.get('job_id')!r} != {job_id!r}")
+            self.params = d.get("params", {})
+            self.files = d.get("files", {})
+            self.snapshot = d.get("snapshot", "")
+        else:
+            self.params = params or {}
+            self.files = {}
+            self.snapshot = ""
+
+    def _flush(self) -> None:
+        self.store.put_meta(self._meta_key, json.dumps(
+            {"job_id": self.job_id, "params": self.params, "files": self.files,
+             "snapshot": self.snapshot, "updated_at": time.time()},
+            sort_keys=True, indent=1).encode())
+
+    def update(self, spark, files: list[str], spec, fan_in: int = 16):
+        """Bring the sketch up to date with the given snapshot (full
+        CURRENT file list, not just the delta — the delta is computed
+        here, which is what makes re-running an update idempotent).
+        Returns (merged sketch, n_new_files_processed)."""
+        import pyarrow as pa
+
+        from presto_bloomfilter_spark.operators.aggregate import _unwrap
+
+        if not files:
+            raise ValueError("empty snapshot: no files")
+        sizes = {f: os.path.getsize(f) for f in files}
+        vanished = sorted(set(self.files) - set(files))
+        if vanished:
+            raise ValueError(
+                f"{len(vanished)} already-sketched file(s) missing from the "
+                f"snapshot (first: {vanished[0]!r}) — sketches are not "
+                f"subtractable; rebuild under a new job_id")
+        changed = sorted(f for f in files
+                         if f in self.files and self.files[f]["size"] != sizes[f])
+        if changed:
+            raise ValueError(
+                f"{len(changed)} already-sketched file(s) rewritten in place "
+                f"(first: {changed[0]!r}) — sketches are not subtractable; "
+                f"rebuild under a new job_id")
+        new = sorted(f for f in files if f not in self.files)
+        if new:
+            job_id, store, cols = self.job_id, self.store, list(spec.columns)
+            factory, update = spec.factory, spec.update
+            fdf = spark.createDataFrame(
+                [(f,) for f in new], "path string").repartition(len(new), "path")
+
+            def build(batches):
+                import pyarrow.parquet as pq
+                for b in batches:
+                    for path in b.column(0).to_pylist():
+                        sk = factory()
+                        rows = 0
+                        for rb in pq.ParquetFile(path).iter_batches(columns=cols):
+                            rows += rb.num_rows
+                            if rb.num_rows:
+                                update(sk, rb)
+                        blob = _unwrap(sk).to_bytes()
+                        store.put(_file_key(job_id, path), blob)
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array([path], pa.string()),
+                             pa.array([ser.read_hash(blob).hex()], pa.string()),
+                             pa.array([rows], pa.int64())],
+                            ["path", "sha256", "rows"])
+
+            lineage = fdf.mapInArrow(
+                build, "path string, sha256 string, rows long").collect()
+            for r in lineage:
+                key = _file_key(self.job_id, r.path)
+                if not self.store.exists(key):  # pragma: no cover — defensive
+                    raise ValueError(f"partial {key!r} missing; task persist failed?")
+                self.files[r.path] = {"key": key, "sha256": r.sha256,
+                                      "rows": r.rows, "size": sizes[r.path]}
+            self.snapshot = snapshot_fingerprint(
+                (f, self.files[f]["size"]) for f in self.files)
+            self._flush()  # one manifest write per update, not one per file
+        keys = sorted(v["key"] for v in self.files.values())
+        if len(keys) > fan_in:
+            return self.store.load_merged_distributed(spark, keys, fan_in), len(new)
+        return self.store.load_merged(keys), len(new)
+
+
+def incremental_aggregate(spark, files, spec, store: SketchStore, job_id: str,
+                          fan_in: int = 16):
+    """One-call snapshot-delta update (see ``IncrementalBuild``).
+
+    ``files`` is the snapshot's full current file list, or a directory
+    whose ``*.parquet`` children are the snapshot.  Returns (sketch,
+    n_new_files_processed) — 0 new files means the call was a pure
+    (distributed) re-merge of existing partials."""
+    if isinstance(files, str):
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(files, "*.parquet")))
+    return IncrementalBuild(store, job_id).update(spark, list(files), spec, fan_in)
+
+
 # ---- table sink (reference's Cassandra backend analogue) ---------------------
 
 

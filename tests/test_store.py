@@ -261,3 +261,110 @@ def test_load_csv_faithful_null_vs_empty_roundtrip(spark, tmp_path):
     clean2, _ = split_corrupt(load_csv(spark, str(d), "id bigint, t string"))
     got2 = {r.id: r.t for r in clean2.collect()}
     assert got2[1] is None  # the documented coercion
+
+
+# ---- snapshot-delta incremental maintenance ----------------------------------
+
+
+def _write_snapshot(df, path, n_files):
+    import glob
+
+    df.repartition(n_files).write.parquet(path)
+    return sorted(glob.glob(path + "/*.parquet"))
+
+
+def test_incremental_update_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Append-only snapshot growth: update processes ONLY the new
+    files, a re-run is a 0-file no-op, and the maintained sketch is
+    byte-identical to a full rebuild (merge associativity)."""
+    from presto_bloomfilter_spark.store import IncrementalBuild, incremental_aggregate
+
+    tokens = load_tokens(spark, sf_dir)
+    even = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    odd = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 != 0)
+    files_a = _write_snapshot(even, str(tmp_path / "a"), 3)
+    files_b = _write_snapshot(odd, str(tmp_path / "b"), 2)
+    store = SketchStore(str(tmp_path / "store"))
+    spec = agg.hll_over_strings("doc_id")
+
+    sk1, n1 = incremental_aggregate(spark, files_a, spec, store, "inc")
+    assert n1 == 3
+    sk2, n2 = incremental_aggregate(spark, files_a + files_b, spec, store, "inc")
+    assert n2 == 2  # only the delta was processed
+    sk3, n3 = incremental_aggregate(spark, files_a + files_b, spec, store, "inc")
+    assert n3 == 0 and sk3 == sk2  # idempotent no-op re-merge
+
+    full = agg.aggregate_sketch(
+        spark.read.parquet(str(tmp_path / "a"), str(tmp_path / "b")), spec)
+    assert sk2.to_bytes() == full.to_bytes()
+    # and the first snapshot's sketch covered exactly the even half
+    exact_even = even.select("doc_id").distinct().count()
+    assert abs(sk1.estimate() - exact_even) <= 0.03 * exact_even
+
+    # per-file lineage recorded with snapshot fingerprint
+    inc = IncrementalBuild(store, "inc")
+    assert set(inc.files) == set(files_a + files_b)
+    assert all(len(v["sha256"]) == 64 and store.exists(v["key"])
+               for v in inc.files.values())
+    assert len(inc.snapshot) == 32
+
+
+def test_incremental_update_directory_form(spark, sf_dir, tmp_path):
+    from presto_bloomfilter_spark.store import incremental_aggregate
+
+    tokens = load_tokens(spark, sf_dir)
+    _write_snapshot(tokens, str(tmp_path / "snap"), 2)
+    store = SketchStore(str(tmp_path / "store"))
+    sk, n = incremental_aggregate(
+        spark, str(tmp_path / "snap"), agg.hll_over_strings("doc_id"), store, "d")
+    assert n == 2
+    exact = tokens.select("doc_id").distinct().count()
+    assert abs(sk.estimate() - exact) <= 0.03 * exact
+
+
+def test_incremental_refuses_rewritten_and_vanished_files(spark, sf_dir, tmp_path):
+    """Sketches are not subtractable: a rewritten or vanished
+    already-sketched file must fail loud, not drift silently."""
+    from presto_bloomfilter_spark.store import incremental_aggregate
+
+    tokens = load_tokens(spark, sf_dir)
+    files = _write_snapshot(tokens, str(tmp_path / "snap"), 3)
+    store = SketchStore(str(tmp_path / "store"))
+    spec = agg.hll_over_strings("doc_id")
+    _, n = incremental_aggregate(spark, files, spec, store, "guard")
+    assert n == 3
+
+    # vanished: snapshot no longer lists a sketched file
+    with pytest.raises(ValueError, match="missing from the snapshot"):
+        incremental_aggregate(spark, files[:2], spec, store, "guard")
+
+    # rewritten in place (size change trips before any read)
+    with open(files[0], "ab") as f:
+        f.write(b"\0" * 64)
+    with pytest.raises(ValueError, match="rewritten in place"):
+        incremental_aggregate(spark, files, spec, store, "guard")
+
+    with pytest.raises(ValueError, match="empty snapshot"):
+        incremental_aggregate(spark, [], spec, store, "guard")
+
+
+def test_incremental_driver_never_holds_partials(spark, sf_dir, tmp_path, monkeypatch):
+    """Scale posture: file partials persist executor-side, only (path,
+    sha256, rows) lineage reaches the driver, and with more files than
+    fan-in the merge is the distributed tree — zero driver blob reads."""
+    from presto_bloomfilter_spark.store import incremental_aggregate
+
+    tokens = load_tokens(spark, sf_dir)
+    files = _write_snapshot(tokens.repartition(8), str(tmp_path / "snap"), 8)
+    assert len(files) == 8
+    store = SketchStore(str(tmp_path / "store"))
+
+    driver_reads = []
+    real_get_bytes = SketchStore.get_bytes
+    monkeypatch.setattr(SketchStore, "get_bytes",
+                        lambda self, key: driver_reads.append(key) or real_get_bytes(self, key))
+    sk, n = incremental_aggregate(
+        spark, files, agg.hll_over_strings("doc_id"), store, "big", fan_in=4)
+    assert n == 8 and driver_reads == []
+    exact = tokens.select("doc_id").distinct().count()
+    assert abs(sk.estimate() - exact) <= 0.03 * exact
