@@ -330,6 +330,41 @@ SELECT COUNT(*) AS n_overlap, TRUE AS theta_ok FROM (
 """
 
 
+def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining theta (KMV) set operations beyond intersection:
+    difference (web-only tokens, A\\B) and Jaccard similarity — the
+    estimates unions/intersections alone can't give (functions/theta.py
+    difference_estimate/jaccard_estimate).  Both asserted within 10% of
+    exact (same 3-sigma-of-common-samples argument as the overlap gate;
+    measured ~2-3% on this data)."""
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.theta_over_tokens("tokens"))
+    sk = {r[0]: sketch_from_bytes(r.sketch) for r in per_src.collect()}
+    d_est = sk["web"].difference_estimate(sk["books"])
+    j_est = sk["web"].jaccard_estimate(sk["books"])
+    webs = tokens.filter(F.col("source") == "web").select(F.explode("tokens").alias("t")).distinct()
+    books = tokens.filter(F.col("source") == "books").select(F.explode("tokens").alias("t")).distinct()
+    n_web_only = webs.join(books, "t", "left_anti").count()
+    n_inter = webs.join(books, "t").count()
+    n_union = webs.count() + books.count() - n_inter
+    j_exact = n_inter / n_union
+    return spark.createDataFrame(
+        [(n_web_only,
+          bool(abs(d_est - n_web_only) <= 0.1 * n_web_only),
+          bool(abs(j_est - j_exact) <= 0.1 * j_exact))],
+        "n_web_only long, diff_ok boolean, jaccard_ok boolean",
+    )
+
+
+ORACLE_THETA_SET_ALGEBRA = f"""
+SELECT COUNT(*) AS n_web_only, TRUE AS diff_ok, TRUE AS jaccard_ok FROM (
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'web')
+  EXCEPT
+  SELECT tok FROM (SELECT DISTINCT UNNEST(tokens) AS tok FROM {_TOKENS_SQL} WHERE source = 'books')
+)
+"""
+
+
 def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for the exact top-20 tokens: never
     underestimates, within eps*N above."""
@@ -2270,6 +2305,7 @@ QUERIES = {
     "hll_tokens_by_source_fused": q_hll_tokens_by_source_fused,
     "hll_token_overlap": q_hll_token_overlap,
     "theta_token_overlap": q_theta_token_overlap,
+    "theta_set_algebra": q_theta_set_algebra,
     "cms_top_tokens": q_cms_top_tokens,
     "top_k_tokens": q_top_k_tokens,
     "token_family_fused": q_token_family_fused,
@@ -2344,6 +2380,7 @@ ORACLES = {
     "hll_tokens_by_source_fused": ORACLE_HLL_TOKENS_BY_SOURCE_FUSED,
     "hll_token_overlap": ORACLE_HLL_TOKEN_OVERLAP,
     "theta_token_overlap": ORACLE_THETA_TOKEN_OVERLAP,
+    "theta_set_algebra": ORACLE_THETA_SET_ALGEBRA,
     "cms_top_tokens": ORACLE_CMS_TOP_TOKENS,
     "top_k_tokens": ORACLE_TOP_K_TOKENS,
     "token_family_fused": ORACLE_TOKEN_FAMILY_FUSED,

@@ -401,20 +401,7 @@ class IncrementalBuild:
         if not files:
             raise ValueError("empty snapshot: no files")
         sizes = {f: os.path.getsize(f) for f in files}
-        vanished = sorted(set(self.files) - set(files))
-        if vanished:
-            raise ValueError(
-                f"{len(vanished)} already-sketched file(s) missing from the "
-                f"snapshot (first: {vanished[0]!r}) — sketches are not "
-                f"subtractable; rebuild under a new job_id")
-        changed = sorted(f for f in files
-                         if f in self.files and self.files[f]["size"] != sizes[f])
-        if changed:
-            raise ValueError(
-                f"{len(changed)} already-sketched file(s) rewritten in place "
-                f"(first: {changed[0]!r}) — sketches are not subtractable; "
-                f"rebuild under a new job_id")
-        new = sorted(f for f in files if f not in self.files)
+        new = _delta_or_raise(self.files, files, sizes)
         if new:
             job_id, store, cols = self.job_id, self.store, list(spec.columns)
             factory, update = spec.factory, spec.update
@@ -465,10 +452,147 @@ def incremental_aggregate(spark, files, spec, store: SketchStore, job_id: str,
     n_new_files_processed) — 0 new files means the call was a pure
     (distributed) re-merge of existing partials."""
     if isinstance(files, str):
-        import glob as _glob
-
-        files = sorted(_glob.glob(os.path.join(files, "*.parquet")))
+        files = _snapshot_files(files)
     return IncrementalBuild(store, job_id).update(spark, list(files), spec, fan_in)
+
+
+def _snapshot_files(directory: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(directory, "*.parquet")))
+
+
+def _delta_or_raise(known: dict, files: list, sizes: dict) -> list:
+    """Shared append-only guard: the new-file delta, or a loud error on
+    a vanished/rewritten already-sketched file (sketches are not
+    subtractable — see IncrementalBuild)."""
+    vanished = sorted(set(known) - set(files))
+    if vanished:
+        raise ValueError(
+            f"{len(vanished)} already-sketched file(s) missing from the "
+            f"snapshot (first: {vanished[0]!r}) — sketches are not "
+            f"subtractable; rebuild under a new job_id")
+    changed = sorted(f for f in files
+                     if f in known and known[f]["size"] != sizes[f])
+    if changed:
+        raise ValueError(
+            f"{len(changed)} already-sketched file(s) rewritten in place "
+            f"(first: {changed[0]!r}) — sketches are not subtractable; "
+            f"rebuild under a new job_id")
+    return sorted(f for f in files if f not in known)
+
+
+class IncrementalGroupedBuild:
+    """Per-key snapshot-delta maintenance of a sketch TABLE (key →
+    sketch): the grouped sibling of ``IncrementalBuild`` for the
+    north_rule's 'distinct doc_id counts grouped by source' shape at
+    10^12 rows, where neither a rebuild per snapshot nor a driver-side
+    dict of keys is acceptable.
+
+    Each update runs ONE grouped build over just the new files and
+    writes the result as a delta sketch table (``write_sketch_table``)
+    under ``root/<job_id>.delta-N``; ``merged_view`` unions the deltas
+    and shuffle-merges per key in Spark, returning DataFrame[key,
+    sketch] — blobs never land on the driver.  ``compact`` rewrites the
+    accumulated deltas as a single base table (sketch mergeability =
+    compaction is just a re-merge), bounding read fan-in as snapshots
+    accumulate.  Same append-only contract as IncrementalBuild:
+    vanished/rewritten files fail loud.  Single writer per job_id.
+    """
+
+    def __init__(self, root: str, job_id: str):
+        self.root = root
+        self.job_id = _safe_key(job_id)
+        os.makedirs(root, exist_ok=True)
+        self.manifest_path = os.path.join(root, f"{job_id}.grouped.manifest.json")
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                d = json.load(f)
+            self.files = d["files"]
+            self.deltas = d["deltas"]
+            self.next_delta = d["next_delta"]
+            self.key = d.get("key", "")
+            self.snapshot = d.get("snapshot", "")
+        else:
+            self.files, self.deltas, self.next_delta = {}, [], 0
+            self.key, self.snapshot = "", ""
+
+    def _flush(self) -> None:
+        tmp = self.manifest_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"job_id": self.job_id, "files": self.files,
+                       "deltas": self.deltas, "next_delta": self.next_delta,
+                       "key": self.key, "snapshot": self.snapshot,
+                       "updated_at": time.time()}, f, sort_keys=True, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def _delta_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def update(self, spark, files, key: str, spec, salt: int | None = None):
+        """Bring the sketch table up to date with the snapshot's full
+        current file list (or directory).  Returns (merged view
+        DataFrame[key, sketch], n_new_files)."""
+        from presto_bloomfilter_spark.operators.aggregate import grouped_sketch
+
+        if isinstance(files, str):
+            files = _snapshot_files(files)
+        files = list(files)
+        if not files:
+            raise ValueError("empty snapshot: no files")
+        if self.key and key != self.key:
+            raise ValueError(f"job {self.job_id!r} groups by {self.key!r}, not {key!r}")
+        sizes = {f: os.path.getsize(f) for f in files}
+        new = _delta_or_raise(self.files, files, sizes)
+        if new:
+            delta_name = f"{self.job_id}.delta-{self.next_delta:05d}"
+            per_key = grouped_sketch(
+                spark.read.parquet(*new), key, spec,
+                **({"salt": salt} if salt is not None else {}))
+            write_sketch_table(per_key, self._delta_path(delta_name))
+            self.deltas.append(delta_name)
+            self.next_delta += 1
+            self.key = key
+            for f in new:
+                self.files[f] = {"size": sizes[f], "delta": delta_name}
+            self.snapshot = snapshot_fingerprint(
+                (f, self.files[f]["size"]) for f in self.files)
+            self._flush()
+        return self.merged_view(spark), len(new)
+
+    def merged_view(self, spark):
+        """DataFrame[key, sketch]: all deltas unioned and merged per key
+        IN SPARK (one blob shuffle) — decode estimates downstream with a
+        mapInPandas, or collect only if the key count is small."""
+        from presto_bloomfilter_spark.operators.aggregate import (
+            grouped_merge_sketch_column,
+        )
+
+        if not self.deltas:
+            raise ValueError(f"job {self.job_id!r} has no deltas yet")
+        tbl = spark.read.parquet(*(self._delta_path(d) for d in self.deltas))
+        return grouped_merge_sketch_column(tbl.select(self.key, "sketch"), self.key)
+
+    def compact(self, spark) -> int:
+        """Rewrite all deltas as one base table; returns the number of
+        delta tables folded.  Old deltas are removed after the base
+        publishes (write_sketch_table is an overwrite into a fresh
+        name, manifest flip is atomic)."""
+        import shutil
+
+        folded = len(self.deltas)
+        if folded <= 1:
+            return 0
+        base_name = f"{self.job_id}.delta-{self.next_delta:05d}"
+        write_sketch_table(self.merged_view(spark), self._delta_path(base_name))
+        old, self.deltas = self.deltas, [base_name]
+        self.next_delta += 1
+        for f in self.files.values():
+            f["delta"] = base_name
+        self._flush()
+        for name in old:
+            shutil.rmtree(self._delta_path(name), ignore_errors=True)
+        return folded
 
 
 # ---- table sink (reference's Cassandra backend analogue) ---------------------

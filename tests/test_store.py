@@ -368,3 +368,51 @@ def test_incremental_driver_never_holds_partials(spark, sf_dir, tmp_path, monkey
     assert n == 8 and driver_reads == []
     exact = tokens.select("doc_id").distinct().count()
     assert abs(sk.estimate() - exact) <= 0.03 * exact
+
+
+def test_incremental_grouped_build_and_compact(spark, sf_dir, tmp_path):
+    """Per-key snapshot-delta maintenance: update A then A+B builds one
+    grouped delta table per update, the merged view equals per-source
+    exact counts within HLL bounds, re-run is a no-op, and compaction
+    folds the deltas into one base table with identical results."""
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    from presto_bloomfilter_spark.store import IncrementalGroupedBuild
+
+    tokens = load_tokens(spark, sf_dir)
+    even = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    odd = tokens.filter(F.crc32(F.col("doc_id").cast("string")) % 2 != 0)
+    files_a = _write_snapshot(even, str(tmp_path / "a"), 2)
+    files_b = _write_snapshot(odd, str(tmp_path / "b"), 2)
+    spec = agg.hll_over_strings("doc_id")
+
+    inc = IncrementalGroupedBuild(str(tmp_path / "sketches"), "bysrc")
+    _, n1 = inc.update(spark, files_a, "source", spec)
+    view, n2 = inc.update(spark, files_a + files_b, "source", spec)
+    assert (n1, n2) == (2, 2)
+    assert len(inc.deltas) == 2 and len(inc.snapshot) == 32
+
+    exact = {r.source: r.d for r in tokens.groupBy("source")
+             .agg(F.countDistinct("doc_id").alias("d")).collect()}
+    got = {r.source: sketch_from_bytes(r.sketch).estimate() for r in view.collect()}
+    assert set(got) == set(exact)
+    for s, est in got.items():
+        assert abs(est - exact[s]) <= 0.05 * exact[s]
+
+    # no-op re-run, then key mismatch fails loud
+    _, n3 = inc.update(spark, files_a + files_b, "source", spec)
+    assert n3 == 0
+    with pytest.raises(ValueError, match="groups by"):
+        inc.update(spark, files_a + files_b, "lang", spec)
+
+    # compact: 2 deltas -> 1 base, same merged estimates, reopen works
+    assert inc.compact(spark) == 2
+    assert len(inc.deltas) == 1
+    reopened = IncrementalGroupedBuild(str(tmp_path / "sketches"), "bysrc")
+    got2 = {r.source: sketch_from_bytes(r.sketch).estimate()
+            for r in reopened.merged_view(spark).collect()}
+    assert got2 == got
+    assert reopened.compact(spark) == 0  # single delta: nothing to fold
+
+    # append-only contract shared with the global build
+    with pytest.raises(ValueError, match="missing from the snapshot"):
+        inc.update(spark, files_a, "source", spec)
