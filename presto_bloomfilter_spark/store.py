@@ -529,10 +529,12 @@ class IncrementalGroupedBuild:
     def _delta_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def update(self, spark, files, key: str, spec, salt: int | None = None):
+    def update(self, spark, files, key: str, spec, **grouped_kwargs):
         """Bring the sketch table up to date with the snapshot's full
         current file list (or directory).  Returns (merged view
-        DataFrame[key, sketch], n_new_files)."""
+        DataFrame[key, sketch], n_new_files).  ``grouped_kwargs`` pass
+        through to ``grouped_sketch`` (e.g. ``strategy="salted",
+        salt=32`` for high-cardinality keys)."""
         from presto_bloomfilter_spark.operators.aggregate import grouped_sketch
 
         if isinstance(files, str):
@@ -547,8 +549,7 @@ class IncrementalGroupedBuild:
         if new:
             delta_name = f"{self.job_id}.delta-{self.next_delta:05d}"
             per_key = grouped_sketch(
-                spark.read.parquet(*new), key, spec,
-                **({"salt": salt} if salt is not None else {}))
+                spark.read.parquet(*new), key, spec, **grouped_kwargs)
             write_sketch_table(per_key, self._delta_path(delta_name))
             self.deltas.append(delta_name)
             self.next_delta += 1

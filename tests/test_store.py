@@ -416,3 +416,28 @@ def test_incremental_grouped_build_and_compact(spark, sf_dir, tmp_path):
     # append-only contract shared with the global build
     with pytest.raises(ValueError, match="missing from the snapshot"):
         inc.update(spark, files_a, "source", spec)
+
+
+def test_sketch_estimates_decodes_executor_side(spark, sf_dir, tmp_path, monkeypatch):
+    """sketch_estimates turns a sketch table into (key, estimate) rows
+    without any driver-side blob decode; pass-through columns survive."""
+    import presto_bloomfilter_spark.operators.aggregate as agg_mod
+
+    tokens = load_tokens(spark, sf_dir)
+    per_src = agg.grouped_sketch(tokens, "source", agg.hll_over_strings("doc_id"))
+
+    decoded_on_driver = []
+    real = agg_mod.sketch_from_bytes
+    monkeypatch.setattr(agg_mod, "sketch_from_bytes",
+                        lambda b: decoded_on_driver.append(1) or real(b))
+    est = {r.source: r.estimate
+           for r in agg.sketch_estimates(per_src).collect()}
+    assert decoded_on_driver == []  # decode ran in executors only
+    exact = {r.source: r.d for r in tokens.groupBy("source")
+             .agg(F.countDistinct("doc_id").alias("d")).collect()}
+    assert set(est) == set(exact)
+    for s in exact:
+        assert abs(est[s] - exact[s]) <= 0.05 * exact[s]
+
+    with pytest.raises(ValueError, match="no column"):
+        agg.sketch_estimates(per_src, col="nope")
