@@ -1,0 +1,199 @@
+"""Relevance ranking and statistical-LM quality scoring.
+
+Two standard training-data-pipeline passes the text operators did not
+yet cover:
+
+- ``bm25_topk``: Okapi BM25 ranking of a document corpus against a
+  small term query — the workhorse for "find the k most on-topic docs"
+  retrieval passes (topic filtering, eval-set mining, dedup triage).
+- ``lm_score``: bigram language-model scoring — train add-alpha
+  smoothed counts on a deterministic held-out sample of the corpus,
+  score every document by its per-word negative log-likelihood.  The
+  KenLM-perplexity-filter shape (CCNet, Wenzek et al. 2020): docs the
+  in-domain LM finds surprising are boilerplate/garble candidates.
+
+Scale posture: nothing per-token ever shuffles.  BM25 is two map-only
+scans (one single-row stats aggregate, one codegen'd scoring
+projection) finished by a TakeOrderedAndProject top-k; every per-term
+tf/df expression is a pure JVM built-in over the shared
+``split_words`` column, so the hot path is whole-stage codegen with
+zero Python.  The LM trains on a hash-predicate sample (bounded,
+deterministic), broadcasts the count tables as pandas hash maps, and
+scores with one Arrow-batched mapInPandas whose word splitting is the
+Arrow C kernel and whose lookups are C-level map joins — no explode of
+the corpus, no join, no per-row Python.
+
+Word semantics are the repo-wide ``str.split()`` definition
+(contamination.split_words), so the DuckDB oracles compute the exact
+same words.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bm25_topk(df: DataFrame, terms: Sequence[str], k: int = 50,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 score against ``terms``.
+
+    Returns DataFrame[id string, score double], descending score, ties
+    broken by id.  idf is the Robertson/Sparck-Jones form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive); tf is
+    the exact word-occurrence count under ``str.split()`` semantics.
+
+    Plan shape (the 100 TB path): one aggregate scan producing a SINGLE
+    row of corpus stats (N, total words, per-term document frequency —
+    the only driver-side data), then one map-only scoring projection
+    with every constant folded in as a literal, finished by
+    ``orderBy().limit(k)``, which Spark executes as per-partition
+    top-k + k-row merge (TakeOrderedAndProject) — no global sort.
+    Cross-engine parity: scores involve ``ln`` so the last ulp
+    (~1e-16 relative) can differ from an oracle's libm; the gate
+    driver rounds floats to 9 decimals, orders of magnitude coarser.
+    Ranking is unaffected: docs with identical (tf…, dl) tie exactly
+    and break by id; distinct ones differ by far more than an ulp.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms: {sorted(terms)}")
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        split_words(text_col).alias("__words"),
+    ).withColumn("__dl", F.size("__words"))
+
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("__dl").alias("sumdl"),
+        *[F.sum(F.array_contains("__words", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)],
+    ).collect()[0]
+    n = stats["n"]
+    if not n:
+        raise ValueError("empty corpus")
+    # explicit sum/count (not avg) so the oracle's CAST(SUM AS DOUBLE)/COUNT
+    # reproduces it bit-exactly — integer sums are exact in IEEE doubles
+    avgdl = stats["sumdl"] / n
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        dft = stats[f"df_{i}"] or 0
+        idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        tf = F.size(F.filter("__words", lambda w: w == F.lit(t))).cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl))
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+
+    return (base.select("id", score.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), "id")
+            .limit(k))
+
+
+# ---- bigram LM quality scoring -------------------------------------------------
+
+
+def lm_score(df: DataFrame, sample_percent: int = 20, alpha: float = 0.1,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (lower = more
+    in-domain).  Returns DataFrame[id string, n_words int, nll double]
+    where nll is the mean over word positions 2..n of
+    ``-ln((c(prev, cur) + alpha) / (c(prev) + alpha * V))``; docs with
+    fewer than 2 words get NULL nll (nothing to condition on).
+
+    Train/score split: the model trains on the deterministic md5
+    ``sample_percent`` sample (hash_sample semantics — reproducible,
+    engine-portable, so the DuckDB oracle selects the identical
+    training set) and every doc is scored, including training docs
+    (standard for a quality FILTER; use a disjoint sample for held-out
+    perplexity).  Unknown words hit the alpha floor.
+
+    Scale posture: training explodes and shuffles only the SAMPLE's
+    (word, count) pairs — bounded by sample size, never the corpus —
+    and the count tables live on the driver only as long as the
+    closure broadcast needs (their size is the sample's uni/bigram
+    vocabulary; cap ``sample_percent`` accordingly, this is the same
+    bound a KenLM table imposes).  Scoring is ONE Arrow-batched
+    mapInPandas pass: word splitting is the Arrow C kernel
+    (utf8_split_whitespace — identical semantics to str.split()),
+    lookups are C-level pandas map joins, per-doc means are bincount
+    segment sums.  No explode of the corpus, no join, no per-row
+    Python.
+    """
+    from presto_bloomfilter_spark.operators.text import hash_sample
+
+    words_col = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    sample = hash_sample(df, id_col, sample_percent)
+    uni_rows = (sample.select(F.explode(words_col).alias("w"))
+                .groupBy("w").count().collect())
+    if not uni_rows:
+        raise ValueError(
+            f"lm_score: the {sample_percent}% training sample is empty — "
+            "raise sample_percent or check the corpus")
+    # bigrams via shifted zip_with: pairing stays map-side, only the
+    # sample's pair rows shuffle for the count.  \x1f (unit separator)
+    # joins the pair — non-whitespace so it can't appear inside a word
+    # of any corpus whose words exclude control chars, and unlike \x00
+    # it is representable in every engine a parity oracle might use
+    n_pairs = F.greatest(F.size(words_col) - 1, F.lit(0))
+    pairs = sample.select(F.explode(F.zip_with(
+        F.slice(words_col, 1, n_pairs),
+        F.slice(words_col, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )).alias("p"))
+    bi_rows = pairs.groupBy("p").count().collect()
+
+    uni = pd.Series({r["w"]: float(r["count"]) for r in uni_rows})
+    bi = pd.Series({r["p"]: float(r["count"]) for r in bi_rows}, dtype=float)
+    vocab = float(len(uni))
+    a = float(alpha)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arr = pa.array(pdf[text_col].fillna(""), type=pa.string())
+            sp = pc.utf8_split_whitespace(arr)
+            flat = pc.list_flatten(sp)
+            parents = pc.list_parent_indices(sp)
+            # arrow keeps leading/trailing empties that str.split() drops
+            keep = pc.not_equal(flat, "")
+            flat = flat.filter(keep)
+            parents = (parents.filter(keep)
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+            lens = np.bincount(parents, minlength=len(pdf))
+            nll = np.full(len(pdf), np.nan)
+            if len(flat):
+                first = np.ones(len(parents), dtype=bool)
+                first[1:] = parents[1:] != parents[:-1]
+                idx = np.flatnonzero(~first)  # positions with an in-doc prev
+                if idx.size:
+                    words = flat.to_pandas().astype(object)
+                    prev_w = words.iloc[idx - 1].reset_index(drop=True)
+                    cur_w = words.iloc[idx].reset_index(drop=True)
+                    prev_c = prev_w.map(uni).fillna(0.0).to_numpy()
+                    pair_c = ((prev_w + "\x1f" + cur_w)
+                              .map(bi).fillna(0.0).to_numpy())
+                    logp = np.log((pair_c + a) / (prev_c + a * vocab))
+                    seg = parents[idx]
+                    sums = np.bincount(seg, weights=-logp, minlength=len(pdf))
+                    cnts = np.bincount(seg, minlength=len(pdf))
+                    nll = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(str),
+                "n_words": lens.astype(np.int32),
+                "nll": nll,
+            })
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        score, "id string, n_words int, nll double")

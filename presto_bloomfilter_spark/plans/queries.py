@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark.operators import aggregate as agg
 from presto_bloomfilter_spark.operators import (
-    contamination, dedup, multimodal, packing, sampling, similarity, text,
+    contamination, dedup, multimodal, packing, ranking, sampling, similarity,
+    text,
 )
 from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
 from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
@@ -1529,6 +1530,116 @@ FROM g
 """
 
 
+_BM25_TERMS = ("data", "query", "spark", "window")
+_BM25_K = 50
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the documents corpus — full
+    value oracle (same idf/tf/length normalization computed in SQL;
+    ln-vs-ln last-ulp noise is 5+ orders below the driver's 9-decimal
+    float rounding).  Plan: one single-row stats aggregate + one
+    map-only codegen'd scoring projection + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    return ranking.bm25_topk(d, _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return rf"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(len(words)) AS DOUBLE) / count(*) AS avgdl
+  FROM w
+),
+terms(term) AS (SELECT * FROM (VALUES {terms})),
+dfreq AS (
+  SELECT term, count(*) FILTER (WHERE list_contains(words, term)) AS df
+  FROM terms CROSS JOIN w GROUP BY term
+),
+scored AS (
+  SELECT w.id,
+         sum(
+           ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+           * CAST(len(list_filter(words, x -> x = term)) AS DOUBLE)
+           * (1.2 + 1.0)
+           / (CAST(len(list_filter(words, x -> x = term)) AS DOUBLE)
+              + 1.2 * ((1 - 0.75) + 0.75 * CAST(len(words) AS DOUBLE)
+                                    / (SELECT avgdl FROM stats)))
+         ) AS score
+  FROM w CROSS JOIN dfreq
+  GROUP BY w.id
+)
+SELECT id, score FROM scored WHERE score > 0
+ORDER BY score DESC, id
+LIMIT {_BM25_K}
+"""
+
+
+ORACLE_BM25_TOPK = _bm25_oracle()
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM negative log-likelihood per doc (KenLM-style quality
+    scoring), trained on the deterministic md5 20% sample — full value
+    oracle: DuckDB retrains the identical counts on the identical
+    sample and rescores every doc.  Docs with <2 words aren't
+    scoreable; both sides coalesce that to 0.0 (true nll is strictly
+    positive under add-alpha smoothing, so the sentinel is
+    unambiguous)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = ranking.lm_score(d, sample_percent=20, alpha=0.1)
+    return scored.select(
+        "id", "n_words",
+        F.when(F.col("nll").isNull() | F.isnan("nll"), F.lit(0.0))
+        .otherwise(F.col("nll")).alias("nll"),
+    )
+
+
+ORACLE_LM_SCORE = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+train AS (
+  SELECT words FROM d
+  WHERE CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 100 < 20
+),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(words) AS w FROM train) GROUP BY w
+),
+bi AS (
+  SELECT p, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || chr(31) || words[i + 1])) AS p
+    FROM train
+  ) GROUP BY p
+),
+v AS (SELECT count(*) AS nv FROM uni),
+pos AS (
+  SELECT id, words, unnest(range(2, len(words) + 1)) AS i
+  FROM d WHERE len(words) >= 2
+),
+sc AS (
+  SELECT pos.id,
+         -ln((coalesce(b.c, 0) + 0.1)
+             / (coalesce(u.c, 0) + 0.1 * (SELECT nv FROM v))) AS nl
+  FROM pos
+  LEFT JOIN uni u ON u.w = pos.words[pos.i - 1]
+  LEFT JOIN bi b ON b.p = pos.words[pos.i - 1] || chr(31) || pos.words[pos.i]
+)
+SELECT d.id, CAST(len(d.words) AS INTEGER) AS n_words,
+       coalesce(s.nll, 0.0) AS nll
+FROM d LEFT JOIN (SELECT id, sum(nl) / count(*) AS nll FROM sc GROUP BY id) s
+       USING (id)
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
     downsampled hard, minority sources kept): per-source deterministic
@@ -2343,6 +2454,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "repetition_metrics": q_repetition_metrics,
+    "bm25_topk": q_bm25_topk,
+    "lm_score": q_lm_score,
     "mixture_sample": q_mixture_sample,
     "bottom_k_sample": q_bottom_k_sample,
     "pack_sequences": q_pack_sequences,
@@ -2418,6 +2531,8 @@ ORACLES = {
     "lang_id": ORACLE_LANG_ID,
     "fingerprint": ORACLE_FINGERPRINT,
     "repetition_metrics": ORACLE_REPETITION_METRICS,
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "lm_score": ORACLE_LM_SCORE,
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "bottom_k_sample": ORACLE_BOTTOM_K_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

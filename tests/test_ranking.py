@@ -1,0 +1,142 @@
+"""bm25_topk and lm_score: value checks against independent pure-Python
+re-computations on tiny hand-built corpora, plan-shape assertions, and
+edge/validation behavior."""
+
+import math
+
+import pytest
+
+from presto_bloomfilter_spark.operators import ranking
+
+DOCS = [
+    # (doc_id, text)
+    (1, "data query data spark"),
+    (2, "query window window window batch"),
+    (3, "spark spark spark spark spark spark"),
+    (4, "the a of and to line"),
+    (5, "data"),
+    (6, ""),
+    (7, "  data   query  "),  # whitespace runs — str.split() semantics
+]
+
+
+def _words(t):
+    return t.split()
+
+
+def _bm25_reference(terms, k1=1.2, b=0.75):
+    docs = {str(i): _words(t) for i, t in DOCS}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    dfs = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    out = {}
+    for did, w in docs.items():
+        s = 0.0
+        for t in terms:
+            idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = float(w.count(t))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * ((1.0 - b) + b * len(w) / avgdl))
+        if s > 0:
+            out[did] = s
+    return out
+
+
+def test_bm25_matches_pure_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {r.id: r.score for r in
+           ranking.bm25_topk(df, ("data", "spark"), k=10).collect()}
+    want = _bm25_reference(("data", "spark"))
+    assert set(got) == set(want)
+    for did, s in want.items():
+        assert got[did] == pytest.approx(s, rel=1e-12)
+
+
+def test_bm25_ranking_order_and_k(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = ranking.bm25_topk(df, ("data", "spark"), k=2).collect()
+    assert len(rows) == 2
+    assert rows[0].score >= rows[1].score
+    want = sorted(_bm25_reference(("data", "spark")).items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [r.id for r in rows] == [w[0] for w in want]
+
+
+def test_bm25_topk_plan_no_global_sort(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    plan = (ranking.bm25_topk(df, ("data",), k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        ranking.bm25_topk(df, ())
+    with pytest.raises(ValueError, match="duplicate"):
+        ranking.bm25_topk(df, ("data", "data"))
+    with pytest.raises(ValueError, match="empty corpus"):
+        ranking.bm25_topk(df.limit(0), ("data",))
+
+
+def _md5_bucket(key: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+
+
+def _lm_reference(sample_percent=60, alpha=0.1):
+    """Pure-python retrain + rescore with the identical md5 sample."""
+    train = [
+        _words(t) for i, t in DOCS if _md5_bucket(str(i)) < sample_percent]
+    uni, bi = {}, {}
+    for w in train:
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for did, t in DOCS:
+        w = _words(t)
+        if len(w) < 2:
+            out[str(did)] = (len(w), None)
+            continue
+        nls = [-math.log((bi.get((p, c), 0) + alpha)
+                         / (uni.get(p, 0) + alpha * v))
+               for p, c in zip(w, w[1:])]
+        out[str(did)] = (len(w), sum(nls) / len(nls))
+    return out
+
+
+def test_lm_score_matches_pure_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    # 60%: guarantees a non-empty sample of this 7-doc corpus
+    got = {r.id: r for r in
+           ranking.lm_score(df, sample_percent=60, alpha=0.1).collect()}
+    want = _lm_reference(sample_percent=60, alpha=0.1)
+    assert set(got) == set(want)
+    for did, (nw, nll) in want.items():
+        assert got[did].n_words == nw
+        if nll is None:
+            assert got[did].nll is None or got[did].nll != got[did].nll
+        else:
+            assert got[did].nll == pytest.approx(nll, rel=1e-12)
+
+
+def test_lm_score_short_docs_unscoreable(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = {r.id: r for r in
+            ranking.lm_score(df, sample_percent=60).collect()}
+    assert rows["6"].n_words == 0
+    assert rows["5"].n_words == 1
+    for did in ("5", "6"):
+        v = rows[did].nll
+        assert v is None or v != v  # NULL or NaN: not scoreable
+    assert rows["1"].nll > 0  # smoothing => strictly positive nll
+
+
+def test_lm_score_empty_sample_raises(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError, match="training sample is empty"):
+        ranking.lm_score(df, sample_percent=0)
