@@ -968,6 +968,10 @@ def sketch_estimates(df: DataFrame, col: str = "sketch",
               for f in df.schema.fields if f.name != col]
     if len(fields) == len(df.schema.fields):
         raise ValueError(f"no column {col!r} in {df.columns}")
+    if out_col in df.columns and out_col != col:
+        raise ValueError(
+            f"output column {out_col!r} already exists in {df.columns}; "
+            "pass a different out_col")
     out_schema = ", ".join([*fields, f"{out_col} double"])
 
     def decode(it):

@@ -772,3 +772,43 @@ def components_star(pairs_df: DataFrame, id_a: str = "id_a",
         f"that exceeds the O(log n) bound for any real graph; "
         f"inspect the edge input"
     )
+
+
+def keep_best_per_cluster(docs: DataFrame, clusters: DataFrame,
+                          order_by, id_col: str = "doc_id") -> DataFrame:
+    """Canonicalize duplicate clusters: keep exactly ONE document per
+    cluster — the first under ``order_by`` (a list of Column sort
+    expressions, e.g. ``[F.length("text").desc()]``), ties broken by
+    ascending id — plus every document that is in no cluster.  The
+    step after ``components_from_pairs``/``components_star`` in a real
+    dedup pipeline: dropping dups by min-id keeps an arbitrary member,
+    while training pipelines keep the best one (longest, highest
+    quality score, lowest LM nll, ...).
+
+    ``clusters`` is the components output, ``(id, component)`` — its
+    id column must be the same type/values as ``docs[id_col]`` (the
+    components functions preserve their input id type).  Returns the
+    kept docs with their ORIGINAL schema.
+
+    Plan shape: one join of docs against the (much smaller, dup
+    members only) cluster map — AQE broadcasts it when it fits — then
+    a rank-1 filter over ``Window.partitionBy(cluster)``, which Spark
+    executes as WindowGroupLimit: per-partition top-1 pre-filtering
+    below the exchange, so the shuffle carries at most one candidate
+    row per cluster per input partition, never the whole corpus.
+    Unclustered docs pass through as their own singleton group (label
+    = own id: uniform keys, no skew).
+    """
+    lbl = clusters.select(F.col("id").alias("__kid"),
+                          F.col("component").alias("__cluster"))
+    joined = docs.join(
+        lbl, docs[id_col] == lbl["__kid"], "left"
+    ).withColumn(
+        "__grp",
+        F.coalesce(F.col("__cluster"), docs[id_col].cast(
+            lbl.schema["__cluster"].dataType)),
+    )
+    w = Window.partitionBy("__grp").orderBy(*order_by, F.col(id_col).asc())
+    return (joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*docs.columns))

@@ -2217,6 +2217,49 @@ FROM gr WHERE cnt > 1
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize dup clusters by a QUALITY key (keep the longest
+    member, not an arbitrary one): cluster the augmented corpus by
+    5-word prefix (groups each doc with its truncated 'near-' variant),
+    build components from multi-hop chain edges, then
+    keep_best_per_cluster by text length.  Full value oracle: the
+    chain-within-group construction makes the components equal the
+    prefix groups, so DuckDB reproduces the winners with one window
+    argmax."""
+    docs = _aug_documents(spark, sf_dir)
+    ck = F.array_join(F.slice(contamination.split_words("text"), 1, 5), " ")
+    keyed = docs.withColumn("__ck", ck)
+    w = Window.partitionBy("__ck").orderBy("id")
+    chain = (
+        keyed.withColumn("prev", F.lag("id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    clusters = dedup.components_from_pairs(chain)
+    kept = dedup.keep_best_per_cluster(
+        docs, clusters, [F.length("text").desc()], id_col="id")
+    return kept.select("id", F.length("text").cast("int").alias("n_chars"))
+
+
+ORACLE_DEDUP_KEEP_BEST = rf"""
+WITH aug AS ({_AUG_SQL}),
+k AS (
+  SELECT id, text,
+         array_to_string(list_slice(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           1, 5), ' ') AS ck
+  FROM aug
+)
+SELECT id, CAST(length(text) AS INTEGER) AS n_chars
+FROM (
+  SELECT id, text,
+         row_number() OVER (PARTITION BY ck ORDER BY length(text) DESC, id) AS rn
+  FROM k
+)
+WHERE rn = 1
+"""
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable checkpointed build (north_rule: 'resumable from
     checkpoint with per-partition lineage'): the first build persists
@@ -2479,6 +2522,7 @@ QUERIES = {
     "streaming_windowed_users": q_streaming_windowed_users,
     "dup_clusters": q_dup_clusters,
     "dup_clusters_star": q_dup_clusters_star,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
@@ -2556,4 +2600,5 @@ ORACLES = {
     "streaming_windowed_users": ORACLE_STREAMING_WINDOWED_USERS,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "dup_clusters_star": ORACLE_DUP_CLUSTERS,
+    "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
 }

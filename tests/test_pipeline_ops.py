@@ -723,3 +723,38 @@ def test_text_quality_whitespace_run_semantics(spark):
     kept = {r.doc_id for r in text.quality_filter(
         df, min_words=2, max_stopword_ratio=0.5).collect()}
     assert kept == {1, 2}  # doc 3 is 75% stopwords
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    docs = spark.createDataFrame(
+        [("a", "short", 1.0), ("b", "much longer text", 2.0),
+         ("c", "mid text", 9.0), ("d", "solo doc", 0.5)],
+        "doc_id string, text string, quality double")
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "id string, component string")
+    # keep longest in the {a,b,c} cluster; unclustered d passes through
+    kept = dedup.keep_best_per_cluster(
+        docs, clusters, [F.length("text").desc()]).collect()
+    assert sorted(r.doc_id for r in kept) == ["b", "d"]
+    # same cluster, quality key instead
+    kept_q = dedup.keep_best_per_cluster(
+        docs, clusters, [F.col("quality").desc()]).collect()
+    assert sorted(r.doc_id for r in kept_q) == ["c", "d"]
+    # ties break by ascending id
+    tie = dedup.keep_best_per_cluster(
+        docs, clusters, [F.lit(1)]).collect()
+    assert sorted(r.doc_id for r in tie) == ["a", "d"]
+    # original schema survives
+    assert {f.name for f in dedup.keep_best_per_cluster(
+        docs, clusters, [F.col("quality").desc()]).schema.fields} == {
+        "doc_id", "text", "quality"}
+
+
+def test_keep_best_per_cluster_plans_window_group_limit(spark):
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "yy")], "doc_id string, text string")
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "id string, component string")
+    out = dedup.keep_best_per_cluster(docs, clusters, [F.length("text").desc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

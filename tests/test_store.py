@@ -441,3 +441,5 @@ def test_sketch_estimates_decodes_executor_side(spark, sf_dir, tmp_path, monkeyp
 
     with pytest.raises(ValueError, match="no column"):
         agg.sketch_estimates(per_src, col="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        agg.sketch_estimates(per_src, out_col="source")
