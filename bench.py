@@ -95,7 +95,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
     # dedup/text signature generation over the documents table — the
     # hottest per-byte pass of a training pipeline (batch-vectorized
     # kernels)
-    from presto_bloomfilter_spark.operators import bpe, dedup, packing, substring, text
+    from presto_bloomfilter_spark.operators import (
+        bpe, dedup, packing, ranking, substring, text,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
     n_docs = docs.count()
@@ -139,6 +141,13 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             F.sum("n_tok")).collect()),
         ("substring_spans", lambda: substring.duplicated_spans(
             docs, min_len=8).count()),
+        # round-4 session additions: BM25 retrieval (stats agg +
+        # map-only scoring + top-k) and bigram-LM quality scoring
+        # (hash-sample train + one Arrow scoring pass)
+        ("bm25_topk", lambda: ranking.bm25_topk(
+            docs, ("data", "query", "spark", "window"), k=50).collect()),
+        ("lm_score_docs", lambda: ranking.lm_score(
+            docs, sample_percent=20).agg(F.sum("nll")).collect()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS
