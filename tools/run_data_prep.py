@@ -4,13 +4,16 @@ of tools/run_workload.py (which drives the sketch north star).
 Chains the corpus-prep operators end-to-end over the documents table,
 the way a pretraining data pipeline composes them:
 
-  1. quality filter (min length) + Gopher repetition cut;
+  1. quality filter (min length) + Gopher repetition cut + CCNet-style
+     bigram-LM perplexity cut (operators/ranking.lm_score, worst
+     decile dropped);
   2. PII scrub (map-only regexp pass);
   3. exact dedup (md5 digest, first doc per digest wins), then
      exact-substring strip (cross-doc repeated boilerplate removed at
      8-word-window granularity, operators/substring);
   4. near-dup clustering (MinHash-LSH candidates -> exact-Jaccard
-     verify -> connected components), keep one doc per cluster;
+     verify -> connected components), keep the BEST doc per cluster
+     (longest text, ties by id — dedup.keep_best_per_cluster);
   5. per-source quota cap + mixture rebalance (deterministic md5);
   6. leakage-free train/val/test split by source group (map-only;
      only the train split flows on to shuffling/packing);
@@ -58,7 +61,7 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from presto_bloomfilter_spark.operators import (
-        bpe, dedup, packing, sampling, shuffle, substring, text)
+        bpe, dedup, packing, ranking, sampling, shuffle, substring, text)
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -73,11 +76,18 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     n_in = docs.count()
 
-    # 1-2: quality + repetition cut, then PII scrub (all map-only)
+    # 1-2: quality + repetition cut, then a CCNet-style bigram-LM
+    # perplexity cut (drop the worst 10% by nll; the LM trains on the
+    # deterministic md5 sample), then PII scrub (map-only)
     q = text.quality_filter(docs, min_words=5)
     rep = text.repetition_metrics(q).filter(F.col("dup_gram_frac") <= 0.8)
     q = q.join(rep.select(F.col("id").alias("doc_id")).withColumn(
         "doc_id", F.col("doc_id").cast(docs.schema["doc_id"].dataType)), "doc_id")
+    nll = ranking.lm_score(q, sample_percent=20).filter(~F.isnan("nll"))
+    p90 = nll.agg(F.percentile_approx("nll", 0.9).alias("p")).collect()[0]["p"]
+    keep_ids = nll.filter(F.col("nll") <= p90).select(
+        F.col("id").cast(docs.schema["doc_id"].dataType).alias("doc_id"))
+    q = q.join(keep_ids, "doc_id")
     scrubbed = text.pii_scrub(q)
 
     # 3: exact dedup — first doc per md5(text) — then strip substrings
@@ -92,16 +102,19 @@ def main() -> None:
         stripped.select(F.col("id").cast(id_type).alias("doc_id"), "text"),
         "doc_id")
 
-    # 4: near-dup clusters -> keep the cluster-min representative
+    # 4: near-dup clusters -> keep the BEST member per cluster (the
+    # longest text; ties by id), not an arbitrary one — cluster ids are
+    # stringified doc_ids, so align types for the keep-best join
     pairs = dedup.minhash_near_dup_pairs(exact, "text", "doc_id", threshold=0.7)
     comp = dedup.components_from_pairs(pairs)
-    drop = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").cast(docs.schema["doc_id"].dataType).alias("doc_id"))
+    comp = comp.select(F.col("id").cast(id_type).alias("id"),
+                       F.col("component").cast(id_type).alias("component"))
     # persist the deduped survivors: every downstream stage AND the
     # metrics counts read from here — without the cache each count
     # would re-run the whole scan→scrub→LSH chain and the published
     # wall-clock would measure redundant recomputation
-    uniq = exact.join(drop, "doc_id", "left_anti").persist()
+    uniq = dedup.keep_best_per_cluster(
+        exact, comp, [F.length("text").desc()], id_col="doc_id").persist()
 
     # 5: per-source quota + mixture rebalance
     capped = sampling.cap_per_key(uniq, "source", args.cap_per_source, "doc_id")
