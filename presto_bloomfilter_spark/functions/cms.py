@@ -135,6 +135,39 @@ class CountMinSketch:
         """Additive overestimate bound eps*N (holds w.p. >= 1-delta)."""
         return self.eps * self.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Inner-product / equi-join-size estimate from two sketches
+        (Cormode & Muthukrishnan 2005 §4.2): for streams a and b,
+        ``min_d Σ_w table_a[d]·table_b[d]`` estimates ``a·b = Σ_k
+        cnt_a(k)·cnt_b(k)`` — the row count of the equi-join on k —
+        with ``a·b <= est <= a·b + eps·N_a·N_b`` w.p. ``>= 1-delta``.
+        Requires identical geometry (same eps/delta ⇒ same per-row
+        hash seeds, which this implementation fixes at d+1).
+
+        This is how a planner sizes a join from two already-built
+        sketches without running it: O(table) work on two blobs, no
+        scan, no shuffle.  Row products are summed in float64 — exact
+        below 2^53 per product and ~1e-16 relative above, far inside
+        the eps slack; int64 einsum would silently wrap at
+        counter-scale ~3e9."""
+        if not isinstance(other, CountMinSketch):
+            raise TypeError("inner_product needs another CountMinSketch")
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError(
+                f"geometry mismatch: ({self.depth}x{self.width}) vs "
+                f"({other.depth}x{other.width})"
+            )
+        per_row = np.einsum(
+            "dw,dw->d",
+            self.table.astype(np.float64, copy=False),
+            other.table.astype(np.float64, copy=False),
+        )
+        return int(per_row.min())
+
+    def inner_product_bound(self, other: "CountMinSketch") -> float:
+        """The additive slack of ``inner_product``: eps * N_a * N_b."""
+        return self.eps * float(self.total) * float(other.total)
+
     # ---- merge --------------------------------------------------------------
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":

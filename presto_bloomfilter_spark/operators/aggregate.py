@@ -309,6 +309,17 @@ def cms_over_strings(col: str, eps: float = 1e-4, delta: float = 0.01) -> Sketch
     )
 
 
+def cms_over_ints(col: str, eps: float = 1e-4, delta: float = 0.01) -> SketchSpec:
+    """count-min over a scalar integer column — no string casts, int
+    hashing stays pure numpy (the join-key shape for
+    ``CountMinSketch.inner_product`` join-size estimation)."""
+    return SketchSpec(
+        (col,),
+        lambda: CountMinSketch(eps, delta),
+        lambda sk, b: sk.add_ints(_col_ints(b, col)),
+    )
+
+
 def token_family_over_tokens(
     col: str = "tokens",
     bloom_n: int = 1_000_000,

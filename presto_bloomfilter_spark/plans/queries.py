@@ -2217,6 +2217,56 @@ FROM gr WHERE cnt > 1
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketches
+    (Cormode & Muthukrishnan 2005 §4.2: est = min_d row-dot-product;
+    a·b <= est <= a·b + eps·N_a·N_b w.p. >= 1-delta) — how a planner
+    sizes a join from two already-built blobs without scanning either
+    side.  Two shapes: the skewed SELF-join of lineitem on l_partkey
+    (Σ cnt(k)², real multiplicities on both sides) and the
+    orders⋈customer FK join.  Exact sizes are value-checked
+    cross-engine; the sketch bounds are asserted as booleans."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    cms_li = agg.aggregate_sketch(li, agg.cms_over_ints("l_partkey", eps=1e-5))
+    cms_o = agg.aggregate_sketch(orders, agg.cms_over_ints("o_custkey", eps=1e-5))
+    cms_c = agg.aggregate_sketch(cust, agg.cms_over_ints("c_custkey", eps=1e-5))
+
+    self_est = cms_li.inner_product(cms_li)
+    self_slack = cms_li.inner_product_bound(cms_li)
+    fk_est = cms_o.inner_product(cms_c)
+    fk_slack = cms_o.inner_product_bound(cms_c)
+
+    self_exact = (li.groupBy("l_partkey").count()
+                  .agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0])
+    fk_exact = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]).count()
+    return spark.createDataFrame(
+        [(int(self_exact),
+          bool(self_est >= self_exact),
+          bool(self_est <= self_exact + self_slack),
+          int(fk_exact),
+          bool(fk_est >= fk_exact),
+          bool(fk_est <= fk_exact + fk_slack))],
+        "self_join_size long, self_lower_ok boolean, self_upper_ok boolean, "
+        "fk_join_size long, fk_lower_ok boolean, fk_upper_ok boolean",
+    )
+
+
+ORACLE_CMS_JOIN_SIZE = """
+SELECT
+  CAST((SELECT SUM(c * c) FROM
+        (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)) AS BIGINT)
+    AS self_join_size,
+  TRUE AS self_lower_ok, TRUE AS self_upper_ok,
+  CAST((SELECT COUNT(*) FROM orders JOIN customer
+        ON o_custkey = c_custkey) AS BIGINT) AS fk_join_size,
+  TRUE AS fk_lower_ok, TRUE AS fk_upper_ok
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize dup clusters by a QUALITY key (keep the longest
     member, not an arbitrary one): cluster the augmented corpus by
@@ -2523,6 +2573,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "dup_clusters_star": q_dup_clusters_star,
     "dedup_keep_best": q_dedup_keep_best,
+    "cms_join_size": q_cms_join_size,
 }
 
 ORACLES = {
@@ -2601,4 +2652,5 @@ ORACLES = {
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "dup_clusters_star": ORACLE_DUP_CLUSTERS,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "cms_join_size": ORACLE_CMS_JOIN_SIZE,
 }

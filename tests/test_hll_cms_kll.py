@@ -85,6 +85,39 @@ def test_cms_merge_additive():
     assert b.copy().merge(a) == m  # commutative
 
 
+
+def test_cms_inner_product_join_size():
+    """inner_product = equi-join size estimator (C&M 2005 §4.2):
+    never under the true a·b, within eps·N_a·N_b above it, and exact
+    when the width dwarfs the key count."""
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 200, size=5_000)
+    b_keys = rng.integers(0, 200, size=3_000)
+    ca = np.bincount(a_keys, minlength=200)
+    cb = np.bincount(b_keys, minlength=200)
+    true = int((ca * cb).sum())
+
+    a = CountMinSketch(eps=1e-4).add_ints(a_keys)
+    b = CountMinSketch(eps=1e-4).add_ints(b_keys)
+    est = a.inner_product(b)
+    assert est >= true
+    assert est <= true + a.inner_product_bound(b)
+    # 200 keys vs width ~27k: collisions are overwhelmingly unlikely
+    # in every row simultaneously -> min over rows is exact here
+    assert est == true
+    # symmetric
+    assert b.inner_product(a) == est
+    # self-join: sum of squared multiplicities
+    assert a.inner_product(a) == int((ca * ca).sum())
+
+
+def test_cms_inner_product_validation():
+    a = CountMinSketch(eps=1e-4).add_ints([1, 2, 3])
+    with pytest.raises(ValueError, match="geometry"):
+        a.inner_product(CountMinSketch(eps=1e-3))
+    with pytest.raises(TypeError):
+        a.inner_product(object())
+
 def test_cms_roundtrip():
     c = CountMinSketch(eps=0.01, delta=0.05).add_ints(np.arange(100))
     back = sketch_from_bytes(c.to_bytes())
