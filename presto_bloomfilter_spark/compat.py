@@ -179,6 +179,11 @@ def register_sql_functions(spark: SparkSession) -> None:
     - ``get_expected_insertions(bf binary) -> bigint``
     - ``get_false_positive_percentage(bf binary) -> double``
     - ``bloom_filter_from_string(s string) -> binary`` (scalar decode)
+    - ``sketch_estimate(bf binary) -> double`` (family-generic
+      ``estimate()`` — works on ANY PBFS blob: HLL/theta distinct
+      count, bloom fill-derived insertions, CMS total weight, KLL/
+      t-digest n — so a persisted sketch table is queryable from pure
+      SQL text)
 
     ``bloom_filter_contains`` is an Arrow-vectorized pandas UDF with the
     executor-local sha256-keyed LRU (same dedup cache as the Python-API
@@ -240,11 +245,22 @@ def register_sql_functions(spark: SparkSession) -> None:
     def _sql_from_string(s: pd.Series) -> pd.Series:
         return s.map(lambda x: None if x is None else base64.b64decode(x))
 
+    @pandas_udf("double")
+    def _sql_estimate(blobs: pd.Series) -> pd.Series:
+        # family-generic: every PBFS sketch defines estimate() (HLL/
+        # theta distinct count, bloom fill-derived insertions, CMS
+        # total weight, KLL/t-digest n); decode through the executor-
+        # local sha256 LRU so a broadcast blob deserializes once
+        return blobs.map(
+            lambda b: None if b is None
+            else float(_cached_sketch(bytes(b)).estimate()))
+
     spark.udf.register("bloom_filter_contains", _sql_contains)
     spark.udf.register("to_string", _sql_to_string)
     spark.udf.register("get_expected_insertions", _sql_n)
     spark.udf.register("get_false_positive_percentage", _sql_p)
     spark.udf.register("bloom_filter_from_string", _sql_from_string)
+    spark.udf.register("sketch_estimate", _sql_estimate)
 
 
 def publish_sketch_view(spark: SparkSession, bf, view: str = "bloom_bf") -> None:

@@ -2217,6 +2217,36 @@ FROM gr WHERE cnt > 1
 """
 
 
+def q_sql_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A persisted grouped sketch table queried from PURE SQL text via
+    the family-generic ``sketch_estimate(blob)`` scalar (compat SQL
+    surface): per-source HLL estimates must land within the published
+    bound of the exact per-source distinct counts, which are
+    value-checked cross-engine."""
+    from presto_bloomfilter_spark import compat
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    agg.grouped_sketch(
+        docs, "source", agg.hll_over_strings("doc_id")
+    ).createOrReplaceTempView("pbs_sketch_tbl")
+    compat.register_sql_functions(spark)
+    est = spark.sql(
+        "SELECT source, sketch_estimate(sketch) AS est FROM pbs_sketch_tbl")
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return est.join(exact, "source").select(
+        "source", "n_docs",
+        (F.abs(F.col("est") - F.col("n_docs"))
+         <= 0.03 * F.col("n_docs")).alias("hll_ok"))
+
+
+ORACLE_SQL_SKETCH_ESTIMATE = """
+SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, TRUE AS hll_ok
+FROM documents GROUP BY source
+"""
+
+
 def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join cardinality estimation from count-min sketches
     (Cormode & Muthukrishnan 2005 §4.2: est = min_d row-dot-product;
@@ -2574,6 +2604,7 @@ QUERIES = {
     "dup_clusters_star": q_dup_clusters_star,
     "dedup_keep_best": q_dedup_keep_best,
     "cms_join_size": q_cms_join_size,
+    "sql_sketch_estimate": q_sql_sketch_estimate,
 }
 
 ORACLES = {
@@ -2653,4 +2684,5 @@ ORACLES = {
     "dup_clusters_star": ORACLE_DUP_CLUSTERS,
     "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
     "cms_join_size": ORACLE_CMS_JOIN_SIZE,
+    "sql_sketch_estimate": ORACLE_SQL_SKETCH_ESTIMATE,
 }

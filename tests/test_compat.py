@@ -124,6 +124,28 @@ def test_sql_surface_scalar_functions(spark):
     assert rt.hit is True
 
 
+def test_sql_sketch_estimate_family_generic(spark):
+    """sketch_estimate(blob) works on ANY PBFS family from SQL text and
+    NULL blobs yield NULL."""
+    from presto_bloomfilter_spark import CountMinSketch, HyperLogLog
+
+    compat.register_sql_functions(spark)
+    hll = HyperLogLog().add_strings([f"u{i}" for i in range(1000)])
+    cms = CountMinSketch(eps=1e-3).add_ints([1, 2, 3], counts=[5, 6, 7])
+    compat.publish_sketch_view(spark, hll, "tv_hll")
+    compat.publish_sketch_view(spark, cms, "tv_cms")
+    row = spark.sql(
+        """
+        SELECT sketch_estimate((SELECT bf FROM tv_hll)) AS hll_est,
+               sketch_estimate((SELECT bf FROM tv_cms)) AS cms_n,
+               sketch_estimate(CAST(NULL AS binary)) AS nul
+        """
+    ).collect()[0]
+    assert row.hll_est == float(hll.estimate())
+    assert row.cms_n == 18.0  # CMS estimate() = total stream weight
+    assert row.nul is None
+
+
 def test_sql_contains_null_filter_is_null(spark):
     """SQL semantics (and the reference's @SqlNullable scalar,
     BloomFilterContainsScalarFunction.java:33-42): a NULL filter
