@@ -184,6 +184,9 @@ def register_sql_functions(spark: SparkSession) -> None:
       count, bloom fill-derived insertions, CMS total weight, KLL/
       t-digest n — so a persisted sketch table is queryable from pure
       SQL text)
+    - ``sketch_quantile(bf binary, q double) -> double`` (KLL /
+      t-digest quantile query from SQL text; loud ValueError on a
+      non-quantile family)
 
     ``bloom_filter_contains`` is an Arrow-vectorized pandas UDF with the
     executor-local sha256-keyed LRU (same dedup cache as the Python-API
@@ -246,6 +249,23 @@ def register_sql_functions(spark: SparkSession) -> None:
         return s.map(lambda x: None if x is None else base64.b64decode(x))
 
     @pandas_udf("double")
+    def _sql_quantile(blobs: pd.Series, qs: pd.Series) -> pd.Series:
+        # quantile-family scalar (KLL / t-digest): sketch_quantile(bf, q)
+        def one(b, q):
+            # a NULL double reaches the pandas UDF as NaN, not None
+            if b is None or q is None or q != q:
+                return None
+            sk = _cached_sketch(bytes(b))
+            if not hasattr(sk, "quantile"):
+                raise ValueError(
+                    f"sketch_quantile needs a quantile sketch, got "
+                    f"{type(sk).__name__}")
+            return float(sk.quantile(float(q)))
+
+        return pd.Series([one(b, q) for b, q in zip(blobs, qs)],
+                         dtype="float64")
+
+    @pandas_udf("double")
     def _sql_estimate(blobs: pd.Series) -> pd.Series:
         # family-generic: every PBFS sketch defines estimate() (HLL/
         # theta distinct count, bloom fill-derived insertions, CMS
@@ -261,6 +281,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("get_false_positive_percentage", _sql_p)
     spark.udf.register("bloom_filter_from_string", _sql_from_string)
     spark.udf.register("sketch_estimate", _sql_estimate)
+    spark.udf.register("sketch_quantile", _sql_quantile)
 
 
 def publish_sketch_view(spark: SparkSession, bf, view: str = "bloom_bf") -> None:

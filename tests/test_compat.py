@@ -146,6 +146,28 @@ def test_sql_sketch_estimate_family_generic(spark):
     assert row.nul is None
 
 
+def test_sql_sketch_quantile(spark):
+    """sketch_quantile(blob, q) queries KLL/t-digest from SQL text;
+    non-quantile families fail loud."""
+    from presto_bloomfilter_spark import KLLSketch
+
+    compat.register_sql_functions(spark)
+    kll = KLLSketch().add(list(range(1001)))
+    compat.publish_sketch_view(spark, kll, "tv_kll")
+    row = spark.sql(
+        "SELECT sketch_quantile((SELECT bf FROM tv_kll), 0.5) AS med, "
+        "sketch_quantile((SELECT bf FROM tv_kll), CAST(NULL AS DOUBLE)) AS nul"
+    ).collect()[0]
+    assert row.med == float(kll.quantile(0.5))
+    assert row.nul is None
+    from presto_bloomfilter_spark import HyperLogLog
+
+    compat.publish_sketch_view(spark, HyperLogLog().add_strings(["x"]), "tv_h2")
+    with pytest.raises(Exception, match="quantile sketch"):
+        spark.sql(
+            "SELECT sketch_quantile((SELECT bf FROM tv_h2), 0.5)").collect()
+
+
 def test_sql_contains_null_filter_is_null(spark):
     """SQL semantics (and the reference's @SqlNullable scalar,
     BloomFilterContainsScalarFunction.java:33-42): a NULL filter
