@@ -69,6 +69,16 @@ def test_bm25_topk_plan_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_absent_term_is_neutral(spark):
+    """A term with df=0 contributes 0 to every score (tf=0), so ranking
+    matches the query without it."""
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with_ghost = ranking.bm25_topk(df, ("data", "zzz-not-there"), k=10).collect()
+    without = ranking.bm25_topk(df, ("data",), k=10).collect()
+    assert [(r.id, r.score) for r in with_ghost] == [
+        (r.id, r.score) for r in without]
+
+
 def test_bm25_validation(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     with pytest.raises(ValueError, match="at least one"):
