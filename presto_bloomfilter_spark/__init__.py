@@ -28,6 +28,7 @@ from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.theta import ThetaSketch
+from presto_bloomfilter_spark.functions.moments import MomentsSketch
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -38,6 +39,7 @@ __all__ = [
     "KLLSketch",
     "TDigest",
     "ThetaSketch",
+    "MomentsSketch",
     "sketch_from_bytes",
     "compat",
 ]

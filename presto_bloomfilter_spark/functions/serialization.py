@@ -42,6 +42,7 @@ KIND_KLL = 4
 KIND_MULTI = 5
 KIND_TDIGEST = 6
 KIND_THETA = 7
+KIND_MOMENTS = 8
 
 _REGISTRY: dict[int, type] = {}
 

@@ -394,6 +394,26 @@ def tdigest_over_column(col: str, compression: int = TDigest.DEFAULT_COMPRESSION
     )
 
 
+def moments_over_column(col: str, lo: float, hi: float,
+                        k: int = 12, clamp: bool = False,
+                        log: bool = False) -> SketchSpec:
+    """Moments-sketch quantiles (Gan et al. VLDB 2018) — the
+    HIGH-CARDINALITY grouped sibling of kll/tdigest_over_column:
+    ~(k+3)·8 bytes of state per key and a pure vector-add merge, so a
+    per-key quantile table over millions of keys stays tiny where a
+    KLL per key would not.  ``(lo, hi)`` is the declared value range
+    (geometry, like bloom's n/p); ``log=True`` accumulates ln-moments
+    for long-tailed data.  No worst-case rank bound — that is the
+    published trade; use KLL when you need the guarantee."""
+    from presto_bloomfilter_spark.functions.moments import MomentsSketch
+
+    return SketchSpec(
+        (col,),
+        lambda: MomentsSketch(lo, hi, k, clamp=clamp, log=log),
+        lambda sk, b: sk.add(_col_floats(b, col)),
+    )
+
+
 # ---- ungrouped aggregation (two-level tree merge) ----------------------------
 
 
