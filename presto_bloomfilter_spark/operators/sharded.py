@@ -27,6 +27,7 @@ single filter can hold.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -267,3 +268,71 @@ def sharded_bloom_semi_join(
         F.col(probe_col).cast("string") == F.col("__bk"),
         "left_semi",
     )
+
+
+def allocate_bloom_budget(counts, total_bits: float, weights=None,
+                          min_bits_per_key: float = 1.0):
+    """Allocate a total bit budget across a COLLECTION of bloom filters
+    to minimize the weighted sum of false-positive rates — the KKT
+    water-filling shape of "Optimizing Collections of Bloom Filters
+    within a Space Budget" (VLDB 2024).  Heterogeneous filters (a hot
+    shard probed constantly next to a cold one, or per-source seen-sets
+    of very different cardinalities) should NOT share one fpp: bits are
+    worth more where n_i is small or the probe weight w_i is high.
+
+    Model: an optimally-hashed bloom with b_i bits over n_i keys has
+    p_i = c^(b_i/n_i), c = exp(-(ln 2)^2) ≈ 0.6185.  Minimizing
+    Σ w_i·p_i subject to Σ b_i = total_bits gives the closed form
+    bits-per-key x_i = K + log_c(n_i / w_i), with K chosen to spend the
+    budget; an active-set pass clamps any x_i below ``min_bits_per_key``
+    (a filter that "deserves" fewer bits than that is pinned at the
+    floor and the freed budget re-spread).
+
+    ``counts``: per-filter expected insertions n_i (dict key → n or a
+    sequence); ``weights``: probe weights w_i (default 1).  Returns
+    {key: (bits_i, fpp_i)} — feed fpp_i to each shard/filter build.
+    Pure closed-form numpy: O(F log F), no Spark, call it on the
+    driver before sizing a family.
+    """
+    import numpy as np
+
+    if isinstance(counts, dict):
+        keys = list(counts)
+        n = np.asarray([counts[k] for k in keys], dtype=np.float64)
+    else:
+        n = np.asarray(list(counts), dtype=np.float64)
+        keys = list(range(len(n)))
+    if not len(n) or (n <= 0).any():
+        raise ValueError("counts must be positive")
+    w = (np.ones(len(n)) if weights is None
+         else np.asarray([weights[k] for k in keys], dtype=np.float64)
+         if isinstance(weights, dict)
+         else np.asarray(list(weights), dtype=np.float64))
+    if (w <= 0).any() or len(w) != len(n):
+        raise ValueError("weights must be positive, one per filter")
+    if total_bits < min_bits_per_key * n.sum():
+        raise ValueError(
+            f"budget {total_bits:.3g} bits cannot give every key the "
+            f"{min_bits_per_key} bits/key floor ({min_bits_per_key * n.sum():.3g} needed)")
+
+    c = math.exp(-(math.log(2.0) ** 2))
+    logc = math.log(c)  # negative
+    # x_i = K + log_c(n_i / w_i); active-set clamp at the floor
+    base = np.log(n / w) / logc
+    free = np.ones(len(n), dtype=bool)
+    x = np.empty(len(n))
+    for _ in range(len(n) + 1):
+        budget_free = total_bits - min_bits_per_key * n[~free].sum()
+        K = (budget_free - (n[free] * base[free]).sum()) / n[free].sum()
+        x[free] = K + base[free]
+        x[~free] = min_bits_per_key
+        newly = free & (x < min_bits_per_key)
+        if not newly.any():
+            break
+        free &= ~newly
+        if not free.any():
+            x[:] = min_bits_per_key
+            break
+    bits = x * n
+    fpp = np.power(c, x)
+    return {k: (float(b), float(p)) for k, b, p in zip(keys, bits, fpp)}

@@ -1,6 +1,8 @@
 """Sharded bloom family: bounded per-shard state, shard-local probes,
 no false negatives, exact semi-join parity."""
 
+import math
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -158,3 +160,53 @@ def test_sharded_contains_exact_string_forms_and_parallelism(spark, tmp_path):
     flagged = {r.k: r["__hit"] for r in sharded_contains(
         spark, probe, "k", root, "f", 4, flag_col="__hit").collect()}
     assert flagged[big] and flagged[5] and not flagged[999] and not flagged[None]
+
+
+def test_allocate_bloom_budget_uniform_and_exact_spend():
+    from presto_bloomfilter_spark.operators.sharded import allocate_bloom_budget
+
+    out = allocate_bloom_budget({"a": 1000, "b": 1000}, total_bits=20_000)
+    (ba, pa_), (bb, pb) = out["a"], out["b"]
+    assert ba == pytest.approx(bb) and pa_ == pytest.approx(pb)
+    assert ba + bb == pytest.approx(20_000)
+    c = math.exp(-(math.log(2.0) ** 2))
+    assert pa_ == pytest.approx(c ** (ba / 1000))
+
+
+def test_allocate_bloom_budget_weights_shift_bits():
+    from presto_bloomfilter_spark.operators.sharded import allocate_bloom_budget
+
+    out = allocate_bloom_budget({"hot": 1000, "cold": 1000},
+                                total_bits=20_000,
+                                weights={"hot": 100.0, "cold": 1.0})
+    assert out["hot"][0] > out["cold"][0]       # more bits where probed
+    assert out["hot"][1] < out["cold"][1]       # lower fpp there
+    assert out["hot"][0] + out["cold"][0] == pytest.approx(20_000)
+    # KKT optimality: moving bits between the two filters only hurts
+    def cost(b_hot):
+        c = math.exp(-(math.log(2.0) ** 2))
+        return (100.0 * c ** (b_hot / 1000)
+                + 1.0 * c ** ((20_000 - b_hot) / 1000))
+    best = cost(out["hot"][0])
+    for d in (-500, -50, 50, 500):
+        assert cost(out["hot"][0] + d) >= best - 1e-12
+
+
+def test_allocate_bloom_budget_floor_clamp_and_guards():
+    from presto_bloomfilter_spark.operators.sharded import allocate_bloom_budget
+
+    # one filter "deserves" almost nothing -> pinned at the floor,
+    # budget still exactly spent
+    out = allocate_bloom_budget({"big": 10_000, "tiny": 100},
+                                total_bits=25_000,
+                                weights={"big": 1000.0, "tiny": 1e-9},
+                                min_bits_per_key=2.0)
+    assert out["tiny"][0] == pytest.approx(200.0)   # 2 bits/key floor
+    assert out["big"][0] == pytest.approx(24_800.0)
+    with pytest.raises(ValueError, match="positive"):
+        allocate_bloom_budget({"a": 0}, 100)
+    with pytest.raises(ValueError, match="floor"):
+        allocate_bloom_budget({"a": 1000}, total_bits=500,
+                              min_bits_per_key=1.0)
+    with pytest.raises(ValueError, match="positive"):
+        allocate_bloom_budget({"a": 10}, 100, weights={"a": 0.0})
