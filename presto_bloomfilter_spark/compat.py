@@ -282,6 +282,63 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("bloom_filter_from_string", _sql_from_string)
     spark.udf.register("sketch_estimate", _sql_estimate)
     spark.udf.register("sketch_quantile", _sql_quantile)
+    register_sql_aggregates(spark)
+
+
+def register_sql_aggregates(spark: SparkSession) -> None:
+    """Register the reference's AGGREGATE functions for spark.sql text
+    (called by ``register_sql_functions`` — one call covers both):
+
+    - ``bloom_filter(el string) -> binary`` (reference defaults: n=10M,
+      p=0.01, BloomFilter.java:64-65)
+    - ``bloom_filter_sized(el string, n bigint, p double) -> binary``
+      (the reference's ``bloom_filter(el, n, p)`` overloads — Spark UDF
+      names cannot overload by arity, so the sized form is its own name)
+    - ``hll_sketch(el string) -> binary``
+    - ``sketch_merge(bf binary) -> binary`` (the reference's
+      ``bloom_filter(bf)`` aggregation of PRE-BUILT filters,
+      BloomFilterAggregation.java — family-generic here)
+
+    These are grouped-agg pandas UDFs: Spark ships each group's rows to
+    one task (complete-mode aggregation, no partial/merge combine), so
+    this is the SQL-TEXT PARITY surface, not the scale path — corpus-
+    scale builds belong to operators/aggregate's partial/tree-merge
+    dataflow, whose blobs these same SQL scalars can then probe/decode.
+    NULL elements are skipped, like the reference's null handling.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from presto_bloomfilter_spark.functions.hll import HyperLogLog
+
+    @pandas_udf("binary")
+    def _agg_bloom(els: pd.Series) -> bytes:
+        return BloomFilter().add_strings(els).to_bytes()
+
+    @pandas_udf("binary")
+    def _agg_bloom_sized(els: pd.Series, n: pd.Series, p: pd.Series) -> bytes:
+        if not len(els):
+            return None
+        return (BloomFilter(int(n.iloc[0]), float(p.iloc[0]))
+                .add_strings(els).to_bytes())
+
+    @pandas_udf("binary")
+    def _agg_hll(els: pd.Series) -> bytes:
+        return HyperLogLog().add_strings(els).to_bytes()
+
+    @pandas_udf("binary")
+    def _agg_merge(blobs: pd.Series) -> bytes:
+        it = (ser.sketch_from_bytes(bytes(b)) for b in blobs if b is not None)
+        first = next(it, None)
+        if first is None:
+            return None
+        for sk in it:
+            first = first.merge(sk)
+        return first.to_bytes()
+
+    spark.udf.register("bloom_filter", _agg_bloom)
+    spark.udf.register("bloom_filter_sized", _agg_bloom_sized)
+    spark.udf.register("hll_sketch", _agg_hll)
+    spark.udf.register("sketch_merge", _agg_merge)
 
 
 def publish_sketch_view(spark: SparkSession, bf, view: str = "bloom_bf") -> None:

@@ -146,6 +146,48 @@ def test_sql_sketch_estimate_family_generic(spark):
     assert row.nul is None
 
 
+def test_sql_aggregate_udafs(spark):
+    """The reference's AGGREGATE surface from SQL text: bloom_filter /
+    bloom_filter_sized / hll_sketch / sketch_merge as grouped-agg
+    pandas UDFs (round 3 documented this as impossible; pyspark 4.x
+    grouped-agg registration does it)."""
+    import pandas as pd
+
+    from presto_bloomfilter_spark.functions.serialization import (
+        read_params,
+        sketch_from_bytes,
+    )
+
+    compat.register_sql_functions(spark)
+    spark.createDataFrame(
+        [(i, f"g{i % 3}", f"k{i}") for i in range(90)],
+        "id long, g string, k string").createOrReplaceTempView("tv_agg")
+    rows = spark.sql(
+        "SELECT g, bloom_filter_sized(k, 1000, 0.01) AS bf, "
+        "hll_sketch(k) AS h FROM tv_agg GROUP BY g").collect()
+    assert len(rows) == 3
+    for r in rows:
+        bf = sketch_from_bytes(bytes(r.bf))
+        assert all(bf.might_contain_strings(
+            pd.Series([f"k{i}" for i in range(90) if i % 3 == int(r.g[1])])))
+        h = sketch_from_bytes(bytes(r.h))
+        assert abs(h.estimate() - 30) <= 3
+    # default-parameter form carries the reference defaults (n=10M)
+    one = spark.sql(
+        "SELECT bloom_filter(k) AS bf FROM tv_agg LIMIT 1").collect()[0]
+    assert read_params(bytes(one.bf))["n"] == 10_000_000
+    # sketch_merge re-aggregates the pre-built per-group blobs (the
+    # reference's bloom_filter(bf) over prebuilt filters)
+    spark.sql(
+        "SELECT g, bloom_filter_sized(k, 1000, 0.01) AS bf FROM tv_agg "
+        "GROUP BY g").createOrReplaceTempView("tv_blobs")
+    merged = spark.sql(
+        "SELECT sketch_merge(bf) AS m FROM tv_blobs").collect()[0]
+    msk = sketch_from_bytes(bytes(merged.m))
+    assert all(msk.might_contain_strings(
+        pd.Series([f"k{i}" for i in range(90)])))
+
+
 def test_sql_sketch_quantile(spark):
     """sketch_quantile(blob, q) queries KLL/t-digest from SQL text;
     non-quantile families fail loud."""
