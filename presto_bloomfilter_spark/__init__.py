@@ -29,6 +29,7 @@ from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.theta import ThetaSketch
 from presto_bloomfilter_spark.functions.moments import MomentsSketch
+from presto_bloomfilter_spark.functions.mg import MisraGries
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -40,6 +41,7 @@ __all__ = [
     "TDigest",
     "ThetaSketch",
     "MomentsSketch",
+    "MisraGries",
     "sketch_from_bytes",
     "compat",
 ]

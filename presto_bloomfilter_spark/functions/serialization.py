@@ -43,6 +43,7 @@ KIND_MULTI = 5
 KIND_TDIGEST = 6
 KIND_THETA = 7
 KIND_MOMENTS = 8
+KIND_MG = 9
 
 _REGISTRY: dict[int, type] = {}
 

@@ -414,6 +414,34 @@ def moments_over_column(col: str, lo: float, hi: float,
     )
 
 
+def mg_over_strings(col: str, k: int = 4096) -> SketchSpec:
+    """Misra-Gries frequent-items summary over a string column
+    (functions/mg.py) — the DETERMINISTIC heavy-hitter sibling of
+    cms_over_strings: at most k exact (item, count) pairs, undercount
+    <= n/(k+1), PODS'12 mergeable trim.  Every item with true count
+    above n/(k+1) is guaranteed present, which is the candidate-
+    generation contract for two-phase exact top-k."""
+    from presto_bloomfilter_spark.functions.mg import MisraGries
+
+    return SketchSpec(
+        (col,),
+        lambda: MisraGries(k),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def mg_over_tokens(col: str = "tokens", k: int = 4096) -> SketchSpec:
+    """Misra-Gries over a flattened array<int> token column — all
+    occurrences, like cms_over_tokens."""
+    from presto_bloomfilter_spark.functions.mg import MisraGries
+
+    return SketchSpec(
+        (col,),
+        lambda: MisraGries(k),
+        lambda sk, b: sk.add_ints(_col_flat_tokens(b, col)),
+    )
+
+
 # ---- ungrouped aggregation (two-level tree merge) ----------------------------
 
 
@@ -810,6 +838,75 @@ def top_k_tokens(
         f"strictly exceed the non-candidate bound {bound} "
         f"(sum of per-partition M-th local counts, M={m}); retry with a "
         f"larger m_per_partition"
+    )
+
+
+def mg_top_k(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    k_counters: int = 4096,
+    certify: bool = True,
+) -> DataFrame:
+    """Exact top-k over a string column via a Misra-Gries candidate
+    sketch + certified re-count — the SKETCH-state sibling of
+    :func:`top_k_tokens` (which keeps exact per-partition count maps):
+
+    Phase 1 (map-only): ONE tree-merged :class:`MisraGries` summary of
+    at most ``k_counters`` (item, count) pairs over the whole column —
+    per-partition state is O(k_counters) regardless of local distinct
+    counts, which is the advantage over the local-top-M plan when
+    partitions are distinct-heavy.  The PODS'12 merge bound guarantees
+    any item NOT retained has true count <= summary.error_bound()
+    <= n/(k_counters+1).
+    Phase 2: exact hash-agg restricted to the <= k_counters candidates
+    (broadcast semi-join BEFORE the shuffle, so the agg shuffles only
+    partitions x candidates partial rows), ranked (count desc, item
+    asc).
+
+    ``certify=True`` (default): raise :class:`TopKNotCertified` unless
+    the k-th candidate's exact count strictly exceeds error_bound() —
+    when it does, no non-candidate can displace the returned rows, so
+    the answer is provably exact.  error_bound()==0 means nothing was
+    ever trimmed: the summary is a complete exact count table and the
+    result is exact even when fewer than k items exist.
+
+    Output: (item string, cnt long).
+    """
+    from presto_bloomfilter_spark.functions.mg import MisraGries  # noqa: F401
+
+    spark = df.sparkSession
+    summary = aggregate_sketch(df.select(col), mg_over_strings(col, k_counters))
+    bound = summary.error_bound()
+    cands = [item for item, _ in summary.topk(k_counters)]
+    if not cands:
+        return spark.createDataFrame([], "item string, cnt long")
+    cand_df = spark.createDataFrame([(c,) for c in cands], "item string")
+    exact = (
+        df.select(F.col(col).alias("item"))
+        .join(F.broadcast(cand_df), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    result = (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("item", "cnt")
+    )
+    if not certify:
+        return result
+    rows = result.collect()
+    kth = min((r.cnt for r in rows), default=0)
+    if (bound == 0) or (kth > bound and len(rows) == k):
+        return spark.createDataFrame(rows, result.schema)
+    raise TopKNotCertified(
+        f"cannot certify top-{k}: k-th candidate count {kth} does not "
+        f"strictly exceed the Misra-Gries undercount bound {bound} "
+        f"(n={summary.n}, k_counters={k_counters}); retry with a larger "
+        f"k_counters"
     )
 
 

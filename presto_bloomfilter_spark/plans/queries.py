@@ -424,6 +424,33 @@ SELECT token, cnt FROM (
 """
 
 
+def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 document words via the Misra-Gries sketch path
+    (operators/aggregate.py:mg_top_k): one tree-merged k_counters=4096
+    summary (map-only, O(k_counters) state per partition — the PODS'12
+    deterministic n/(k+1) undercount bound), then an exact hash-agg
+    restricted to the retained candidates, certified in-band (raises
+    unless the 20th exact count beats the bound).  Word semantics =
+    repo-wide str.split()."""
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(split_words("text")).alias("word"))
+    return agg.mg_top_k(words, "word", k=20, k_counters=4096)
+
+
+ORACLE_MG_TOP_WORDS = """
+SELECT item, cnt FROM (
+  SELECT w AS item, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rn
+  FROM (SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+) WHERE rn <= 20
+"""
+
+
 def q_token_family_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused bloom+CMS+HLL family in one scan (aggregate_sketch_from_
     parquet): for the exact top-20 tokens, bloom must contain each, CMS
@@ -2686,6 +2713,7 @@ QUERIES = {
     "sql_sketch_estimate": q_sql_sketch_estimate,
     "moments_ntok_quantiles": q_moments_ntok_quantiles,
     "sql_bloom_agg_e2e": q_sql_bloom_agg_e2e,
+    "mg_top_words": q_mg_top_words,
 }
 
 ORACLES = {
@@ -2768,4 +2796,5 @@ ORACLES = {
     "sql_sketch_estimate": ORACLE_SQL_SKETCH_ESTIMATE,
     "moments_ntok_quantiles": ORACLE_MOMENTS_NTOK_QUANTILES,
     "sql_bloom_agg_e2e": ORACLE_BLOOM_SEMIJOIN,
+    "mg_top_words": ORACLE_MG_TOP_WORDS,
 }
