@@ -25,7 +25,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import jpeg_codec, png_codec
+from ..functions import jpeg_codec, png_codec, wav_codec, y4m_codec
 
 MEDIA_SCHEMA = "id string, media binary, media_type string"
 META_SCHEMA = "id string, n_bytes int, first_byte int, fake_width int, fake_height int"
@@ -203,6 +203,178 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media_df.select("id", "media").mapInPandas(
         fn, "id string, frame_off int, frame_hash long"
     )
+
+
+def extract_metadata_audio(media_df: DataFrame) -> DataFrame:
+    """REAL audio metadata via the stdlib WAV codec (functions/
+    wav_codec.py — RIFF/WAVE, PCM + IEEE float): header-only parse, no
+    sample reads.  Output (id, n_bytes, sample_rate, n_channels, bits,
+    n_frames, duration_s)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("n_bytes", "sample_rate", "n_channels", "bits",
+                     "n_frames", "duration_s")}
+            for blob in pdf["media"]:
+                blob = bytes(blob) if blob is not None else b""
+                h = wav_codec.wav_read_header(blob)
+                rows["n_bytes"].append(len(blob))
+                rows["sample_rate"].append(h["sample_rate"])
+                rows["n_channels"].append(h["n_channels"])
+                rows["bits"].append(h["bits"])
+                rows["n_frames"].append(h["n_frames"])
+                rows["duration_s"].append(h["n_frames"] / h["sample_rate"])
+            yield pd.DataFrame({"id": pdf["id"], **rows})
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, n_bytes int, sample_rate int, n_channels int, "
+            "bits int, n_frames long, duration_s double")
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode (stdlib WAV codec) →
+    vectorized numpy kernels per payload.  Features are in NATIVE
+    sample units (int16 amplitudes stay integers) so fixture oracles
+    are exact: rms = sqrt(mean(x^2)) over all channels, peak =
+    max |x|, zcr = sign-change rate of channel 0 over frames
+    (crossings/(n_frames-1); 0 when < 2 frames).  Output (id,
+    duration_s, rms, peak, zcr)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            durs, rmss, peaks, zcrs = [], [], [], []
+            for blob in pdf["media"]:
+                x, rate = wav_codec.wav_decode(bytes(blob))
+                xf = x.astype(np.float64, copy=False)
+                n = x.shape[0]
+                durs.append(n / rate)
+                rmss.append(float(np.sqrt(np.mean(xf * xf))) if n else 0.0)
+                peaks.append(float(np.abs(xf).max()) if n else 0.0)
+                if n >= 2:
+                    c0 = xf[:, 0]
+                    # a crossing is a strict sign flip; zeros carry the
+                    # previous sign (np.sign(0)=0 would double-count)
+                    s = np.sign(c0)
+                    zero = s == 0
+                    if zero.any():
+                        idx = np.arange(n)
+                        last = np.maximum.accumulate(
+                            np.where(~zero, idx, -1))
+                        s = np.where(last >= 0, s[np.maximum(last, 0)], 0.0)
+                    zcrs.append(float(np.count_nonzero(
+                        s[1:] * s[:-1] < 0)) / (n - 1))
+                else:
+                    zcrs.append(0.0)
+            yield pd.DataFrame({"id": pdf["id"], "duration_s": durs,
+                                "rms": rmss, "peak": peaks, "zcr": zcrs})
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, duration_s double, rms double, peak double, "
+            "zcr double")
+
+
+def resample_audio(media_df: DataFrame, rate_out: int,
+                   bits: int = 16) -> DataFrame:
+    """Decode → linear-interp resample → re-encode (integer PCM) —
+    binary in, binary out, like resize_image for audio.  Output (id,
+    media, sample_rate, n_frames)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs, n_out = [], []
+            for blob in pdf["media"]:
+                x, rate = wav_codec.wav_decode(bytes(blob))
+                y = wav_codec.resample_linear(x, rate, rate_out)
+                lim = float(1 << (bits - 1))
+                y = np.clip(np.rint(y), -lim, lim - 1)
+                blobs.append(wav_codec.wav_encode(y, rate_out, bits))
+                n_out.append(y.shape[0])
+            yield pd.DataFrame({
+                "id": pdf["id"], "media": blobs,
+                "sample_rate": np.full(len(pdf), rate_out, np.int32),
+                "n_frames": np.asarray(n_out, np.int64)})
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, media binary, sample_rate int, n_frames long")
+
+
+def extract_metadata_video(media_df: DataFrame) -> DataFrame:
+    """REAL video metadata via the stdlib Y4M codec (functions/
+    y4m_codec.py): frame COUNT comes from the O(n_frames) offset walk,
+    no pixel reads.  Output (id, n_bytes, width, height, fps_num,
+    fps_den, chroma, n_frames)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("n_bytes", "width", "height",
+                                    "fps_num", "fps_den", "chroma",
+                                    "n_frames")}
+            for blob in pdf["media"]:
+                blob = bytes(blob) if blob is not None else b""
+                h = y4m_codec.y4m_read_header(blob)
+                rows["n_bytes"].append(len(blob))
+                rows["width"].append(h["w"])
+                rows["height"].append(h["h"])
+                rows["fps_num"].append(h["fps_num"])
+                rows["fps_den"].append(h["fps_den"])
+                rows["chroma"].append(h["chroma"])
+                rows["n_frames"].append(h["n_frames"])
+            yield pd.DataFrame({"id": pdf["id"], **rows})
+
+    return media_df.select("id", "media").mapInPandas(
+        fn, "id string, n_bytes int, width int, height int, "
+            "fps_num int, fps_den int, chroma string, n_frames int")
+
+
+def frame_sample_video(media_df: DataFrame, every_n: int = 1,
+                       max_frames: int | None = None,
+                       to_png: bool = False) -> DataFrame:
+    """REAL video frame sampling (the fan-out shape: output rows >>
+    input rows): frames 0, every_n, 2*every_n, ... are sliced straight
+    out of the payload via the frame-offset index — unsampled frames
+    are never touched, so sampling 3 of 10k frames reads 3 planes.
+    Output (id, frame_idx, width, height, y_mean, cb_mean, cr_mean
+    [, frame_png]); ``to_png=True`` re-encodes each sampled Y plane as
+    a grayscale PNG — the handoff into the image operators
+    (extract_metadata_image / resize_image / feature extraction)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "frame_idx", "width", "height",
+                                   "y_mean", "cb_mean", "cr_mean")}
+            pngs = []
+            for did, blob in zip(pdf["id"], pdf["media"]):
+                blob = bytes(blob)
+                hdr, offsets = y4m_codec.y4m_index(blob)
+                take = offsets[::every_n]
+                idxs = range(0, len(offsets), every_n)
+                if max_frames is not None:
+                    take = take[:max_frames]
+                for fi, off in zip(idxs, take):
+                    y, cb, cr = y4m_codec.y4m_decode_frame(blob, hdr, off)
+                    out["id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(hdr["w"])
+                    out["height"].append(hdr["h"])
+                    out["y_mean"].append(float(y.mean()))
+                    out["cb_mean"].append(
+                        float(cb.mean()) if cb is not None else None)
+                    out["cr_mean"].append(
+                        float(cr.mean()) if cr is not None else None)
+                    if to_png:
+                        pngs.append(png_codec.png_encode(y))
+            if to_png:
+                out["frame_png"] = pngs
+            yield pd.DataFrame(out)
+
+    schema = ("id string, frame_idx int, width int, height int, "
+              "y_mean double, cb_mean double, cr_mean double")
+    if to_png:
+        schema += ", frame_png binary"
+    return media_df.select("id", "media").mapInPandas(fn, schema)
 
 
 def resize_stub(media_df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:

@@ -1998,6 +1998,116 @@ FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction, cross-engine-checked:
+    synthesize a 16-bit mono square-wave WAV per document whose
+    geometry derives from length(text) (rate = 8000 + n%3*4000,
+    amplitude = (n%50+1)*300, half-period = n%7+2 frames, n_frames =
+    2*period*(n%20+4)), run extract_metadata_audio + audio_features
+    (operators/multimodal.py over the stdlib RIFF codec,
+    functions/wav_codec.py), and emit the decoded header fields and
+    features.  A square wave makes every feature INTEGER-EXACT in
+    native sample units (rms = peak = amplitude; crossings =
+    n_frames/period - 1), so the oracle recomputes all of them from
+    length(text) in pure SQL and a decoder that misparses fmt/data or
+    mis-scales samples fails the value hash."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions import wav_codec as wc  # noqa: PLC0415
+    from ..operators import multimodal as mm  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_wav(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                rate = 8_000 + (n % 3) * 4_000
+                amp = (n % 50 + 1) * 300
+                period = n % 7 + 2
+                n_frames = 2 * period * (n % 20 + 4)
+                t_ax = np.arange(n_frames)
+                sq = np.where((t_ax // period) % 2 == 0, amp, -amp)
+                payloads.append(wc.wav_encode(sq, rate, 16))
+            yield pd.DataFrame({"id": pdf["doc_id"].astype(str),
+                                "media": payloads})
+
+    media = docs.mapInPandas(make_wav, "id string, media binary")
+    meta = mm.extract_metadata_audio(media).select(
+        "id", "sample_rate", "n_frames", "duration_s")
+    feats = mm.audio_features(media).select("id", "rms", "peak", "zcr")
+    return meta.join(feats, "id")
+
+
+ORACLE_MULTIMODAL_AUDIO_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(8000 + (n % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf AS DOUBLE) / (8000 + (n % 3) * 4000) AS duration_s,
+       CAST((n % 50 + 1) * 300 AS DOUBLE) AS rms,
+       CAST((n % 50 + 1) * 300 AS DOUBLE) AS peak,
+       CAST(2 * (n % 20 + 4) - 1 AS DOUBLE) / (nf - 1) AS zcr
+FROM (SELECT doc_id, length(text) AS n,
+             2 * (length(text) % 7 + 2) * (length(text) % 20 + 4) AS nf
+      FROM documents)
+"""
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video parse + frame sampling, cross-engine-checked:
+    synthesize a C420 .y4m per document (dims (n%16+4)*2 x (n%12+3)*2,
+    n%6+3 frames, frame i's Y plane constant (n + 13*i)%256, chroma
+    constant 128/64), sample every 2nd frame through frame_sample_video
+    (operators/multimodal.py over functions/y4m_codec.py — unsampled
+    frames are never decoded), and emit per-frame dims + plane means.
+    The oracle regenerates the sampled frame indices with
+    generate_series and recomputes the exact constant-plane means from
+    length(text) in pure SQL."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions import y4m_codec as yc  # noqa: PLC0415
+    from ..operators import multimodal as mm  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def make_y4m(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                w, h = (n % 16 + 4) * 2, (n % 12 + 3) * 2
+                frames = []
+                for i in range(n % 6 + 3):
+                    frames.append((
+                        np.full((h, w), (n + 13 * i) % 256, np.uint8),
+                        np.full((h // 2, w // 2), 128, np.uint8),
+                        np.full((h // 2, w // 2), 64, np.uint8)))
+                payloads.append(yc.y4m_encode(frames, fps=(30, 1)))
+            yield pd.DataFrame({"id": pdf["doc_id"].astype(str),
+                                "media": payloads})
+
+    media = docs.mapInPandas(make_y4m, "id string, media binary")
+    return mm.frame_sample_video(media, every_n=2).select(
+        "id", "frame_idx", "width", "height", "y_mean", "cb_mean", "cr_mean")
+
+
+ORACLE_MULTIMODAL_VIDEO_FRAMES = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST((n % 16 + 4) * 2 AS INTEGER) AS width,
+       CAST((n % 12 + 3) * 2 AS INTEGER) AS height,
+       CAST((n + 13 * fi) % 256 AS DOUBLE) AS y_mean,
+       CAST(128 AS DOUBLE) AS cb_mean,
+       CAST(64 AS DOUBLE) AS cr_mean
+FROM (SELECT doc_id, length(text) AS n,
+             UNNEST(generate_series(0, length(text) % 6 + 2, 2)) AS fi
+      FROM documents)
+"""
+
+
 def _contamination_split(spark: SparkSession, sf_dir: str):
     """Deterministic md5-bucket train/test split of the documents table
     (same engine-portable predicate as hash_sample): bucket < 10 is the
@@ -2714,6 +2824,8 @@ QUERIES = {
     "moments_ntok_quantiles": q_moments_ntok_quantiles,
     "sql_bloom_agg_e2e": q_sql_bloom_agg_e2e,
     "mg_top_words": q_mg_top_words,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_video_frames": q_multimodal_video_frames,
 }
 
 ORACLES = {
@@ -2797,4 +2909,6 @@ ORACLES = {
     "moments_ntok_quantiles": ORACLE_MOMENTS_NTOK_QUANTILES,
     "sql_bloom_agg_e2e": ORACLE_BLOOM_SEMIJOIN,
     "mg_top_words": ORACLE_MG_TOP_WORDS,
+    "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO_FEATURES,
+    "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
 }
