@@ -267,6 +267,122 @@ def embedding_near_dup_pairs_lsh(
     return joined.mapInPandas(verify, "id_a long, id_b long")
 
 
+def semantic_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int | None = None,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_strategy: str = "kmeans",
+    sample_rows: int = 20_000,
+    chunk_rows: int = 4096,
+    max_cluster_rows: int = 500_000,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas, Tirumala, Simig,
+    Ganguli & Morcos, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): cluster the
+    embedding space coarsely, then compare pairs ONLY within a cluster
+    — O(sum of cluster-size^2) instead of O(n^2), the published trade
+    for corpus-scale semantic dedup.
+
+    Keep rule (deterministic, engine-portable): a row is dropped iff
+    SOME other row in its cluster with a SMALLER id has cosine >=
+    ``threshold`` to it — i.e. each near-dup neighborhood keeps its
+    lowest id.  (Neighborhood-based, not transitive-chain-based: x is
+    judged against all smaller-id cluster members, dropped or not —
+    this is what makes the rule order-independent and expressible in
+    one SQL EXISTS for the cross-engine gate.)
+
+    Clustering: ``centroids`` (normalized, from spherical_kmeans over a
+    sample) when given; else ``seed_strategy``:
+    - ``"kmeans"`` (default, the quality path): spherical k-means over
+      a bounded driver-side sample, like the IVF coarse quantizer;
+    - ``"first"``: the ``n_clusters`` smallest-id rows' embeddings are
+      the seeds — fully deterministic AND recomputable in pure SQL,
+      which is what the correctness gate uses.
+    Assignment = nearest centroid by cosine, ties to the lowest
+    centroid index (np.argmax / ROW_NUMBER agree).
+
+    Dataflow: assignment is map-only; the pair phase shuffles rows
+    once on cluster_id and each cluster runs one chunked BLAS matmul
+    (never materializing the full cluster Gram matrix).  A cluster
+    larger than ``max_cluster_rows`` fails loud — at that size the
+    clustering is too coarse and n_clusters should grow (the paper
+    uses n_clusters ~ sqrt(n), our default).
+
+    Output: (id_col, cluster_id long, kept boolean) — one row per
+    input row; filter kept to materialize the deduplicated corpus.
+    """
+    if seed_strategy not in ("kmeans", "first"):
+        raise ValueError(f"unknown seed_strategy {seed_strategy!r}")
+    if centroids is None:
+        if n_clusters is None:
+            n_clusters = max(1, int(math.sqrt(df.count())))
+        if seed_strategy == "first":
+            seed_rows = (df.select(id_col, vec_col)
+                         .orderBy(id_col).limit(n_clusters).collect())
+            centroids = _normalize(np.array(
+                [r[vec_col] for r in seed_rows], dtype=np.float64))
+        else:
+            from presto_bloomfilter_spark.operators.sampling import md5_bucket
+
+            frac_buckets = 10_000
+            sample = (df.select(id_col, vec_col)
+                      .withColumn("__b", md5_bucket(id_col, frac_buckets)))
+            # bounded driver sample, hash-deterministic like the IVF path
+            n_total = df.count()
+            keep = min(frac_buckets,
+                       max(1, int(frac_buckets * sample_rows / max(n_total, 1))))
+            mat = _to_matrix(pd.Series(
+                [r[vec_col] for r in
+                 sample.filter(F.col("__b") < keep).limit(sample_rows).collect()]))
+            centroids = spherical_kmeans(mat, n_clusters)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = _normalize(_to_matrix(pdf[vec_col]))
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "cluster_id": np.argmax(m @ cent.T, axis=1).astype(np.int64),
+                "v": pdf[vec_col],
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"id {id_type}, cluster_id long, v array<float>")
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"cluster {int(pdf['cluster_id'].iloc[0])} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}; "
+                "increase n_clusters (SemDeDup wants ~sqrt(n)) or raise "
+                "the cap")
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        m = _normalize(_to_matrix(pdf["v"]))
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        for a in range(0, n, chunk_rows):
+            b = min(a + chunk_rows, n)
+            sims = m[a:b] @ m.T  # (b-a, n)
+            hit = sims >= threshold
+            # only SMALLER-id columns count: global column index < row's
+            cols = np.arange(n)[None, :] < np.arange(a, b)[:, None]
+            dropped[a:b] = (hit & cols).any(axis=1)
+        return pd.DataFrame({"id": pdf["id"], "cluster_id": pdf["cluster_id"],
+                             "kept": ~dropped})
+
+    return (assigned.groupBy("cluster_id")
+            .applyInPandas(per_cluster,
+                           f"id {id_type}, cluster_id long, kept boolean")
+            .withColumnRenamed("id", id_col))
+
+
 # ---- index builders -----------------------------------------------------------
 
 

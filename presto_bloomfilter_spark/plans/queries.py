@@ -1454,6 +1454,50 @@ def _oracle_tokenize_bpe() -> str:
             + ") AS t(id, n_tok, tokens_md5, roundtrip_ok)")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (similarity.semantic_dedup,
+    arXiv:2303.09540): coarse clustering, then the keep-lowest-id rule
+    over WITHIN-cluster cosine pairs at threshold 0.4 — O(sum
+    cluster_size^2) instead of O(n^2).  Gate uses the deterministic
+    ``seed_strategy="first"`` quantizer (seeds = the 8 smallest-id
+    embeddings) so the oracle replays clustering + keep rule exactly
+    in SQL; production uses the spherical-kmeans quantizer, whose
+    recall is pytest-checked against this exact form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        spark, emb, threshold=0.4, n_clusters=8, seed_strategy="first",
+    ).select(F.col("vec_id").alias("id"), "cluster_id", "kept")
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS sv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assign AS (
+  SELECT vec_id, cid AS cluster_id, embedding FROM (
+    SELECT e.vec_id, s.cid, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(s.sv AS DOUBLE[])) DESC,
+             s.cid ASC) AS rn
+    FROM embeddings e, seeds s
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM assign x JOIN assign y
+    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= 0.4
+)
+SELECT a.vec_id AS id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       a.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+FROM assign a
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.4 — blocked
     brute-force over a broadcast matrix (see similarity module for the
@@ -2826,6 +2870,7 @@ QUERIES = {
     "mg_top_words": q_mg_top_words,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -2911,4 +2956,5 @@ ORACLES = {
     "mg_top_words": ORACLE_MG_TOP_WORDS,
     "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

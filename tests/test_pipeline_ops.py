@@ -123,6 +123,61 @@ def test_lsh_topk_recall(spark, emb):
     assert np.mean(recalls) >= 0.3, recalls
 
 
+def _np_semantic_dedup(emb_rows, cent, threshold):
+    """Reference: assign by cosine argmax, drop iff a smaller-id
+    cluster-mate is >= threshold."""
+    ids = np.array([r.vec_id for r in emb_rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack([np.array(emb_rows[i].embedding, np.float64)
+                    for i in order])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cl = np.argmax(mat @ cent.T, axis=1)
+    kept = {}
+    for i in range(len(ids)):
+        same = (cl == cl[i]) & (ids < ids[i])
+        kept[int(ids[i])] = not bool((mat[same] @ mat[i] >= threshold).any())
+    return kept, {int(v): int(c) for v, c in zip(ids, cl)}
+
+
+def test_semantic_dedup_first_seed_matches_numpy(spark, emb):
+    rows = emb.collect()
+    seed_rows = sorted(rows, key=lambda r: r.vec_id)[:6]
+    cent = np.stack([np.array(r.embedding, np.float64) for r in seed_rows])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    want_kept, want_cl = _np_semantic_dedup(rows, cent, 0.4)
+    got = similarity.semantic_dedup(
+        spark, emb, threshold=0.4, n_clusters=6, seed_strategy="first",
+        chunk_rows=37,  # force the chunked path
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert r.kept == want_kept[r.vec_id], r
+        assert r.cluster_id == want_cl[r.vec_id], r
+
+
+def test_semantic_dedup_kmeans_path_and_guards(spark, emb):
+    out = similarity.semantic_dedup(spark, emb, threshold=0.4,
+                                    n_clusters=5, seed_strategy="kmeans")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster_id for r in rows} <= set(range(5))
+    # a duplicate row of vec 0 must be dropped while vec 0 survives
+    import pyspark.sql.functions as _F
+    dup = emb.filter("vec_id = 0").withColumn("vec_id", _F.lit(999_999))
+    out2 = {r.vec_id: r.kept
+            for r in similarity.semantic_dedup(
+                spark, emb.unionByName(dup), threshold=0.99,
+                n_clusters=4, seed_strategy="first").collect()}
+    assert out2[0] is True and out2[999_999] is False
+    with pytest.raises(ValueError, match="seed_strategy"):
+        similarity.semantic_dedup(spark, emb, 0.4, seed_strategy="nope")
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        similarity.semantic_dedup(spark, emb, 0.4, n_clusters=1,
+                                  seed_strategy="first",
+                                  max_cluster_rows=10).collect()
+
+
 def test_lsh_buckets_shape(spark, emb):
     b = similarity.hyperplane_lsh_buckets(emb, bits=6)
     assert b.count() == emb.count()
