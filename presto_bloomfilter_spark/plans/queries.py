@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark.operators import aggregate as agg
 from presto_bloomfilter_spark.operators import (
-    contamination, dedup, multimodal, packing, ranking, sampling, similarity,
-    text,
+    contamination, dedup, multimodal, packing, ranking, sampling, selection,
+    similarity, text,
 )
 from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
 from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
@@ -1498,6 +1498,75 @@ FROM assign a
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (selection.dsir_select,
+    arXiv:2302.03169): target = the src0 documents, raw = the whole
+    corpus; hashed unigram+bigram multinomials over 256 md5 buckets,
+    per-doc log importance weight, deterministic Gumbel top-k
+    selection of n/10 documents.  FULL value oracle: DuckDB refits
+    both multinomials, rescores every doc, replays the salted-md5
+    Gumbel draw and the top-k cut.  log_weight is rounded to 6dp on
+    BOTH sides (a ~100-term float sum; cross-engine ln ulp noise is
+    ~1e-13, far under the grid); the selected flag compares unrounded
+    keys whose adjacent order-statistic gaps are ~1/n >> ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    k = max(20, d.count() // 10)
+    out = selection.dsir_select(
+        d, d.filter(F.col("source") == "src0"), k=k,
+        buckets=256, smoothing=0.5)
+    return out.select("id", "n_grams",
+                      F.round("log_weight", 6).alias("log_weight"),
+                      "selected")
+
+
+ORACLE_DSIR_SELECT = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT id, source,
+         unnest(words || list_transform(range(1, len(words)),
+                                        i -> words[i] || chr(31) || words[i + 1])) AS gram
+  FROM d
+),
+b AS (
+  SELECT id, source,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM g
+),
+tc AS (SELECT bucket, count(*) AS c FROM b WHERE source = 'src0' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+llr AS (
+  SELECT grid.bucket,
+         ln((coalesce(tc.c, 0) + 0.5)
+            / ((SELECT count(*) FROM b WHERE source = 'src0') + 0.5 * 256))
+         - ln((coalesce(rc.c, 0) + 0.5)
+              / ((SELECT count(*) FROM b) + 0.5 * 256)) AS llr
+  FROM (SELECT unnest(range(256)) AS bucket) grid
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+),
+w AS (
+  SELECT b.id, count(*) AS n_grams, sum(llr.llr) AS log_weight
+  FROM b JOIN llr USING (bucket) GROUP BY b.id
+),
+scored AS (
+  SELECT d.id,
+         CAST(coalesce(w.n_grams, 0) AS INTEGER) AS n_grams,
+         coalesce(w.log_weight, 0.0) AS log_weight,
+         coalesce(w.log_weight, 0.0)
+           + (-ln(-ln((CAST(('0x' || substr(md5(d.id || chr(31) || 'gumbel'), 1, 13))
+                            AS BIGINT) + 0.5) / 4503599627370496.0))) AS gkey
+  FROM d LEFT JOIN w USING (id)
+)
+SELECT id, n_grams, round(log_weight, 6) AS log_weight,
+       row_number() OVER (ORDER BY gkey DESC, id)
+         <= GREATEST(20, (SELECT count(*) FROM d) // 10) AS selected
+FROM scored
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.4 — blocked
     brute-force over a broadcast matrix (see similarity module for the
@@ -2871,6 +2940,7 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_video_frames": q_multimodal_video_frames,
     "semantic_dedup": q_semantic_dedup,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -2957,4 +3027,5 @@ ORACLES = {
     "multimodal_audio_features": ORACLE_MULTIMODAL_AUDIO_FEATURES,
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "dsir_select": ORACLE_DSIR_SELECT,
 }

@@ -1,0 +1,120 @@
+"""DSIR hashed-ngram importance resampling (operators/selection.py)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import selection
+
+B = 64
+S = 0.5
+
+
+def _py_grams(text):
+    w = text.split()
+    return w + [a + "\x1f" + b for a, b in zip(w, w[1:])]
+
+
+def _py_bucket(g, buckets=B):
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _py_llr(target_texts, raw_texts, buckets=B, s=S):
+    tc = np.zeros(buckets)
+    rc = np.zeros(buckets)
+    for t in target_texts:
+        for g in _py_grams(t):
+            tc[_py_bucket(g, buckets)] += 1
+    for t in raw_texts:
+        for g in _py_grams(t):
+            rc[_py_bucket(g, buckets)] += 1
+    return (np.log((tc + s) / (tc.sum() + s * buckets))
+            - np.log((rc + s) / (rc.sum() + s * buckets)))
+
+
+def _py_gumbel(doc_id):
+    u = (int(hashlib.md5((str(doc_id) + "\x1fgumbel").encode())
+             .hexdigest()[:13], 16) + 0.5) / float(1 << 52)
+    return -math.log(-math.log(u))
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "source").cache())
+
+
+def test_dsir_log_weights_match_numpy(spark, docs):
+    rows = docs.collect()
+    target = [r.text for r in rows if r.source == "src0"]
+    llr = _py_llr(target, [r.text for r in rows])
+    want = {}
+    for r in rows:
+        gs = _py_grams(r.text)
+        want[str(r.doc_id)] = (len(gs),
+                               float(sum(llr[_py_bucket(g)] for g in gs)))
+    llr_df = selection.dsir_log_ratios(
+        docs.filter("source = 'src0'"), docs, buckets=B, smoothing=S)
+    got = selection.dsir_log_weights(docs, llr_df, buckets=B).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        n, w = want[r.id]
+        assert r.n_grams == n
+        assert r.log_weight == pytest.approx(w, abs=1e-9)
+
+
+def test_dsir_target_docs_score_higher(spark, docs):
+    out = selection.dsir_select(
+        docs, docs.filter("source = 'src0'"), k=50, buckets=256)
+    per = {r["source"]: r["m"] for r in
+           out.join(docs.select(F.col("doc_id").cast("string").alias("id"),
+                                "source"), "id")
+           .groupBy("source").agg(F.avg("log_weight").alias("m")).collect()}
+    others = [v for k, v in per.items() if k != "src0"]
+    assert per["src0"] > max(others) or per["src0"] > np.mean(others)
+
+
+def test_dsir_select_exact_k_and_deterministic(spark, docs):
+    n = docs.count()
+    out1 = selection.dsir_select(
+        docs, docs.filter("source = 'src0'"), k=40, buckets=B).collect()
+    out2 = selection.dsir_select(
+        docs, docs.filter("source = 'src0'"), k=40, buckets=B).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == n
+    assert sum(r.selected for r in out1) == 40
+    # gumbel parity with the pure-python formula decides the same set
+    llr = None  # weights parity is covered above; here check the keys
+    by_id = {r.id: r for r in out1}
+    keyed = sorted(((r.log_weight + _py_gumbel(r.id), r.id)
+                    for r in out1), key=lambda t: (-t[0], t[1]))
+    want_sel = {i for _, i in keyed[:40]}
+    got_sel = {r.id for r in out1 if r.selected}
+    assert got_sel == want_sel
+
+
+def test_dsir_select_k_ge_n_selects_all_and_empty_docs_survive(spark, docs):
+    empty = spark.createDataFrame(
+        [(999_999, "   ", "srcX")], "doc_id long, text string, source string")
+    d = docs.unionByName(empty)
+    out = {r.id: r for r in selection.dsir_select(
+        d, d.filter("source = 'src0'"), k=10_000_000, buckets=B).collect()}
+    assert all(r.selected for r in out.values())
+    assert out["999999"].n_grams == 0
+    assert out["999999"].log_weight == 0.0
+
+
+def test_dsir_guards(spark, docs):
+    t = docs.filter("source = 'src0'")
+    with pytest.raises(ValueError, match="k must"):
+        selection.dsir_select(docs, t, k=0)
+    with pytest.raises(ValueError, match="temperature"):
+        selection.dsir_select(docs, t, k=5, temperature=0.0)
+    with pytest.raises(ValueError, match="buckets"):
+        selection.dsir_log_ratios(t, docs, buckets=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        selection.dsir_log_ratios(t, docs, smoothing=0.0)
