@@ -117,6 +117,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         # individual builds through the DataFrame (JVM-scan) path
         ("bloom_build_tokens", lambda: agg.aggregate_sketch(
             tokens, agg.bloom_over_tokens("tokens", 1_000_000, 0.01), target_partials=CPUS)),
+        # split-block sibling of the two bloom entries: same dataflow,
+        # blocked bitset (one-cache-line probes; functions/sbbf.py)
+        ("sbbf_build_tokens", lambda: agg.aggregate_sketch(
+            tokens, agg.sbbf_over_tokens("tokens", 1_000_000, 0.01), target_partials=CPUS)),
         ("hll_tokens_by_source", lambda: agg.grouped_sketch(
             tokens, "source", agg.hll_over_tokens("tokens")).collect()),
         ("hll_by_source_fused", lambda: agg.grouped_sketch_from_parquet(
@@ -133,6 +137,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("pack_sequences", lambda: packing.pack_concat_chunks(
             tokens, 2048, eos_id=50256).agg(F.count("*")).collect()),
         ("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect()),
+        ("sbbf_semijoin", lambda: Q.q_sbbf_semijoin(spark, sf_dir).collect()),
         ("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect()),
         ("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count()),
         ("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count()),

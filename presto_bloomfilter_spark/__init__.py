@@ -8,7 +8,8 @@ library:
 - pure-numpy, vectorized sketch cores with one mergeable algebra
   (``new / update_batch / merge / estimate / to_bytes / from_bytes``):
   Bloom (reference parity, plus hash-sharded families for key spaces
-  beyond one filter), HyperLogLog (with union/intersection/Jaccard
+  beyond one filter and a split-block/Parquet-style blocked sibling
+  with one-cache-line probes), HyperLogLog (with union/intersection/Jaccard
   estimates), Count-Min, KLL and t-digest quantiles, and theta/KMV
   (accurate distinct set operations);
 - a thin Spark dataflow layer that runs those cores inside
@@ -23,6 +24,7 @@ No JVM code, no custom Catalyst rules, no per-row Python in hot paths.
 """
 
 from presto_bloomfilter_spark.functions.bloom import BloomFilter
+from presto_bloomfilter_spark.functions.sbbf import SplitBlockBloomFilter
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
@@ -35,6 +37,7 @@ from presto_bloomfilter_spark import compat
 
 __all__ = [
     "BloomFilter",
+    "SplitBlockBloomFilter",
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",

@@ -44,6 +44,7 @@ KIND_TDIGEST = 6
 KIND_THETA = 7
 KIND_MOMENTS = 8
 KIND_MG = 9
+KIND_SBBF = 10
 
 _REGISTRY: dict[int, type] = {}
 

@@ -45,6 +45,7 @@ from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.multi import MultiSketch
+from presto_bloomfilter_spark.functions.sbbf import SplitBlockBloomFilter
 from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 
@@ -273,6 +274,35 @@ def bloom_over_ints(col: str, n: int = BloomFilter.DEFAULT_EXPECTED_INSERTIONS,
     return SketchSpec(
         (col,),
         lambda: BloomFilter(n, p),
+        lambda sk, b: sk.add_ints(_col_ints(b, col)),
+    )
+
+
+def sbbf_over_strings(col: str, n: int = SplitBlockBloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                      p: float = SplitBlockBloomFilter.DEFAULT_FPP) -> SketchSpec:
+    """Split-block (Parquet-style blocked) bloom over a string column —
+    same build dataflow as bloom_over_strings, one-cache-line probes."""
+    return SketchSpec(
+        (col,),
+        lambda: SplitBlockBloomFilter(n, p),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def sbbf_over_tokens(col: str = "tokens", n: int = SplitBlockBloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                     p: float = SplitBlockBloomFilter.DEFAULT_FPP) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: TokenDedupAccumulator(SplitBlockBloomFilter(n, p)),
+        lambda sk, b: sk.add_flat(_col_flat_tokens(b, col)),
+    )
+
+
+def sbbf_over_ints(col: str, n: int = SplitBlockBloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                   p: float = SplitBlockBloomFilter.DEFAULT_FPP) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: SplitBlockBloomFilter(n, p),
         lambda sk, b: sk.add_ints(_col_ints(b, col)),
     )
 

@@ -32,7 +32,15 @@ from presto_bloomfilter_spark.operators.aggregate import (
     aggregate_sketch,
     bloom_over_ints,
     bloom_over_strings,
+    sbbf_over_ints,
+    sbbf_over_strings,
 )
+
+# membership-sketch spec factories per `kind` arg of bloom_semi_join
+_SEMI_JOIN_SPECS = {
+    "bloom": (bloom_over_strings, bloom_over_ints),
+    "sbbf": (sbbf_over_strings, sbbf_over_ints),
+}
 
 # executor-local deserialization cache, keyed by the 32-byte sha256
 # header (reference cache: max 40 entries, BloomFilterScalarFunctions.java:25)
@@ -181,6 +189,7 @@ def bloom_semi_join(
     fpp: float = BloomFilter.DEFAULT_FPP,
     exact: bool = True,
     fan_in: int = DEFAULT_FAN_IN,
+    kind: str = "bloom",
 ) -> DataFrame:
     """The reference's motivating pattern (README.md:8-38): replace an
     expensive join with build-side bloom + probe-side filter.
@@ -190,7 +199,15 @@ def bloom_semi_join(
     exact semi join while the heavy scan-side work is done by the bloom
     predicate (this mirrors what Catalyst's InjectRuntimeFilter does
     automatically, but user-controlled and persistable — SURVEY.md §4).
+
+    ``kind`` picks the membership sketch: ``"bloom"`` (reference-parity
+    classic filter) or ``"sbbf"`` (split-block/Parquet blocked variant
+    — one-cache-line probes, same no-false-negative contract).
     """
+    if kind not in _SEMI_JOIN_SPECS:
+        raise ValueError(f"unknown sketch kind {kind!r}; "
+                         f"one of {sorted(_SEMI_JOIN_SPECS)}")
+    spec_strings, spec_ints = _SEMI_JOIN_SPECS[kind]
     int_types = {"tinyint", "smallint", "int", "bigint"}
     pt, bt = dict(probe_df.dtypes)[probe_col], dict(build_df.dtypes)[build_col]
     ints = pt in int_types and bt in int_types
@@ -218,13 +235,13 @@ def bloom_semi_join(
         # integer keys: no casts — int hashing stays pure numpy and the
         # verify join compares native longs
         raw_keys = build_df.select(build_col)
-        spec = bloom_over_ints(build_col, expected_insertions, fpp)
+        spec = spec_ints(build_col, expected_insertions, fpp)
         pre = probe_df.filter(contains_udf(spark, aggregate_sketch(raw_keys, spec, fan_in),
                                            ints=True)(F.col(probe_col)))
         join_cond_col = F.col(probe_col)
     else:
         raw_keys = build_df.select(F.col(build_col).cast("string").alias(build_col))
-        spec = bloom_over_strings(build_col, expected_insertions, fpp)
+        spec = spec_strings(build_col, expected_insertions, fpp)
         pre = probe_df.filter(contains_udf(spark, aggregate_sketch(raw_keys, spec, fan_in))(
             F.col(probe_col).cast("string")))
         join_cond_col = F.col(probe_col).cast("string")

@@ -71,6 +71,26 @@ GROUP BY l_returnflag
 """
 
 
+def q_sbbf_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship semi-join shape on the split-block (Parquet-style
+    blocked) filter, functions/sbbf.py: one-cache-line probes, exact
+    Poisson-blocked FPR sizing.  Same exact-verify semantics → same
+    oracle as bloom_semijoin."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 300_000).select("o_orderkey")
+    filtered = bloom_semi_join(spark, lineitem, "l_orderkey", big, "o_orderkey",
+                               expected_insertions=50_000, fpp=0.001,
+                               kind="sbbf")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_SBBF_SEMIJOIN = ORACLE_BLOOM_SEMIJOIN
+
+
 def q_sharded_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bloom_semijoin at the 10^12-key posture: the membership state is
     a FAMILY of hash-sharded filters (operators/sharded.py) — built in
@@ -2941,6 +2961,7 @@ QUERIES = {
     "multimodal_video_frames": q_multimodal_video_frames,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
+    "sbbf_semijoin": q_sbbf_semijoin,
 }
 
 ORACLES = {
@@ -3028,4 +3049,5 @@ ORACLES = {
     "multimodal_video_frames": ORACLE_MULTIMODAL_VIDEO_FRAMES,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "dsir_select": ORACLE_DSIR_SELECT,
+    "sbbf_semijoin": ORACLE_SBBF_SEMIJOIN,
 }
