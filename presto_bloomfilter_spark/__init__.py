@@ -25,6 +25,7 @@ No JVM code, no custom Catalyst rules, no per-row Python in hot paths.
 
 from presto_bloomfilter_spark.functions.bloom import BloomFilter
 from presto_bloomfilter_spark.functions.sbbf import SplitBlockBloomFilter
+from presto_bloomfilter_spark.functions.cbf import CountingBloomFilter
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
@@ -38,6 +39,7 @@ from presto_bloomfilter_spark import compat
 __all__ = [
     "BloomFilter",
     "SplitBlockBloomFilter",
+    "CountingBloomFilter",
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",

@@ -45,6 +45,7 @@ KIND_THETA = 7
 KIND_MOMENTS = 8
 KIND_MG = 9
 KIND_SBBF = 10
+KIND_CBF = 11
 
 _REGISTRY: dict[int, type] = {}
 

@@ -45,6 +45,7 @@ from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.kll import KLLSketch
 from presto_bloomfilter_spark.functions.multi import MultiSketch
+from presto_bloomfilter_spark.functions.cbf import CountingBloomFilter
 from presto_bloomfilter_spark.functions.sbbf import SplitBlockBloomFilter
 from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
@@ -303,6 +304,28 @@ def sbbf_over_ints(col: str, n: int = SplitBlockBloomFilter.DEFAULT_EXPECTED_INS
     return SketchSpec(
         (col,),
         lambda: SplitBlockBloomFilter(n, p),
+        lambda sk, b: sk.add_ints(_col_ints(b, col)),
+    )
+
+
+def cbf_over_strings(col: str, n: int = CountingBloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                     p: float = CountingBloomFilter.DEFAULT_FPP) -> SketchSpec:
+    """Counting bloom over a string column — merge is saturating
+    counter ADDITION (multiset), so the same partial/tree dataflow
+    builds both the insert filter and the delete filter that
+    ``CountingBloomFilter.subtract`` consumes."""
+    return SketchSpec(
+        (col,),
+        lambda: CountingBloomFilter(n, p),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def cbf_over_ints(col: str, n: int = CountingBloomFilter.DEFAULT_EXPECTED_INSERTIONS,
+                  p: float = CountingBloomFilter.DEFAULT_FPP) -> SketchSpec:
+    return SketchSpec(
+        (col,),
+        lambda: CountingBloomFilter(n, p),
         lambda sk, b: sk.add_ints(_col_ints(b, col)),
     )
 

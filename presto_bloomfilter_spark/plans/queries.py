@@ -91,6 +91,41 @@ def q_sbbf_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SBBF_SEMIJOIN = ORACLE_BLOOM_SEMIJOIN
 
 
+def q_cbf_delete_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership maintenance with DELETION (functions/cbf.py): build a
+    counting bloom over the >250k order keys, then RETRACT the 'F'
+    orders by aggregating a second filter over the delete keys and
+    subtracting it — two distributed builds, zero per-key driver work.
+    The semi-join then probes the net filter; exact verify against the
+    live key set removes false positives, so the result equals the
+    exact semi join on (inserted minus deleted) — which is the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = F.col("o_totalprice") > 250_000
+    ins = orders.filter(big).select("o_orderkey")
+    dels = orders.filter(big & (F.col("o_orderstatus") == "F")).select("o_orderkey")
+    sk = agg.aggregate_sketch(ins, agg.cbf_over_ints("o_orderkey", n=50_000, p=0.001))
+    sk.subtract(
+        agg.aggregate_sketch(dels, agg.cbf_over_ints("o_orderkey", n=50_000, p=0.001)))
+    pre = lineitem.filter(contains_udf(spark, sk, ints=True)(F.col("l_orderkey")))
+    live = (orders.filter(big & (F.col("o_orderstatus") != "F"))
+            .select(F.col("o_orderkey").alias("l_orderkey")).distinct())
+    filtered = pre.join(F.broadcast(live), "l_orderkey", "left_semi")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_CBF_DELETE_SEMIJOIN = """
+SELECT l_returnflag, COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 250000 AND o_orderstatus <> 'F')
+GROUP BY l_returnflag
+"""
+
+
 def q_sharded_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bloom_semijoin at the 10^12-key posture: the membership state is
     a FAMILY of hash-sharded filters (operators/sharded.py) — built in
@@ -2962,6 +2997,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
     "sbbf_semijoin": q_sbbf_semijoin,
+    "cbf_delete_semijoin": q_cbf_delete_semijoin,
 }
 
 ORACLES = {
@@ -3050,4 +3086,5 @@ ORACLES = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "dsir_select": ORACLE_DSIR_SELECT,
     "sbbf_semijoin": ORACLE_SBBF_SEMIJOIN,
+    "cbf_delete_semijoin": ORACLE_CBF_DELETE_SEMIJOIN,
 }
