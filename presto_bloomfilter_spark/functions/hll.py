@@ -1,4 +1,4 @@
-"""HyperLogLog cardinality sketch (dense), numpy-vectorized.
+"""HyperLogLog cardinality sketch (sparse→dense), numpy-vectorized.
 
 Sibling sketch required by the north star (SURVEY.md §2.1 tail): same
 mergeable algebra as the reference's BloomFilter aggregation pattern
@@ -14,6 +14,23 @@ precision p=14 → 16384 registers, relative standard error
 1.04/sqrt(2^p) ≈ 0.81%.  Merge = elementwise register max —
 commutative, associative, idempotent, so parallelism-invariant at the
 byte level.  Cross-checkable against Spark's ``approx_count_distinct``.
+
+Sparse mode (the memory half of HyperLogLog++, Heule, Nunkesser & Hall,
+EDBT 2013): a sketch starts as a sorted array of packed
+``(bucket << 7) | rank`` uint32 pairs — 4 bytes per DISTINCT occupied
+register — and upgrades to the dense m-byte array only once occupancy
+passes m/4 (where the pair array would out-weigh dense).  This is what
+makes keyed/grouped sketch tables viable at corpus scale: a million
+low-cardinality groups cost ~4 B per distinct element instead of a
+16 KB dense block each (p=14: 16 GB of blobs → megabytes).  Deliberate
+simplification vs the paper: no raised sparse-phase precision — Ertl's
+estimator already handles the small-n range without bias correction,
+so sparse here is purely a memory representation with IDENTICAL
+estimates.  The representation is content-deterministic (occupancy
+only grows under update/merge, and merging with a dense operand yields
+dense), so equal content ⇒ equal bytes regardless of partitioning,
+merge-tree shape, or task retries — the property every blob-equality
+gate in this repo leans on.
 """
 
 from __future__ import annotations
@@ -60,21 +77,47 @@ def _tau(x: float) -> float:
 class HyperLogLog:
     DEFAULT_PRECISION = 14
 
-    def __init__(self, precision: int = DEFAULT_PRECISION, _registers: np.ndarray | None = None):
+    def __init__(self, precision: int = DEFAULT_PRECISION,
+                 _registers: np.ndarray | None = None,
+                 _sparse: np.ndarray | None = None):
         if not (4 <= precision <= 18):
             raise ValueError("precision must be in [4, 18]")
         self.precision = int(precision)
         self.m = 1 << precision
+        self._dense: np.ndarray | None = None
+        self._sparse: np.ndarray | None = None
         if _registers is not None:
             if len(_registers) != self.m:
                 raise ValueError("payload does not match precision")
-            self.registers = _registers
+            self._dense = _registers
+        elif _sparse is not None:
+            if len(_sparse) and int(_sparse.max()) >> 7 >= self.m:
+                raise ValueError("sparse payload does not match precision")
+            self._sparse = _sparse
         else:
-            self.registers = np.zeros(self.m, dtype=np.uint8)
+            self._sparse = np.empty(0, dtype=np.uint32)
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._dense is None
+
+    @property
+    def registers(self) -> np.ndarray:
+        """Dense register view (materialized on demand when sparse —
+        content-level API for estimators, tests, and foreign readers;
+        does not change the internal representation)."""
+        if self._dense is not None:
+            return self._dense
+        regs = np.zeros(self.m, dtype=np.uint8)
+        sp = self._sparse
+        if len(sp):
+            regs[(sp >> np.uint32(7)).astype(np.int64)] = (
+                sp & np.uint32(0x7F)).astype(np.uint8)
+        return regs
 
     @property
     def size_bytes(self) -> int:
-        return self.m
+        return self.m if self._dense is not None else 4 * len(self._sparse)
 
     @property
     def relative_error(self) -> float:
@@ -83,9 +126,7 @@ class HyperLogLog:
 
     # ---- updates ------------------------------------------------------------
 
-    def _update(self, h: np.ndarray) -> None:
-        if len(h) == 0:
-            return
+    def _bucket_rank(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         p = self.precision
         bucket = (h >> _U64(64 - p)).astype(np.int64)
         rest = (h << _U64(p)) | _U64(1)  # sentinel bit bounds the rank scan
@@ -105,12 +146,44 @@ class HyperLogLog:
         # (probability 2^-(64-p) per element, but an uncapped register
         # would escape estimate()'s saturated bin C[q+1])
         rank = np.minimum(64 - width, np.int64(64 - p + 1))  # in [1, q+1]
-        # per-bucket max without the unbuffered np.maximum.at: histogram
-        # (bucket, rank) pairs (rank ≤ 64 < 128), then take the highest
-        # occupied rank per bucket — all buffered passes.
-        cnt = np.bincount((bucket << 7) | rank, minlength=self.m << 7)
-        best = ((cnt.reshape(self.m, 128) > 0) * np.arange(128)).max(axis=1)
-        np.maximum(self.registers, best.astype(np.uint8), out=self.registers)
+        return bucket, rank
+
+    def _maybe_upgrade(self) -> None:
+        # 4 B/pair beats 1 B/register only below m/4 occupancy; past it,
+        # go dense (occupancy never shrinks, so this is one-way and
+        # content-deterministic)
+        if self._sparse is not None and len(self._sparse) > (self.m >> 2):
+            self._dense = self.registers
+            self._sparse = None
+
+    @staticmethod
+    def _sparse_max(packed: np.ndarray) -> np.ndarray:
+        """Per-bucket max over packed (bucket<<7)|rank pairs: sort, keep
+        the last entry of each bucket run (rank lives in the low bits,
+        so the max rank sorts last within a bucket)."""
+        packed = np.sort(packed)
+        if len(packed) == 0:
+            return packed
+        keep = np.ones(len(packed), dtype=bool)
+        keep[:-1] = (packed[:-1] >> np.uint32(7)) != (packed[1:] >> np.uint32(7))
+        return packed[keep]
+
+    def _update(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        bucket, rank = self._bucket_rank(h)
+        if self._dense is not None:
+            # per-bucket max without the unbuffered np.maximum.at:
+            # histogram (bucket, rank) pairs (rank ≤ 64 < 128), then take
+            # the highest occupied rank per bucket — all buffered passes.
+            cnt = np.bincount((bucket << 7) | rank, minlength=self.m << 7)
+            best = ((cnt.reshape(self.m, 128) > 0) * np.arange(128)).max(axis=1)
+            np.maximum(self._dense, best.astype(np.uint8), out=self._dense)
+        else:
+            packed = ((bucket << 7) | rank).astype(np.uint32)
+            self._sparse = self._sparse_max(
+                np.concatenate([self._sparse, packed]))
+            self._maybe_upgrade()
 
     def add_strings(self, values) -> "HyperLogLog":
         import pandas as pd
@@ -138,13 +211,20 @@ class HyperLogLog:
         from linear counting to the raw estimate), which this
         library's per-source token cardinalities land on at bench
         scale; Ertl derives the correction analytically, so no
-        empirical bias tables are needed."""
+        empirical bias tables are needed.  Sparse and dense forms feed
+        the identical histogram, so estimates do not depend on the
+        representation."""
         m = self.m
         q = 64 - self.precision  # ranks run 1..q+1; C[q+1] = saturated
-        # clip defensively: a legacy/foreign payload could carry a
-        # register above q+1, which bincount would park past the
-        # saturated bin and silently exclude from z
-        C = np.bincount(np.minimum(self.registers, q + 1), minlength=q + 2)
+        if self._dense is not None:
+            # clip defensively: a legacy/foreign payload could carry a
+            # register above q+1, which bincount would park past the
+            # saturated bin and silently exclude from z
+            C = np.bincount(np.minimum(self._dense, q + 1), minlength=q + 2)
+        else:
+            ranks = (self._sparse & np.uint32(0x7F)).astype(np.int64)
+            C = np.bincount(np.minimum(ranks, q + 1), minlength=q + 2)
+            C[0] = m - len(self._sparse)
         z = m * _tau((m - float(C[q + 1])) / m)
         for k in range(q, 0, -1):
             z = 0.5 * (z + float(C[k]))
@@ -162,20 +242,47 @@ class HyperLogLog:
             raise ValueError(
                 f"precision mismatch: {self.precision} vs {other.precision}"
             )
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if self._dense is None and other._dense is None:
+            self._sparse = self._sparse_max(
+                np.concatenate([self._sparse, other._sparse]))
+            self._maybe_upgrade()
+            return self
+        if self._dense is None:
+            # any dense operand ⇒ dense result (keeps the representation
+            # a function of the operand set, not the merge order)
+            self._dense, self._sparse = self.registers, None
+        if other._dense is not None:
+            np.maximum(self._dense, other._dense, out=self._dense)
+        else:
+            sp = other._sparse
+            if len(sp):
+                b = (sp >> np.uint32(7)).astype(np.int64)
+                r = (sp & np.uint32(0x7F)).astype(np.uint8)
+                self._dense[b] = np.maximum(self._dense[b], r)
         return self
 
     def copy(self) -> "HyperLogLog":
-        return HyperLogLog(self.precision, _registers=self.registers.copy())
+        if self._dense is not None:
+            return HyperLogLog(self.precision, _registers=self._dense.copy())
+        return HyperLogLog(self.precision, _sparse=self._sparse.copy())
 
     # ---- serialization ------------------------------------------------------
 
     def to_bytes(self) -> bytes:
-        return ser.encode(ser.KIND_HLL, {"precision": self.precision}, self.registers.tobytes())
+        if self._dense is not None:
+            return ser.encode(ser.KIND_HLL, {"precision": self.precision},
+                              self._dense.tobytes())
+        return ser.encode(ser.KIND_HLL,
+                          {"precision": self.precision, "sparse": True},
+                          self._sparse.tobytes())
 
     @classmethod
     def _from_parts(cls, params: dict, payload: bytes) -> "HyperLogLog":
-        return cls(params["precision"], _registers=np.frombuffer(payload, np.uint8).copy())
+        if params.get("sparse"):
+            return cls(params["precision"],
+                       _sparse=np.frombuffer(payload, np.uint32).copy())
+        return cls(params["precision"],
+                   _registers=np.frombuffer(payload, np.uint8).copy())
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
@@ -185,6 +292,9 @@ class HyperLogLog:
         return cls._from_parts(params, payload)
 
     def __eq__(self, other) -> bool:
+        # content equality, representation-agnostic (the representation
+        # is content-deterministic under this module's own operations,
+        # but a foreign dense blob may carry sparse-sized content)
         return (
             isinstance(other, HyperLogLog)
             and self.precision == other.precision
@@ -192,7 +302,8 @@ class HyperLogLog:
         )
 
     def __repr__(self) -> str:
-        return f"HyperLogLog(p={self.precision}, est={self.estimate():.1f})"
+        form = "sparse" if self.is_sparse else "dense"
+        return f"HyperLogLog(p={self.precision}, {form}, est={self.estimate():.1f})"
 
 
 # ---- set-operation estimates (inclusion-exclusion) ----------------------------

@@ -53,6 +53,43 @@ def test_hll_roundtrip():
     assert back.estimate() == h.estimate()
 
 
+def test_hll_sparse_small_and_dense_upgrade():
+    small = HyperLogLog().add_ints(np.arange(100))
+    assert small.is_sparse and small.size_bytes <= 400  # vs 16384 dense
+    rt = sketch_from_bytes(small.to_bytes())
+    assert rt.is_sparse and rt.to_bytes() == small.to_bytes()
+    big = HyperLogLog().add_ints(np.arange(100_000))
+    assert not big.is_sparse and big.size_bytes == big.m
+    # sparse and forced-dense views of the SAME content estimate identically
+    forced = HyperLogLog(small.precision, _registers=small.registers.copy())
+    assert forced.estimate() == small.estimate()
+    assert forced == small
+
+
+def test_hll_representation_is_content_deterministic():
+    """Equal content ⇒ equal BYTES, whatever the build partitioning or
+    merge-tree shape — the property every blob-equality gate leans on."""
+    whole = HyperLogLog().add_ints(np.arange(6_000))
+    a = HyperLogLog().add_ints(np.arange(0, 3_000))
+    b = HyperLogLog().add_ints(np.arange(2_000, 6_000))
+    assert a.copy().merge(b).to_bytes() == b.copy().merge(a).to_bytes() \
+        == whole.to_bytes()
+    # four partials straddling the m/4 upgrade threshold, three tree shapes
+    parts = [HyperLogLog().add_ints(np.arange(i * 1_500, (i + 1) * 1_500))
+             for i in range(4)]
+    t1 = parts[0].copy().merge(parts[1]).merge(parts[2]).merge(parts[3])
+    t2 = parts[0].copy().merge(
+        parts[1].copy().merge(parts[2].copy().merge(parts[3])))
+    t3 = parts[0].copy().merge(parts[1]).merge(parts[2].copy().merge(parts[3]))
+    assert t1.to_bytes() == t2.to_bytes() == t3.to_bytes()
+    # mixed sparse/dense merge commutes at the byte level too
+    d = HyperLogLog().add_ints(np.arange(60_000))
+    s = HyperLogLog().add_ints(np.arange(60_000, 60_050))
+    assert d.copy().merge(s).to_bytes() == s.copy().merge(d).to_bytes()
+    est = d.copy().merge(s).estimate()
+    assert abs(est - 60_050) / 60_050 < 0.03
+
+
 # ---------- CMS ----------
 
 
