@@ -24,8 +24,10 @@ def test_data_prep_pipeline_runs_end_to_end(tmp_path):
     assert m["docs_in"] > 0
     assert 0 < m["docs_after_dedup"] <= m["docs_in"]
     assert m["sequences"] > 0 and m["tokens_packed"] >= m["sequences"]
-    # the grouped split partitions the post-mixture docs exhaustively
-    assert sum(m["docs_by_split"].values()) == m["docs_mixed"]
+    # DSIR keeps ~90% of the mixed survivors (never more, never zero)
+    assert 0 < m["docs_selected"] <= m["docs_mixed"]
+    # the grouped split partitions the post-selection docs exhaustively
+    assert sum(m["docs_by_split"].values()) == m["docs_selected"]
     assert m["docs_packed"] == m["docs_by_split"].get("train", 0) > 0
     assert set(m["docs_by_split"]) <= {"train", "val", "test"}
     # shards really landed, partitioned and readable

@@ -14,7 +14,9 @@ the way a pretraining data pipeline composes them:
   4. near-dup clustering (MinHash-LSH candidates -> exact-Jaccard
      verify -> connected components), keep the BEST doc per cluster
      (longest text, ties by id — dedup.keep_best_per_cluster);
-  5. per-source quota cap + mixture rebalance (deterministic md5);
+  5. per-source quota cap + mixture rebalance (deterministic md5),
+     then DSIR importance selection (hashed-ngram weights toward a
+     target source, deterministic Gumbel top-k — operators/selection);
   6. leakage-free train/val/test split by source group (map-only;
      only the train split flows on to shuffling/packing);
   7. deterministic global shuffle;
@@ -61,7 +63,8 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from presto_bloomfilter_spark.operators import (
-        bpe, dedup, packing, ranking, sampling, shuffle, substring, text)
+        bpe, dedup, packing, ranking, sampling, selection, shuffle,
+        substring, text)
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -122,10 +125,23 @@ def main() -> None:
     mixed = sampling.sample_mixture(
         capped, {s: (50 if s == "web" else 100) for s in sources})
 
+    # 5b: DSIR importance selection (arXiv:2302.03169) — keep the 90%
+    # of survivors that look most like the lexicographically-first
+    # source's distribution (a stand-in for "my high-quality target
+    # set"); hashed-ngram weights + deterministic Gumbel top-k
+    tgt_source = sorted(sources)[0]
+    n_pre_sel = mixed.count()
+    sel = selection.dsir_select(
+        mixed, mixed.filter(F.col("source") == tgt_source),
+        k=max(1, (n_pre_sel * 9) // 10), buckets=1024)
+    selected = mixed.join(
+        sel.filter("selected").select(
+            F.col("id").cast(id_type).alias("doc_id")), "doc_id")
+
     # 6: leakage-free split — every source lands wholly in one split,
     # so near-dups sharing a source can't straddle train/eval
     split = sampling.split_by_group(
-        mixed, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+        selected, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
     train = split.filter(F.col("split") == "train").drop("split")
 
     # 7: deterministic shuffle (train split only)
@@ -162,13 +178,15 @@ def main() -> None:
     # map-side filter scan; split metrics recompute from `uniq` too, so
     # the published wall-clock times only the pipeline itself
     n_mixed = mixed.count()
+    n_selected = selected.count()
     split_counts = {r["split"]: r["c"] for r in split.groupBy("split").agg(
         F.count("*").alias("c")).collect()}
     print(json.dumps({
         "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
         "sf_dir": args.sf_dir, "docs_in": n_in,
         "docs_after_quality": q.count(), "docs_after_dedup": uniq.count(),
-        "docs_mixed": n_mixed, "docs_by_split": split_counts,
+        "docs_mixed": n_mixed, "docs_selected": n_selected,
+        "docs_by_split": split_counts,
         "docs_packed": split_counts.get("train", 0),
         "sequences": n_seq,
         "tokens_packed": int(n_tok), "seq_len": args.seq_len,
