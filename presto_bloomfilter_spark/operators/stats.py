@@ -1,0 +1,152 @@
+"""Corpus-distribution statistics over token streams: per-source unigram
+entropy, KL divergence to the corpus mixture, and pairwise Jensen-Shannon
+divergence between sources.
+
+Training-data mixture monitoring: when a 100 TB corpus is assembled from
+many sources (crawl snapshots, curated sets, code, ...), the unigram
+distribution per source is the cheapest early-warning signal — a source
+whose KL-to-corpus jumps between snapshots changed its content mix; a
+pair of "different" sources with near-zero JSD is a duplicated feed.
+DSIR-style selection (operators/selection.py) weighs documents by the
+same family of statistics; this module reports them at source granularity.
+
+Scale posture
+-------------
+Everything is vocabulary-bounded.  The only corpus-sized pass is the
+explode → hash-aggregate on (source, token), which partial-aggregates
+map-side, so the shuffle carries at most |sources| x |vocab| rows (a
+tokenizer vocabulary is 50k-250k ids) regardless of corpus bytes.  All
+downstream joins/aggregations operate on that vocab-bounded table; the
+corpus-total scalar is a broadcast one-row cross join, and the dense
+source x vocab grid for JSD is |sources|^2 x |vocab| / 2 pair rows at
+worst — megabytes, never corpus-scale.  No Python in any path: pure
+Catalyst expressions end to end.
+
+Float discipline: entropies/divergences are ln() sums whose summation
+order differs between engines, so public outputs are rounded to 6
+decimals (the repo-wide oracle ulp discipline, cf. operators/selection.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["source_token_divergence", "source_pairwise_jsd"]
+
+_ROUND = 6
+
+
+def _r6(col):
+    """Round to 6 decimals and normalize -0.0 → 0.0 (a near-zero ln-sum
+    can land on either side of 0 per engine; the +0.0 makes the two
+    hash identically without changing any other value)."""
+    return F.round(col.cast("double"), _ROUND) + F.lit(0.0)
+
+
+def _unigram_counts(df: DataFrame, tokens_col: str, source_col: str) -> DataFrame:
+    """(source, token, c) exact unigram counts; the one corpus-sized pass."""
+    return (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def source_token_divergence(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram statistics vs the corpus mixture.
+
+    Returns one row per source:
+      source    - the group key
+      n_tok     - total token occurrences in the source
+      n_types   - distinct token ids in the source
+      entropy   - Shannon entropy of the source unigram distribution, nats
+      kl_corpus - KL(p_source || p_corpus), nats; finite by construction
+                  because support(p_source) is a subset of support(p_corpus)
+
+    entropy/kl_corpus are rounded to 6 decimals (ln-sum ulp discipline).
+    """
+    per = _unigram_counts(df, tokens_col, source_col)
+    totals = per.groupBy("source").agg(
+        F.sum("c").alias("n_tok"), F.count("*").alias("n_types"))
+    corpus = per.groupBy("token").agg(F.sum("c").alias("cc"))
+    grand = per.agg(F.sum("c").alias("nn"))
+
+    j = (
+        per.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    p = F.col("c") / F.col("n_tok")
+    q = F.col("cc") / F.col("nn")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.max("n_types").alias("n_types"),
+            _r6(-F.sum(p * F.log(p))).alias("entropy"),
+            _r6(F.sum(p * F.log(p / q))).alias("kl_corpus"),
+        )
+        .select("source", "n_tok", "n_types", "entropy", "kl_corpus")
+    )
+
+
+def source_pairwise_jsd(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between every pair of sources'
+    unigram distributions: one row per unordered pair (source_a <
+    source_b), column jsd in [0, ln 2].
+
+    JSD(p,q) = 0.5*KL(p||m) + 0.5*KL(q||m) with m = (p+q)/2.  Tokens
+    absent from one side contribute 0.5*p*ln(2) from the other — handled
+    by densifying over the pair's support union via a full outer join on
+    token within each pair (missing side treated as probability 0, and
+    0*ln(0) terms dropped by the p>0 filters).
+    """
+    per = _unigram_counts(df, tokens_col, source_col)
+    totals = per.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    probs = (
+        per.join(F.broadcast(totals), "source")
+        .select("source", "token", (F.col("c") / F.col("n_tok")).alias("p"))
+    )
+    a = probs.select(F.col("source").alias("source_a"),
+                     "token", F.col("p").alias("pa"))
+    b = probs.select(F.col("source").alias("source_b"),
+                     "token", F.col("p").alias("pb"))
+    # union support per pair: join on token only, keep a<b ordering; a
+    # token missing from one source simply produces no row for that
+    # (pair, token) on that side — recovered below by splitting JSD into
+    # the intersection term plus each side's exclusive mass. Exclusive
+    # mass needs no join at all: sum over tokens of pa where the token
+    # is absent from b equals 1 - (intersection pa mass).
+    inter = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    inter_terms = inter.groupBy("source_a", "source_b").agg(
+        F.sum(0.5 * F.col("pa") * F.log(F.col("pa") / m)
+              + 0.5 * F.col("pb") * F.log(F.col("pb") / m)).alias("jsd_inter"),
+        F.sum("pa").alias("mass_a"),
+        F.sum("pb").alias("mass_b"),
+    )
+    # every unordered pair, even fully disjoint ones (no intersection rows)
+    srcs = totals.select(F.col("source"))
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    out = (
+        pairs.join(F.broadcast(inter_terms), ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            _r6(
+                F.coalesce(F.col("jsd_inter"), F.lit(0.0))
+                + 0.5 * ((1.0 - F.coalesce(F.col("mass_a"), F.lit(0.0)))
+                         + (1.0 - F.coalesce(F.col("mass_b"), F.lit(0.0)))) * ln2
+            ).alias("jsd"),
+        )
+    )
+    return out

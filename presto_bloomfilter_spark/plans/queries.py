@@ -2909,6 +2909,76 @@ GROUP BY tg.id
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy + KL-to-corpus-mixture over the tokens
+    table (operators/stats.py:source_token_divergence) — the mixture-
+    monitoring statistic a multi-source training corpus is audited with.
+    Pure Catalyst; the one corpus-sized pass partial-aggregates map-side
+    so the shuffle is vocabulary-bounded.  ln-sums rounded to 6 decimals
+    on both engines (repo-wide ulp discipline)."""
+    from presto_bloomfilter_spark.operators import stats
+
+    tokens = load_tokens(spark, sf_dir)
+    return stats.source_token_divergence(tokens)
+
+
+ORACLE_SOURCE_DIVERGENCE = f"""
+WITH per AS (
+  SELECT source, tok AS token, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY source, tok
+),
+totals AS (SELECT source, SUM(c) AS n_tok, COUNT(*) AS n_types FROM per GROUP BY source),
+corpus AS (SELECT token, SUM(c) AS cc FROM per GROUP BY token),
+grand AS (SELECT SUM(c) AS nn FROM per)
+SELECT p.source,
+       CAST(MAX(t.n_tok) AS BIGINT) AS n_tok,
+       CAST(MAX(t.n_types) AS BIGINT) AS n_types,
+       ROUND(-SUM((CAST(p.c AS DOUBLE)/t.n_tok) * LN(CAST(p.c AS DOUBLE)/t.n_tok)), 6) + 0.0 AS entropy,
+       ROUND(SUM((CAST(p.c AS DOUBLE)/t.n_tok)
+                 * LN((CAST(p.c AS DOUBLE)/t.n_tok) / (CAST(co.cc AS DOUBLE)/g.nn))), 6) + 0.0 AS kl_corpus
+FROM per p JOIN totals t USING (source) JOIN corpus co USING (token) CROSS JOIN grand g
+GROUP BY p.source
+"""
+
+
+def q_source_pairwise_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/stats.py:source_pairwise_jsd): duplicated-
+    feed detection (near-zero JSD between nominally different sources).
+    Union-support handled join-free via exclusive-mass algebra:
+    JSD = intersection terms + 0.5*ln2*(exclusive mass each side)."""
+    from presto_bloomfilter_spark.operators import stats
+
+    tokens = load_tokens(spark, sf_dir)
+    return stats.source_pairwise_jsd(tokens)
+
+
+ORACLE_SOURCE_PAIRWISE_JSD = f"""
+WITH per AS (
+  SELECT source, tok AS token, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY source, tok
+),
+totals AS (SELECT source, SUM(c) AS n_tok FROM per GROUP BY source),
+probs AS (SELECT p.source, p.token, CAST(p.c AS DOUBLE)/t.n_tok AS pr
+          FROM per p JOIN totals t USING (source)),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(0.5*a.pr*LN(a.pr/((a.pr+b.pr)/2)) + 0.5*b.pr*LN(b.pr/((a.pr+b.pr)/2))) AS jsd_inter,
+         SUM(a.pr) AS mass_a, SUM(b.pr) AS mass_b
+  FROM probs a JOIN probs b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM totals a, totals b WHERE a.source < b.source)
+SELECT p.source_a, p.source_b,
+       ROUND(COALESCE(i.jsd_inter, 0)
+             + 0.5*((1-COALESCE(i.mass_a,0))+(1-COALESCE(i.mass_b,0)))*LN(2), 6) + 0.0 AS jsd
+FROM pairs p LEFT JOIN inter i USING (source_a, source_b)
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -2998,6 +3068,8 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "sbbf_semijoin": q_sbbf_semijoin,
     "cbf_delete_semijoin": q_cbf_delete_semijoin,
+    "source_divergence": q_source_divergence,
+    "source_pairwise_jsd": q_source_pairwise_jsd,
 }
 
 ORACLES = {
@@ -3087,4 +3159,6 @@ ORACLES = {
     "dsir_select": ORACLE_DSIR_SELECT,
     "sbbf_semijoin": ORACLE_SBBF_SEMIJOIN,
     "cbf_delete_semijoin": ORACLE_CBF_DELETE_SEMIJOIN,
+    "source_divergence": ORACLE_SOURCE_DIVERGENCE,
+    "source_pairwise_jsd": ORACLE_SOURCE_PAIRWISE_JSD,
 }

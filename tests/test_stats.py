@@ -1,0 +1,98 @@
+"""operators/stats.py: per-source entropy / KL-to-corpus and pairwise JSD.
+
+Value checks against tiny hand-computable corpora (numpy reference), plus
+invariants: KL >= 0 with equality iff the source equals the mixture, JSD
+symmetric-by-construction and ln2 for disjoint supports, 0 for identical
+distributions.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from presto_bloomfilter_spark.operators import stats
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "source string, tokens array<int>")
+
+
+def _ref_divergence(rows):
+    """numpy reference: dict source -> (n_tok, n_types, entropy, kl)."""
+    from collections import Counter
+
+    per = {}
+    corpus = Counter()
+    for src, toks in rows:
+        per.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    nn = sum(corpus.values())
+    out = {}
+    for src, cnt in per.items():
+        n = sum(cnt.values())
+        p = np.array([c / n for c in cnt.values()])
+        q = np.array([corpus[t] / nn for t in cnt])
+        out[src] = (n, len(cnt),
+                    round(float(-(p * np.log(p)).sum()), 6),
+                    round(float((p * np.log(p / q)).sum()), 6))
+    return out
+
+
+def test_divergence_matches_numpy_reference(spark):
+    rows = [
+        ("a", [1, 1, 2, 3]),
+        ("a", [2, 2, 4]),
+        ("b", [1, 5, 5, 5]),
+        ("b", [6]),
+    ]
+    got = {r.source: (r.n_tok, r.n_types, r.entropy, r.kl_corpus)
+           for r in stats.source_token_divergence(_df(spark, rows)).collect()}
+    assert got == _ref_divergence(rows)
+
+
+def test_kl_zero_when_source_equals_mixture(spark):
+    # both sources have the identical distribution -> mixture == each
+    rows = [("a", [1, 1, 2]), ("b", [1, 1, 2]), ("b", [1, 1, 2])]
+    for r in stats.source_token_divergence(_df(spark, rows)).collect():
+        assert r.kl_corpus == 0.0
+        assert r.entropy == round(-(2 / 3) * math.log(2 / 3)
+                                  - (1 / 3) * math.log(1 / 3), 6)
+
+
+def test_jsd_identical_and_disjoint(spark):
+    rows = [
+        ("same1", [1, 2, 2, 3]),
+        ("same2", [1, 2, 2, 3]),
+        ("other", [9, 9, 8]),
+    ]
+    got = {(r.source_a, r.source_b): r.jsd
+           for r in stats.source_pairwise_jsd(_df(spark, rows)).collect()}
+    assert len(got) == 3  # all unordered pairs present
+    assert got[("same1", "same2")] == 0.0
+    ln2 = round(math.log(2.0), 6)
+    assert got[("other", "same1")] == ln2
+    assert got[("other", "same2")] == ln2
+
+
+def test_jsd_partial_overlap_value(spark):
+    # a: {1: 1.0}; b: {1: 0.5, 2: 0.5}
+    rows = [("a", [1, 1]), ("b", [1, 2])]
+    m1, m2 = 0.75, 0.25
+    expect = 0.5 * (1.0 * math.log(1.0 / m1)) \
+        + 0.5 * (0.5 * math.log(0.5 / m1) + 0.5 * math.log(0.5 / m2))
+    [r] = stats.source_pairwise_jsd(_df(spark, rows)).collect()
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.jsd == pytest.approx(expect, abs=2e-6)
+    assert 0.0 <= r.jsd <= math.log(2.0)
+
+
+def test_jsd_bounds_on_sf_corpus(spark, sf_dir):
+    from presto_bloomfilter_spark.sources.corpus import load_tokens
+
+    tokens = load_tokens(spark, sf_dir)
+    rows = stats.source_pairwise_jsd(tokens).collect()
+    n_src = tokens.select("source").distinct().count()
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0.0 <= r.jsd <= math.log(2.0) + 1e-9
