@@ -138,6 +138,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             tokens, 2048, eos_id=50256).agg(F.count("*")).collect()),
         ("bloom_semijoin", lambda: Q.q_bloom_semijoin(spark, sf_dir).collect()),
         ("sbbf_semijoin", lambda: Q.q_sbbf_semijoin(spark, sf_dir).collect()),
+        # static xor filter sibling: one-task peel build (frozen key
+        # set) + 3-load probes at ~9.84 bits/key (functions/xorf.py)
+        ("xor_semijoin", lambda: Q.q_xor_semijoin(spark, sf_dir).collect()),
         ("hll_docs_by_source", lambda: Q.q_hll_docs_by_source(spark, sf_dir).collect()),
         ("minhash_signatures", lambda: dedup.minhash_signatures(docs, "text", "doc_id").count()),
         ("simhash_signatures", lambda: dedup.simhash_signatures(docs, "text", "doc_id").count()),

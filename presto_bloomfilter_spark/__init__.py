@@ -26,6 +26,7 @@ No JVM code, no custom Catalyst rules, no per-row Python in hot paths.
 from presto_bloomfilter_spark.functions.bloom import BloomFilter
 from presto_bloomfilter_spark.functions.sbbf import SplitBlockBloomFilter
 from presto_bloomfilter_spark.functions.cbf import CountingBloomFilter
+from presto_bloomfilter_spark.functions.xorf import XorFilter
 from presto_bloomfilter_spark.functions.hll import HyperLogLog
 from presto_bloomfilter_spark.functions.cms import CountMinSketch
 from presto_bloomfilter_spark.functions.kll import KLLSketch
@@ -40,6 +41,7 @@ __all__ = [
     "BloomFilter",
     "SplitBlockBloomFilter",
     "CountingBloomFilter",
+    "XorFilter",
     "HyperLogLog",
     "CountMinSketch",
     "KLLSketch",

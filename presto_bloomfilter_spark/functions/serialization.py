@@ -46,6 +46,7 @@ KIND_MOMENTS = 8
 KIND_MG = 9
 KIND_SBBF = 10
 KIND_CBF = 11
+KIND_XOR = 12
 
 _REGISTRY: dict[int, type] = {}
 

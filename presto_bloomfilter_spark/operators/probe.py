@@ -179,6 +179,36 @@ def filter_by_sketch(spark: SparkSession, df: DataFrame, col: str, sketch, ints:
     return df.filter(contains_udf(spark, sketch, ints=ints)(F.col(col)))
 
 
+def resolve_key_mode(probe_df: DataFrame, probe_col: str,
+                     build_df: DataFrame, build_col: str,
+                     caller: str = "bloom_semi_join") -> bool:
+    """Decide whether a build/probe key pair hashes as integers (True)
+    or through the lossless string cast (False), refusing pairs whose
+    string forms would silently diverge.  Shared by every sketch-backed
+    semi join (bloom/sbbf/xor)."""
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    pt, bt = dict(probe_df.dtypes)[probe_col], dict(build_df.dtypes)[build_col]
+    ints = pt in int_types and bt in int_types
+    numeric = int_types | {"float", "double", "decimal"}
+    if not ints and (pt.split("(")[0] in numeric) != (bt.split("(")[0] in numeric):
+        # a numeric key against a non-numeric one would fall through to
+        # the string path, where '5.0' != '5' silently DROPS matching
+        # rows that a plain semi join (numeric coercion) would keep —
+        # refuse instead of returning a wrong subset
+        raise ValueError(
+            f"{caller} key types are incomparable as strings: "
+            f"probe {probe_col}:{pt} vs build {build_col}:{bt}; cast "
+            f"both keys to a common type first")
+    if not ints and pt != bt and pt.split("(")[0] in numeric:
+        # e.g. double vs bigint: '5.0' vs '5' string forms diverge
+        raise ValueError(
+            f"{caller} mixed numeric key types: probe "
+            f"{probe_col}:{pt} vs build {build_col}:{bt} — their string "
+            f"forms differ ('5.0' vs '5'), which would silently drop "
+            f"matches; cast both keys to a common type first")
+    return ints
+
+
 def bloom_semi_join(
     spark: SparkSession,
     probe_df: DataFrame,
@@ -208,26 +238,7 @@ def bloom_semi_join(
         raise ValueError(f"unknown sketch kind {kind!r}; "
                          f"one of {sorted(_SEMI_JOIN_SPECS)}")
     spec_strings, spec_ints = _SEMI_JOIN_SPECS[kind]
-    int_types = {"tinyint", "smallint", "int", "bigint"}
-    pt, bt = dict(probe_df.dtypes)[probe_col], dict(build_df.dtypes)[build_col]
-    ints = pt in int_types and bt in int_types
-    numeric = int_types | {"float", "double", "decimal"}
-    if not ints and (pt.split("(")[0] in numeric) != (bt.split("(")[0] in numeric):
-        # a numeric key against a non-numeric one would fall through to
-        # the string path, where '5.0' != '5' silently DROPS matching
-        # rows that a plain semi join (numeric coercion) would keep —
-        # refuse instead of returning a wrong subset
-        raise ValueError(
-            f"bloom_semi_join key types are incomparable as strings: "
-            f"probe {probe_col}:{pt} vs build {build_col}:{bt}; cast "
-            f"both keys to a common type first")
-    if not ints and pt != bt and pt.split("(")[0] in numeric:
-        # e.g. double vs bigint: '5.0' vs '5' string forms diverge
-        raise ValueError(
-            f"bloom_semi_join mixed numeric key types: probe "
-            f"{probe_col}:{pt} vs build {build_col}:{bt} — their string "
-            f"forms differ ('5.0' vs '5'), which would silently drop "
-            f"matches; cast both keys to a common type first")
+    ints = resolve_key_mode(probe_df, probe_col, build_df, build_col)
     # the bloom build reads raw (non-distinct) keys: inserts are
     # idempotent, so skipping .distinct() skips a whole shuffle of the
     # build side; only the exact-verify broadcast below needs dedup

@@ -91,6 +91,32 @@ def q_sbbf_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SBBF_SEMIJOIN = ORACLE_BLOOM_SEMIJOIN
 
 
+def q_xor_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-join shape on the STATIC xor filter (functions/xorf.py,
+    Graf & Lemire JEA 2020 — ~9.84 bits/key, 3-load probes, built by
+    one-task hypergraph peeling over the frozen build-key set via
+    operators/staticfilter.py).  Exact verify removes the ~2^-8 false
+    positives, so the result equals the exact semi join — the oracle."""
+    from presto_bloomfilter_spark.operators.staticfilter import xor_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 280_000).select("o_orderkey")
+    filtered = xor_semi_join(spark, lineitem, "l_orderkey", big, "o_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+ORACLE_XOR_SEMIJOIN = """
+SELECT l_returnflag, COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 280000)
+GROUP BY l_returnflag
+"""
+
+
 def q_cbf_delete_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership maintenance with DELETION (functions/cbf.py): build a
     counting bloom over the >250k order keys, then RETRACT the 'F'
@@ -3070,6 +3096,7 @@ QUERIES = {
     "cbf_delete_semijoin": q_cbf_delete_semijoin,
     "source_divergence": q_source_divergence,
     "source_pairwise_jsd": q_source_pairwise_jsd,
+    "xor_semijoin": q_xor_semijoin,
 }
 
 ORACLES = {
@@ -3161,4 +3188,5 @@ ORACLES = {
     "cbf_delete_semijoin": ORACLE_CBF_DELETE_SEMIJOIN,
     "source_divergence": ORACLE_SOURCE_DIVERGENCE,
     "source_pairwise_jsd": ORACLE_SOURCE_PAIRWISE_JSD,
+    "xor_semijoin": ORACLE_XOR_SEMIJOIN,
 }
