@@ -197,6 +197,44 @@ def contamination_bloom(
     )
 
 
+def contamination_xor(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    fp_bits: int = 16,
+) -> DataFrame:
+    """Contamination against a STATIC xor filter over the test grams
+    (functions/xorf.py) — the natural fit, since an eval set is frozen
+    by definition.
+
+    Two advantages over :func:`contamination_bloom`: the filter is
+    sized automatically from the actual distinct-gram count (no
+    ``expected_grams`` capacity guess to get wrong), and it is ~32%
+    smaller at equal FPR — less broadcast bytes per executor.  Same
+    no-false-negative / FP-overcount contract; overcount rate is
+    2^-fp_bits (16 → ~1.5e-5 of clean grams).  The build peels in one
+    executor task, so it covers eval sets up to ~10^8 distinct grams;
+    beyond that use :func:`contamination_sharded`."""
+    from .staticfilter import build_xor_filter
+
+    spark = train_df.sparkSession
+    train_grams = _doc_grams(train_df, word_ngrams(text_col, n), id_col)
+    test_grams = test_df.select(
+        F.explode(word_ngrams(text_col, n)).alias("g")
+    ).select(_bloomable(F.col("g")).alias("g"))
+    xf = build_xor_filter(test_grams, "g", fp_bits=fp_bits, ints=False)
+    flagged = train_grams.withColumn(
+        "__hit", contains_udf(spark, xf)(_bloomable(F.col("g"))).cast("int")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__hit").alias("n_contaminated"),
+        (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
+    )
+
+
 def contamination_sharded(
     train_df: DataFrame,
     test_df: DataFrame,

@@ -2374,6 +2374,48 @@ GROUP BY tg.id
 """
 
 
+def q_contamination_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static xor filter as the contamination seen-set
+    (operators/contamination.py:contamination_xor): sized automatically
+    from the frozen test-gram set, ~32% smaller broadcast than bloom at
+    equal FPR.  Totals are value-checked cross-engine; no-false-negative
+    is asserted per doc; the overcount bound is asserted CORPUS-LEVEL —
+    xor false positives are deterministic per gram VALUE, so one
+    unlucky frequent value legitimately lands in many small docs and a
+    per-doc frac bound (the bloom gate's shape) would be flaky.  The
+    corpus clean-gram FP rate bound is 65x the nominal 2^-16 plus a
+    constant — never flaky, still fails instantly on a broken filter."""
+    train, test = _contamination_split(spark, sf_dir)
+    exact = contamination.contamination_exact(train, test, "text", "doc_id", n=3)
+    xor = contamination.contamination_xor(
+        train, test, "text", "doc_id", n=3, fp_bits=16)
+    e, x = exact.alias("e"), xor.alias("x")
+    return (
+        e.join(x, "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e.n_grams").alias("n_grams_total"),
+            F.sum("e.n_contaminated").alias("n_contaminated_exact"),
+            F.min(F.col("x.n_contaminated") >= F.col("e.n_contaminated"))
+            .alias("no_false_neg"),
+            (
+                (F.sum("x.n_contaminated") - F.sum("e.n_contaminated"))
+                <= 0.001 * (F.sum("e.n_grams") - F.sum("e.n_contaminated")) + 20
+            ).alias("overcount_ok"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION_XOR = _CONTAM_CTE + """
+SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams_total,
+       CAST(COUNT(test_u.g) AS BIGINT) AS n_contaminated_exact,
+       TRUE AS no_false_neg,
+       TRUE AS overcount_ok
+FROM tg LEFT JOIN test_u ON tg.g = test_u.g
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup, driver-gated via the boolean-assert
     pattern: four simulated micro-batch epochs over the documents table
@@ -3097,6 +3139,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "source_pairwise_jsd": q_source_pairwise_jsd,
     "xor_semijoin": q_xor_semijoin,
+    "contamination_xor": q_contamination_xor,
 }
 
 ORACLES = {
@@ -3189,4 +3232,5 @@ ORACLES = {
     "source_divergence": ORACLE_SOURCE_DIVERGENCE,
     "source_pairwise_jsd": ORACLE_SOURCE_PAIRWISE_JSD,
     "xor_semijoin": ORACLE_XOR_SEMIJOIN,
+    "contamination_xor": ORACLE_CONTAMINATION_XOR,
 }

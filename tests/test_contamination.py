@@ -247,3 +247,25 @@ def test_contamination_sharded_single_scan_and_parity(spark, tmp_path):
     b = {r.id: (r.n_grams, r.n_contaminated) for r in
          C.contamination_bloom(train, test, expected_grams=1000).collect()}
     assert a == b
+
+
+def test_contamination_xor_parity_with_exact(spark, tiny):
+    """The xor seen-set path: exact parity at fp_bits=16 on a tiny
+    corpus (FP probability per distinct clean gram ~1.5e-5), plus the
+    empty-gram sentinel round trip the bloom path also guarantees."""
+    from presto_bloomfilter_spark.operators import contamination as C
+
+    train, test = tiny
+    e = {r.id: (r.n_grams, r.n_contaminated)
+         for r in C.contamination_exact(train, test).collect()}
+    x = {r.id: (r.n_grams, r.n_contaminated)
+         for r in C.contamination_xor(train, test, fp_bits=16).collect()}
+    assert x == e
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "completely clean words")], "doc_id long, text string")
+    empty_test = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    got = {r.id: r.n_contaminated
+           for r in C.contamination_xor(empty, empty_test).collect()}
+    assert got["1"] == 1, "empty-doc gram lost by the xor path"
+    assert got["2"] == 0
