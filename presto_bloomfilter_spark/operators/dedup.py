@@ -59,6 +59,34 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def token_dup_groups(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """exact_dup_groups for PRE-TOKENIZED sequences (the north-rule
+    table): the content key is md5 of the space-joined token-id string
+    — the repo-wide token-gram convention, injective for integer ids —
+    so byte-identical token arrays collapse regardless of doc metadata.
+    Pure built-ins → whole-stage codegen."""
+    key = F.md5(F.concat_ws(" ", F.col(tokens_col)))
+    return (
+        df.select(key.alias("tok_hash"))
+        .groupBy("tok_hash")
+        .agg(F.count("*").alias("dup_cnt"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def drop_exact_dup_tokens(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative per distinct token array (min id wins).
+    Same shape as drop_exact_dups; the shuffle key is the 128-bit
+    digest, uniform by construction — a skewed duplicate cluster lands
+    on one reducer but as a SINGLE group (WindowGroupLimit truncates
+    map-side on rank-1 windows, so the cluster's rows don't pile up)."""
+    w = Window.partitionBy(
+        F.md5(F.concat_ws(" ", F.col(tokens_col)))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
 # ---- shingling + minhash ------------------------------------------------------
 #
 # Signature generation is the hottest per-byte pass of a training-data

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["source_token_divergence", "source_pairwise_jsd"]
+__all__ = ["source_token_divergence", "source_pairwise_jsd", "pmi_bigrams"]
 
 _ROUND = 6
 
@@ -91,6 +91,68 @@ def source_token_divergence(
         )
         .select("source", "n_tok", "n_types", "entropy", "kl_corpus")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information: PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over
+    adjacent bigram occurrences and p(.) over unigram occurrences —
+    the standard collocation-extraction statistic (BPE merge selection
+    and phrase mining both rank candidates this way).
+
+    ``min_count`` drops rare bigrams (a hapax pair has spuriously
+    maximal PMI).  Output: (a, b, cnt, pmi) with pmi rounded to 6
+    decimals; ordered deterministically by (pmi desc, a, b) and
+    LIMIT k — ties broken on the rounded value, so the row set is
+    engine-portable.
+
+    Scale: the bigram/unigram passes partial-aggregate map-side, so
+    shuffles are vocabulary(+bigram-vocabulary)-bounded; the final
+    top-k is a TakeOrderedAndProject over the min_count-filtered
+    bigram table, never a global sort of the corpus.
+    """
+    t = tokens_col
+    pairs = F.expr(
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"transform(sequence(0, size({t}) - 2), "
+        f"i -> struct({t}[i] AS a, {t}[i + 1] AS b)) "
+        f"ELSE array() END"
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    uni = (
+        df.select(F.explode(F.col(t)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("uc"))
+    )
+    n_bi = bi.agg(F.sum("cnt").alias("nb"))
+    n_uni = uni.agg(F.sum("uc").alias("nu"))
+    scored = (
+        bi.filter(F.col("cnt") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a")
+                          .withColumnRenamed("uc", "ua")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "b")
+                          .withColumnRenamed("uc", "ub")), "b")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "a", "b", "cnt",
+            _r6(F.log(
+                (F.col("cnt") / F.col("nb"))
+                / ((F.col("ua") / F.col("nu")) * (F.col("ub") / F.col("nu")))
+            )).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
 
 
 def source_pairwise_jsd(

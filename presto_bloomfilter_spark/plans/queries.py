@@ -3047,6 +3047,76 @@ FROM pairs p LEFT JOIN inter i USING (source_a, source_b)
 """
 
 
+def q_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of PRE-TOKENIZED sequences (dedup.drop_exact_dup_
+    tokens) — the north-rule table's native dedup: content key is md5
+    of the space-joined token ids, min doc_id survives.  Duplicates are
+    constructed in-band (every n_tok%7==0 sequence re-emitted under a
+    'dup-' id) so the kept-set is value-checkable, not vacuous."""
+    from presto_bloomfilter_spark.operators import dedup
+
+    tokens = load_tokens(spark, sf_dir)
+    base = tokens.select("doc_id", "tokens", "source", "n_tok")
+    dups = base.filter(F.col("n_tok") % 7 == 0).select(
+        F.concat(F.lit("dup-"), F.col("doc_id")).alias("doc_id"),
+        "tokens", "source", "n_tok")
+    corpus = base.unionByName(dups)
+    kept = dedup.drop_exact_dup_tokens(corpus, "tokens", "doc_id")
+    return kept.select("doc_id", "source", "n_tok")
+
+
+ORACLE_DEDUP_TOKENS = f"""
+WITH corpus AS (
+  SELECT doc_id, array_to_string(tokens, ' ') AS ts, source, n_tok
+  FROM {_TOKENS_SQL}
+  UNION ALL
+  SELECT 'dup-' || doc_id, array_to_string(tokens, ' '), source, n_tok
+  FROM {_TOKENS_SQL} WHERE n_tok % 7 = 0
+)
+SELECT doc_id, source, n_tok FROM (
+  SELECT doc_id, source, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY ts ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by PMI (stats.pmi_bigrams):
+    vocabulary-bounded shuffles, TakeOrderedAndProject top-k, ties
+    broken on the 6-dp-rounded value + (a, b) so the row set is
+    engine-portable."""
+    from presto_bloomfilter_spark.operators import stats
+
+    tokens = load_tokens(spark, sf_dir)
+    return stats.pmi_bigrams(tokens, k=50, min_count=5)
+
+
+ORACLE_PMI_BIGRAMS = f"""
+WITH bi AS (
+  SELECT tokens[i] AS a, tokens[i + 1] AS b
+  FROM (SELECT tokens, UNNEST(generate_series(1, len(tokens) - 1)) AS i
+        FROM {_TOKENS_SQL})
+),
+bic AS (SELECT a, b, COUNT(*) AS cnt FROM bi GROUP BY a, b),
+uni AS (SELECT tok, COUNT(*) AS uc
+        FROM (SELECT UNNEST(tokens) AS tok FROM {_TOKENS_SQL}) GROUP BY tok),
+nb AS (SELECT SUM(cnt) AS v FROM bic),
+nu AS (SELECT SUM(uc) AS v FROM uni)
+SELECT a, b, cnt, pmi FROM (
+  SELECT bic.a, bic.b, CAST(bic.cnt AS BIGINT) AS cnt,
+         ROUND(LN((CAST(bic.cnt AS DOUBLE) / nb.v)
+                  / ((CAST(ua.uc AS DOUBLE) / nu.v)
+                     * (CAST(ub.uc AS DOUBLE) / nu.v))), 6) + 0.0 AS pmi
+  FROM bic
+  JOIN uni ua ON bic.a = ua.tok
+  JOIN uni ub ON bic.b = ub.tok
+  CROSS JOIN nb CROSS JOIN nu
+  WHERE bic.cnt >= 5
+) ORDER BY pmi DESC, a, b LIMIT 50
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -3140,6 +3210,8 @@ QUERIES = {
     "source_pairwise_jsd": q_source_pairwise_jsd,
     "xor_semijoin": q_xor_semijoin,
     "contamination_xor": q_contamination_xor,
+    "dedup_tokens": q_dedup_tokens,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 ORACLES = {
@@ -3233,4 +3305,6 @@ ORACLES = {
     "source_pairwise_jsd": ORACLE_SOURCE_PAIRWISE_JSD,
     "xor_semijoin": ORACLE_XOR_SEMIJOIN,
     "contamination_xor": ORACLE_CONTAMINATION_XOR,
+    "dedup_tokens": ORACLE_DEDUP_TOKENS,
+    "pmi_bigrams": ORACLE_PMI_BIGRAMS,
 }

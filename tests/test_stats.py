@@ -96,3 +96,29 @@ def test_jsd_bounds_on_sf_corpus(spark, sf_dir):
     assert len(rows) == n_src * (n_src - 1) // 2
     for r in rows:
         assert 0.0 <= r.jsd <= math.log(2.0) + 1e-9
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    rows = [("a", [1, 2, 3, 1, 2]), ("b", [2, 3]), ("c", [7]), ("d", [])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = [(r.a, r.b, r.cnt, r.pmi)
+           for r in stats.pmi_bigrams(df, k=10, min_count=1).collect()]
+    # bigrams: (1,2)x2 (2,3)x2 (3,1)x1, N_bi=5; unigrams 1:2 2:3 3:2 7:1, N=8
+    p12 = round(math.log((2 / 5) / ((2 / 8) * (3 / 8))), 6)
+    p23 = round(math.log((2 / 5) / ((3 / 8) * (2 / 8))), 6)
+    p31 = round(math.log((1 / 5) / ((2 / 8) * (2 / 8))), 6)
+    assert got == [(1, 2, 2, p12), (2, 3, 2, p23), (3, 1, 1, p31)]
+    # min_count filters the hapax pair
+    assert len(stats.pmi_bigrams(df, k=10, min_count=2).collect()) == 2
+
+
+def test_drop_exact_dup_tokens_min_id_wins(spark):
+    from presto_bloomfilter_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("9", [1, 2]), ("2", [1, 2]), ("5", [1, 2]), ("0", [3]), ("1", [])],
+        "doc_id string, tokens array<int>")
+    kept = sorted(r.doc_id for r in dedup.drop_exact_dup_tokens(df).collect())
+    assert kept == ["0", "1", "2"]
+    groups = dedup.token_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0].dup_cnt == 3
