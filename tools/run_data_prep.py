@@ -79,6 +79,20 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
     n_in = docs.count()
 
+    # 0: mixture audit (operators/stats.py) — per-source unigram KL to
+    # the corpus mixture plus the minimum pairwise JSD; a near-zero JSD
+    # pair is a duplicated feed entering under two source labels, the
+    # cheapest red flag to raise BEFORE spending the pipeline on it.
+    # Word semantics = repo-wide str.split() (contamination.split_words)
+    from presto_bloomfilter_spark.operators import stats
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    words = docs.select("source", split_words("text").alias("w"))
+    src_kl = {r.source: r.kl_corpus
+              for r in stats.source_token_divergence(words, "w").collect()}
+    jsd_rows = stats.source_pairwise_jsd(words, "w").collect()
+    min_jsd = min(jsd_rows, key=lambda r: r.jsd)
+
     # 1-2: quality + repetition cut, then a CCNet-style bigram-LM
     # perplexity cut (drop the worst 10% by nll; the LM trains on the
     # deterministic md5 sample), then PII scrub (map-only)
@@ -184,6 +198,10 @@ def main() -> None:
     print(json.dumps({
         "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
         "sf_dir": args.sf_dir, "docs_in": n_in,
+        "source_kl_to_corpus": src_kl,
+        "min_source_jsd": {"pair": [min_jsd.source_a, min_jsd.source_b],
+                           "jsd": min_jsd.jsd,
+                           "duplicated_feed_suspect": bool(min_jsd.jsd < 0.05)},
         "docs_after_quality": q.count(), "docs_after_dedup": uniq.count(),
         "docs_mixed": n_mixed, "docs_selected": n_selected,
         "docs_by_split": split_counts,
