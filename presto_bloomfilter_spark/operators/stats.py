@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["source_token_divergence", "source_pairwise_jsd", "pmi_bigrams"]
+__all__ = ["source_token_divergence", "source_pairwise_jsd", "pmi_bigrams",
+           "zipf_alpha"]
 
 _ROUND = 6
 
@@ -153,6 +154,53 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
+
+
+def zipf_alpha(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    source_col: str | None = "source",
+    max_rank: int = 500,
+) -> DataFrame:
+    """Per-source Zipf exponent: OLS slope of ln(count) on ln(rank)
+    over the top ``max_rank`` token types (rank by count desc, token
+    asc — deterministic), reported as alpha = -slope.  Natural text
+    sits near alpha ~= 1; a source drifting far from its historical
+    alpha changed character (template spam collapses toward 0 in the
+    head, heavy boilerplate pushes it up).
+
+    Pass ``source_col=None`` for one corpus-wide row (source '<all>').
+    Sources with fewer than 2 ranked types are omitted (the slope is
+    undefined).  Same scale posture as the rest of the module: one
+    vocabulary-bounded aggregate, then a per-source window over at most
+    |sources| x |vocab| rows.  alpha rounded to 6 decimals.
+    """
+    from pyspark.sql import Window
+
+    src = (F.col(source_col) if source_col is not None
+           else F.lit("<all>")).alias("source")
+    per = (
+        df.select(src, F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("token"))
+    ranked = (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_rank)
+        .select("source",
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("c").cast("double")).alias("y"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_ranked"),
+            (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        )
+        .filter(F.col("n_ranked") >= 2)
+        .select("source", "n_ranked", _r6(-F.col("slope")).alias("alpha"))
+    )
 
 
 def source_pairwise_jsd(

@@ -3117,6 +3117,38 @@ SELECT a, b, cnt, pmi FROM (
 """
 
 
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent over the tokens table
+    (stats.zipf_alpha): OLS of ln(count) on ln(rank) over the top-500
+    types — the head-distribution drift statistic.  regr_slope oracle;
+    6-dp rounding absorbs the engines' different (co)variance
+    summation orders."""
+    from presto_bloomfilter_spark.operators import stats
+
+    tokens = load_tokens(spark, sf_dir)
+    return stats.zipf_alpha(tokens, max_rank=500)
+
+
+ORACLE_ZIPF_ALPHA = f"""
+WITH per AS (
+  SELECT source, tok AS token, COUNT(*) AS c
+  FROM (SELECT source, UNNEST(tokens) AS tok FROM {_TOKENS_SQL})
+  GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+  FROM (SELECT source, c, token,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, token ASC) AS rank
+        FROM per)
+  WHERE rank <= 500
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+       ROUND(-REGR_SLOPE(y, x), 6) + 0.0 AS alpha
+FROM ranked GROUP BY source HAVING COUNT(*) >= 2
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -3212,6 +3244,7 @@ QUERIES = {
     "contamination_xor": q_contamination_xor,
     "dedup_tokens": q_dedup_tokens,
     "pmi_bigrams": q_pmi_bigrams,
+    "zipf_alpha": q_zipf_alpha,
 }
 
 ORACLES = {
@@ -3307,4 +3340,5 @@ ORACLES = {
     "contamination_xor": ORACLE_CONTAMINATION_XOR,
     "dedup_tokens": ORACLE_DEDUP_TOKENS,
     "pmi_bigrams": ORACLE_PMI_BIGRAMS,
+    "zipf_alpha": ORACLE_ZIPF_ALPHA,
 }

@@ -122,3 +122,21 @@ def test_drop_exact_dup_tokens_min_id_wins(spark):
     assert kept == ["0", "1", "2"]
     groups = dedup.token_dup_groups(df).collect()
     assert len(groups) == 1 and groups[0].dup_cnt == 3
+
+
+def test_zipf_alpha_matches_numpy_ols(spark):
+    # counts: token 1 x8, 2 x4, 3 x2, 4 x1 in source "s"; one-token
+    # source "t" is omitted (slope undefined on a single point)
+    toks = [1] * 8 + [2] * 4 + [3] * 2 + [4]
+    df = spark.createDataFrame(
+        [("a", "s", toks), ("b", "t", [9])],
+        "doc_id string, source string, tokens array<int>")
+    rows = stats.zipf_alpha(df, source_col="source").collect()
+    assert len(rows) == 1 and rows[0].source == "s" and rows[0].n_ranked == 4
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    assert rows[0].alpha == round(-slope, 6)
+    # corpus-wide mode
+    [allr] = stats.zipf_alpha(df, source_col=None).collect()
+    assert allr.source == "<all>" and allr.n_ranked == 5
