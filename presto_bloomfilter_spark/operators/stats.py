@@ -25,6 +25,15 @@ Catalyst expressions end to end.
 Float discipline: entropies/divergences are ln() sums whose summation
 order differs between engines, so public outputs are rounded to 6
 decimals (the repo-wide oracle ulp discipline, cf. operators/selection.py).
+
+Caching: each operator consumes its vocabulary-bounded count table from
+SEVERAL plan branches (totals, corpus marginals, grand total, self-
+join sides).  Catalyst does not share subplans across branches, so
+without materialization every branch would re-run the corpus-sized
+explode+aggregate — 4-5 full corpus scans instead of 1 at 100 TB.  The
+operators therefore ``persist()`` those small intermediates (megabytes:
+|sources| x |vocab| rows) and leave eviction to Spark's LRU; they stay
+valid for the returned lazy plan's lifetime.
 """
 
 from __future__ import annotations
@@ -69,7 +78,7 @@ def source_token_divergence(
 
     entropy/kl_corpus are rounded to 6 decimals (ln-sum ulp discipline).
     """
-    per = _unigram_counts(df, tokens_col, source_col)
+    per = _unigram_counts(df, tokens_col, source_col).persist()
     totals = per.groupBy("source").agg(
         F.sum("c").alias("n_tok"), F.count("*").alias("n_types"))
     corpus = per.groupBy("token").agg(F.sum("c").alias("cc"))
@@ -129,12 +138,12 @@ def pmi_bigrams(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
-    )
+    ).persist()
     uni = (
         df.select(F.explode(F.col(t)).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("uc"))
-    )
+    ).persist()
     n_bi = bi.agg(F.sum("cnt").alias("nb"))
     n_uni = uni.agg(F.sum("uc").alias("nu"))
     scored = (
@@ -216,12 +225,12 @@ def source_pairwise_jsd(
     token within each pair (missing side treated as probability 0, and
     0*ln(0) terms dropped by the p>0 filters).
     """
-    per = _unigram_counts(df, tokens_col, source_col)
+    per = _unigram_counts(df, tokens_col, source_col).persist()
     totals = per.groupBy("source").agg(F.sum("c").alias("n_tok"))
     probs = (
         per.join(F.broadcast(totals), "source")
         .select("source", "token", (F.col("c") / F.col("n_tok")).alias("p"))
-    )
+    ).persist()
     a = probs.select(F.col("source").alias("source_a"),
                      "token", F.col("p").alias("pa"))
     b = probs.select(F.col("source").alias("source_b"),
