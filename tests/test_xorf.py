@@ -121,3 +121,18 @@ def test_sharded_family_probes_through_sharded_contains(spark, sf_dir, tmp_path)
     assert n_pre >= n_exact
     n_probe = lineitem.count()
     assert (n_pre - n_exact) <= (n_probe - n_exact) * (2**-8 * 2 + 0.01)
+
+
+def test_sql_contains_dispatches_xor_blobs(spark):
+    """The SQL scalar surface is kind-agnostic (PBFS registry dispatch),
+    so bloom_filter_contains probes an xor blob unchanged."""
+    from presto_bloomfilter_spark import compat
+
+    compat.register_sql_functions(spark)
+    xf = XorFilter.build_strings(["alpha", "beta", "gamma"])
+    compat.publish_sketch_view(spark, xf, "xorv_test")
+    got = {r.el: r.hit for r in spark.sql("""
+        SELECT el, bloom_filter_contains((SELECT bf FROM xorv_test), el) AS hit
+        FROM VALUES ('alpha'),('beta'),('nope') AS t(el)
+    """).collect()}
+    assert got == {"alpha": True, "beta": True, "nope": False}
