@@ -131,23 +131,31 @@ def _exact_on_grams(train_grams: DataFrame, test_grams: DataFrame,
     )
 
 
-def _bloom_on_grams(train_grams: DataFrame, test_grams: DataFrame,
-                    expected_grams: int, fpp: float) -> DataFrame:
+def _probe_and_aggregate(train_grams: DataFrame, seen_filter) -> DataFrame:
+    """Shared tail of every filter-backed contamination path: flag each
+    train gram against the (broadcast) seen-filter through the empty-
+    gram sentinel, then per-doc totals — one place to keep the output
+    contract for bloom and xor alike."""
     spark = train_grams.sparkSession
-    # bloom inserts are idempotent: build straight over the exploded
-    # grams, no distinct shuffle
-    bf = agg.aggregate_sketch(
-        test_grams.select(_bloomable(F.col("g")).alias("g")),
-        agg.bloom_over_strings("g", expected_grams, fpp),
-    )
     flagged = train_grams.withColumn(
-        "__hit", contains_udf(spark, bf)(_bloomable(F.col("g"))).cast("int")
+        "__hit", contains_udf(spark, seen_filter)(_bloomable(F.col("g"))).cast("int")
     )
     return flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum("__hit").alias("n_contaminated"),
         (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
     )
+
+
+def _bloom_on_grams(train_grams: DataFrame, test_grams: DataFrame,
+                    expected_grams: int, fpp: float) -> DataFrame:
+    # bloom inserts are idempotent: build straight over the exploded
+    # grams, no distinct shuffle
+    bf = agg.aggregate_sketch(
+        test_grams.select(_bloomable(F.col("g")).alias("g")),
+        agg.bloom_over_strings("g", expected_grams, fpp),
+    )
+    return _probe_and_aggregate(train_grams, bf)
 
 
 def contamination_exact(
@@ -219,20 +227,12 @@ def contamination_xor(
     beyond that use :func:`contamination_sharded`."""
     from .staticfilter import build_xor_filter
 
-    spark = train_df.sparkSession
     train_grams = _doc_grams(train_df, word_ngrams(text_col, n), id_col)
     test_grams = test_df.select(
         F.explode(word_ngrams(text_col, n)).alias("g")
     ).select(_bloomable(F.col("g")).alias("g"))
     xf = build_xor_filter(test_grams, "g", fp_bits=fp_bits, ints=False)
-    flagged = train_grams.withColumn(
-        "__hit", contains_udf(spark, xf)(_bloomable(F.col("g"))).cast("int")
-    )
-    return flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum("__hit").alias("n_contaminated"),
-        (F.sum("__hit") / F.count(F.lit(1))).cast("double").alias("frac"),
-    )
+    return _probe_and_aggregate(train_grams, xf)
 
 
 def contamination_sharded(

@@ -42,6 +42,19 @@ _SEMI_JOIN_SPECS = {
     "sbbf": (sbbf_over_strings, sbbf_over_ints),
 }
 
+# '' is invisible to every membership filter (reference empty-element
+# semantics, BloomFilter.java:161-167) but a legitimate JOIN KEY: a
+# semi join that silently drops ''-keyed matches would return a strict
+# subset of the exact join.  The semi joins therefore map '' to this
+# sentinel on BOTH build and probe (same trick as contamination.py's
+# empty-gram token); the exact-verify join still compares the ORIGINAL
+# values, so the sentinel never leaks into results.
+_EMPTY_KEY_TOKEN = "\x00<empty-key>"
+
+
+def _keyable(col):
+    return F.when(col == "", F.lit(_EMPTY_KEY_TOKEN)).otherwise(col)
+
 # executor-local deserialization cache, keyed by the 32-byte sha256
 # header (reference cache: max 40 entries, BloomFilterScalarFunctions.java:25)
 _CACHE_MAX = 40
@@ -252,9 +265,11 @@ def bloom_semi_join(
         join_cond_col = F.col(probe_col)
     else:
         raw_keys = build_df.select(F.col(build_col).cast("string").alias(build_col))
+        sent_keys = build_df.select(
+            _keyable(F.col(build_col).cast("string")).alias(build_col))
         spec = spec_strings(build_col, expected_insertions, fpp)
-        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(raw_keys, spec, fan_in))(
-            F.col(probe_col).cast("string")))
+        pre = probe_df.filter(contains_udf(spark, aggregate_sketch(sent_keys, spec, fan_in))(
+            _keyable(F.col(probe_col).cast("string"))))
         join_cond_col = F.col(probe_col).cast("string")
     build_keys = raw_keys.distinct()
     if not exact:

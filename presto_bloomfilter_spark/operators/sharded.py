@@ -85,6 +85,27 @@ def persist_sharded_bloom(
     The rows are S small blobs — collecting them is
     O(S * filter_bytes/S) = O(total filter bytes) streamed through the
     driver once at build time; probes never do this."""
+    return persist_family(
+        family, store, name, shards,
+        empty_blob=lambda: BloomFilter(expected_insertions_per_shard, fpp).to_bytes(),
+        fmt="pbfs-sharded-v1",
+    )
+
+
+def persist_family(
+    family: DataFrame,
+    store: SketchStore,
+    name: str,
+    shards: int,
+    empty_blob,
+    fmt: str,
+) -> int:
+    """The shared persist contract for every sharded filter family
+    (bloom here, xor in operators/staticfilter.py): one store object
+    per shard id in [0, shards) — absent shards backfilled with
+    ``empty_blob()`` so a probe-side missing object always means store
+    breakage, never "empty shard" — plus the ``{name}.manifest`` that
+    ``sharded_contains`` validates before any task launches."""
     import json
 
     rows = family.collect()
@@ -94,10 +115,9 @@ def persist_sharded_bloom(
         written.add(int(r.shard))
     for s in range(shards):
         if s not in written:
-            empty = BloomFilter(expected_insertions_per_shard, fpp)
-            store.put(f"{name}.s{s}", empty.to_bytes())
+            store.put(f"{name}.s{s}", empty_blob())
     manifest = json.dumps(
-        {"name": name, "shards": shards, "format": "pbfs-sharded-v1"}
+        {"name": name, "shards": shards, "format": fmt}
     ).encode()
     store.put_meta(f"{name}.manifest", manifest)
     return shards

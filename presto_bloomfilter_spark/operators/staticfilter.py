@@ -29,9 +29,6 @@ a third less store traffic on every executor cache miss.
 
 from __future__ import annotations
 
-import json
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -132,22 +129,16 @@ def persist_xor_shards(
 
     Shards that received no keys get an explicit EMPTY xor filter so a
     missing store object always means store breakage, never "empty
-    shard" (same loud-failure contract as persist_sharded_bloom).
+    shard" (the persist contract shared with persist_sharded_bloom via
+    sharded.persist_family).
     """
-    rows = family.collect()
-    written = set()
-    for r in rows:
-        store.put(f"{name}.s{int(r.shard)}", bytes(r.sketch))
-        written.add(int(r.shard))
-    for s in range(shards):
-        if s not in written:
-            store.put(f"{name}.s{s}",
-                      XorFilter.build_digests([], fp_bits).to_bytes())
-    manifest = json.dumps(
-        {"name": name, "shards": shards, "format": "pbfs-xor-sharded-v1"}
-    ).encode()
-    store.put_meta(f"{name}.manifest", manifest)
-    return shards
+    from presto_bloomfilter_spark.operators.sharded import persist_family
+
+    return persist_family(
+        family, store, name, shards,
+        empty_blob=lambda: XorFilter.build_digests([], fp_bits).to_bytes(),
+        fmt="pbfs-xor-sharded-v1",
+    )
 
 
 def xor_semi_join(
@@ -164,17 +155,26 @@ def xor_semi_join(
     membership test, then (optionally) remove the ~2^-fp_bits false
     positives with a broadcast exact semi join — equals the exact semi
     join, no false negatives by construction."""
+    from presto_bloomfilter_spark.operators.probe import _keyable
+
     ints = resolve_key_mode(probe_df, probe_col, build_df, build_col,
                             caller="xor_semi_join")
-    xf = build_xor_filter(build_df.select(build_col), build_col,
-                          fp_bits=fp_bits, ints=ints)
     if ints:
+        xf = build_xor_filter(build_df.select(build_col), build_col,
+                              fp_bits=fp_bits, ints=True)
         pre = probe_df.filter(contains_udf(spark, xf, ints=True)(F.col(probe_col)))
         build_keys = build_df.select(build_col).distinct()
         join_cond = F.col(probe_col) == F.col("__bk")
     else:
+        # '' is invisible to the filter — build and probe through the
+        # shared empty-key sentinel so the exactness claim holds for
+        # ''-keyed rows too (the verify join compares original values)
+        xf = build_xor_filter(
+            build_df.select(
+                _keyable(F.col(build_col).cast("string")).alias(build_col)),
+            build_col, fp_bits=fp_bits, ints=False)
         pre = probe_df.filter(
-            contains_udf(spark, xf)(F.col(probe_col).cast("string")))
+            contains_udf(spark, xf)(_keyable(F.col(probe_col).cast("string"))))
         build_keys = build_df.select(
             F.col(build_col).cast("string").alias(build_col)).distinct()
         join_cond = F.col(probe_col).cast("string") == F.col("__bk")

@@ -40,8 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["source_token_divergence", "source_pairwise_jsd", "pmi_bigrams",
-           "zipf_alpha"]
+__all__ = ["unigram_counts", "source_token_divergence", "source_pairwise_jsd",
+           "pmi_bigrams", "zipf_alpha"]
 
 _ROUND = 6
 
@@ -63,8 +63,20 @@ def _unigram_counts(df: DataFrame, tokens_col: str, source_col: str) -> DataFram
     )
 
 
+def unigram_counts(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+) -> DataFrame:
+    """The (source, token, c) exact unigram-count table every statistic
+    in this module derives from.  Callers running SEVERAL statistics
+    over the same corpus should compute this once, ``persist()`` it,
+    and pass it via the operators' ``counts`` parameter — otherwise
+    each operator runs its own corpus-sized explode+aggregate."""
+    return _unigram_counts(df, tokens_col, source_col)
+
+
 def source_token_divergence(
     df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source unigram statistics vs the corpus mixture.
 
@@ -77,8 +89,12 @@ def source_token_divergence(
                   because support(p_source) is a subset of support(p_corpus)
 
     entropy/kl_corpus are rounded to 6 decimals (ln-sum ulp discipline).
+
+    ``counts``: an optional precomputed :func:`unigram_counts` table
+    (persist it!) shared with the module's other statistics.
     """
-    per = _unigram_counts(df, tokens_col, source_col).persist()
+    per = (counts if counts is not None
+           else _unigram_counts(df, tokens_col, source_col)).persist()
     totals = per.groupBy("source").agg(
         F.sum("c").alias("n_tok"), F.count("*").alias("n_types"))
     corpus = per.groupBy("token").agg(F.sum("c").alias("cc"))
@@ -214,6 +230,7 @@ def zipf_alpha(
 
 def source_pairwise_jsd(
     df: DataFrame, tokens_col: str = "tokens", source_col: str = "source",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Jensen-Shannon divergence (nats) between every pair of sources'
     unigram distributions: one row per unordered pair (source_a <
@@ -224,8 +241,12 @@ def source_pairwise_jsd(
     by densifying over the pair's support union via a full outer join on
     token within each pair (missing side treated as probability 0, and
     0*ln(0) terms dropped by the p>0 filters).
+
+    ``counts``: an optional precomputed :func:`unigram_counts` table
+    (persist it!) shared with the module's other statistics.
     """
-    per = _unigram_counts(df, tokens_col, source_col).persist()
+    per = (counts if counts is not None
+           else _unigram_counts(df, tokens_col, source_col)).persist()
     totals = per.groupBy("source").agg(F.sum("c").alias("n_tok"))
     probs = (
         per.join(F.broadcast(totals), "source")

@@ -136,3 +136,22 @@ def test_sql_contains_dispatches_xor_blobs(spark):
         FROM VALUES ('alpha'),('beta'),('nope') AS t(el)
     """).collect()}
     assert got == {"alpha": True, "beta": True, "nope": False}
+
+
+def test_semi_joins_keep_empty_string_keys(spark):
+    """'' is invisible to the filters (reference empty-element
+    semantics) but a legitimate join key: both semi joins route it
+    through the shared sentinel so the result still equals the exact
+    semi join (regression for the silent-drop hole)."""
+    from presto_bloomfilter_spark.operators.probe import bloom_semi_join
+    from presto_bloomfilter_spark.operators.staticfilter import xor_semi_join
+
+    build = spark.createDataFrame([("",), ("a",)], "k string")
+    probe = spark.createDataFrame(
+        [("", 1), ("a", 2), ("b", 3), (None, 4)], "k string, v int")
+    exact = {2, 1}
+    got_xor = {r.v for r in xor_semi_join(spark, probe, "k", build, "k").collect()}
+    got_bloom = {r.v for r in bloom_semi_join(
+        spark, probe, "k", build, "k", expected_insertions=100).collect()}
+    assert got_xor == exact
+    assert got_bloom == exact

@@ -88,10 +88,15 @@ def main() -> None:
     from presto_bloomfilter_spark.operators.contamination import split_words
 
     words = docs.select("source", split_words("text").alias("w"))
+    word_counts = stats.unigram_counts(words, "w").persist()
     src_kl = {r.source: r.kl_corpus
-              for r in stats.source_token_divergence(words, "w").collect()}
-    jsd_rows = stats.source_pairwise_jsd(words, "w").collect()
-    min_jsd = min(jsd_rows, key=lambda r: r.jsd)
+              for r in stats.source_token_divergence(
+                  words, "w", counts=word_counts).collect()}
+    jsd_rows = stats.source_pairwise_jsd(
+        words, "w", counts=word_counts).collect()
+    # a single-source corpus has no pairs — the audit then only reports KL
+    min_jsd = min(jsd_rows, key=lambda r: r.jsd) if jsd_rows else None
+    word_counts.unpersist()
 
     # 1-2: quality + repetition cut, then a CCNet-style bigram-LM
     # perplexity cut (drop the worst 10% by nll; the LM trains on the
@@ -199,9 +204,11 @@ def main() -> None:
         "metric": "data_prep_wall_sec", "value": round(wall, 3), "unit": "sec",
         "sf_dir": args.sf_dir, "docs_in": n_in,
         "source_kl_to_corpus": src_kl,
-        "min_source_jsd": {"pair": [min_jsd.source_a, min_jsd.source_b],
-                           "jsd": min_jsd.jsd,
-                           "duplicated_feed_suspect": bool(min_jsd.jsd < 0.05)},
+        "min_source_jsd": (
+            {"pair": [min_jsd.source_a, min_jsd.source_b],
+             "jsd": min_jsd.jsd,
+             "duplicated_feed_suspect": bool(min_jsd.jsd < 0.05)}
+            if min_jsd is not None else None),
         "docs_after_quality": q.count(), "docs_after_dedup": uniq.count(),
         "docs_mixed": n_mixed, "docs_selected": n_selected,
         "docs_by_split": split_counts,
