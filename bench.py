@@ -96,7 +96,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
     # hottest per-byte pass of a training pipeline (batch-vectorized
     # kernels)
     from presto_bloomfilter_spark.operators import (
-        bpe, dedup, packing, ranking, substring, text,
+        bpe, dedup, packing, ranking, stats, substring, text,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
@@ -159,6 +159,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             docs, ("data", "query", "spark", "window"), k=50).collect()),
         ("lm_score_docs", lambda: ranking.lm_score(
             docs, sample_percent=20).agg(F.sum("nll")).collect()),
+        # session-5 corpus statistics: mixture divergence (one corpus
+        # scan, vocabulary-bounded shuffles) + PMI collocation top-k
+        ("source_divergence", lambda: stats.source_token_divergence(
+            tokens).collect()),
+        ("pmi_bigrams", lambda: stats.pmi_bigrams(tokens, k=50).collect()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS
