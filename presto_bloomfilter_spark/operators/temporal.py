@@ -1,0 +1,205 @@
+"""Temporal operators Spark's built-ins don't express directly: as-of
+join, gap sessionization, and point-in-interval range join.
+
+These are the event-stream shapes of a training/analytics pipeline
+(align each click to the latest preceding view, cut user activity into
+sessions, attribute a timestamp to its campaign window) that naive SQL
+renders as non-equi joins — which Catalyst executes as broadcast
+nested-loop or cartesian plans, the classic 100 TB cliff.  Each
+operator here is re-expressed as equi-partitioned dataflow:
+
+- ``as_of_join``: the union-merge trick — tag both sides, union, ONE
+  window over (key, ts) carrying the last right-side payload forward.
+  Zero joins: one shuffle on the key, linear scan per partition.  This
+  is the distributed merge-asof (pandas.merge_asof's sorted-merge, cf.
+  QuestDB/kdb ASOF), not an O(L x R) predicate join.
+- ``sessionize``: lag + cumulative-sum-of-gap-flags window — the
+  standard gap-based session assignment, one shuffle on the user key.
+- ``range_join``: interval bucketing — intervals explode to the fixed-
+  width buckets they cover, points map to ONE bucket, equi-join on
+  (key, bucket), then the exact containment filter.  Shuffle volume is
+  O(points + intervals x avg_buckets_per_interval), never a cartesian;
+  pick ``bucket`` near the median interval width (the classic
+  interval-join recipe Spark only applies automatically on Databricks
+  range-join hints).
+
+Skew: all three shuffle on the caller's key column.  A single hot key
+(one user with a billion events) serializes its partition — the same
+caveat as any windowed computation; pre-split hot keys upstream or
+bound per-key cardinality (operators/sampling.py:cap_per_key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["as_of_join", "sessionize", "range_join"]
+
+
+def _as_seconds(df: DataFrame, col: str) -> Column:
+    """Numeric (epoch-seconds) view of a timestamp or numeric column.
+    TIMESTAMP_NTZ refuses a direct double cast; routing through
+    timestamp_ltz keeps microsecond precision and leaves differences
+    (all these operators consume) timezone-invariant."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("timestamp_ltz").cast("double")
+    return F.col(col).cast("double")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance: Column | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same
+    ``key`` with ``right.ts <= left.ts`` (backward as-of; ties at equal
+    timestamps match).  Unmatched left rows keep NULL payload columns.
+
+    Implementation: tag right rows 1 / left rows 0, union, and carry
+    ``last_value(payload, ignoreNulls)`` forward over a window ordered
+    by (ts, tag DESC) — right rows sort before left at the same
+    instant, so equality matches; rows-between unbounded-preceding
+    makes the carried value exactly the as-of match.  ONE shuffle (the
+    window's hash partition on ``key``), no join operator at all.
+
+    ``tolerance``: optional max staleness as a Column literal (e.g.
+    ``F.expr("INTERVAL 1 HOUR")`` for timestamps, or a plain number for
+    numeric ts columns); matches older than it are nulled out.
+
+    If several right rows share (key, ts), the carried one is the last
+    in the union's deterministic (ts, tag) order within the window —
+    make right unique per (key, ts) upstream if that order matters.
+
+    Returns the left rows (original columns) plus ``{prefix}ts`` and
+    one ``{prefix}{col}`` per payload column.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (key, right_ts)]
+    payload_struct = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        payload_struct.alias("__p"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+          for f in left.schema.fields],
+    )
+    lft = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r.unionByName(lft)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__is_right") == 0)
+    )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__m",
+            F.when(F.col("__m.__ts") >= F.col("__t") - tolerance, F.col("__m")),
+        )
+    return carried.select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        F.col("__m.__ts").alias(f"{prefix}ts"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_payload],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: float | str = "INTERVAL 30 MINUTES",
+) -> DataFrame:
+    """Gap-based session assignment: within each ``key``, a new session
+    starts whenever the time since the previous event exceeds ``gap``.
+    Adds ``session_seq`` (1-based per key, in time order) — the
+    deterministic session identifier ``concat(key, '#', session_seq)``
+    is trivially derivable.  One shuffle (the per-key window); ties at
+    identical timestamps order by the remaining columns' arrival and do
+    not open sessions (gap 0 is not > gap)."""
+    if isinstance(gap, str):
+        # intervals refuse a double cast; epoch-0 + interval → epoch
+        # seconds of the gap, microsecond-exact
+        gap_secs = (F.lit(0).cast("timestamp_ltz") + F.expr(gap)).cast("double")
+    else:
+        gap_secs = F.lit(float(gap))
+    w_ord = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    tnum = _as_seconds(df, ts)
+    is_new = (tnum - F.lag(tnum).over(w_ord) > gap_secs).cast("int")
+    return (
+        df.withColumn("__new", F.coalesce(is_new, F.lit(1)))
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .drop("__new")
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str | None,
+    point_col: str,
+    begin_col: str,
+    end_col: str,
+    bucket: float,
+) -> DataFrame:
+    """Inner join of ``points`` to every interval containing them:
+    ``begin <= point < end`` (and equal ``key`` when given).
+
+    Implementation: fixed-width bucketing.  Each interval explodes to
+    the buckets it overlaps, each point maps to its single bucket, the
+    two sides equi-join on (key, bucket) — Catalyst gets a plain hash
+    join with shuffle O(points + sum(interval_width / bucket)) instead
+    of the broadcast-nested-loop a raw inequality predicate plans.
+    The exact containment predicate then drops edge-bucket misses.
+    Pick ``bucket`` near the typical interval width: too small inflates
+    the interval explode, too large degrades toward per-bucket
+    mini-cartesians.  Timestamps are bucketed via their epoch seconds.
+    """
+    def to_num_p(c):
+        return _as_seconds(points, c)
+
+    def to_num(c):
+        return _as_seconds(intervals, c)
+
+    p_b = F.floor(to_num_p(point_col) / bucket).alias("__b")
+    pts = points.withColumn("__b", p_b)
+    # empty/inverted intervals contain nothing — and would otherwise
+    # make sequence() count DOWNWARD and explode a bogus bucket range
+    ivl = intervals.filter(to_num(end_col) > to_num(begin_col)).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(to_num(begin_col) / bucket).cast("long"),
+                F.floor((to_num(end_col) - 1e-9) / bucket).cast("long"),
+            )
+        ),
+    )
+    joined = (
+        pts.join(ivl, ["__b"] + ([key] if key else []))
+        .filter((to_num_p(point_col) >= to_num(begin_col))
+                & (to_num_p(point_col) < to_num(end_col)))
+        .drop("__b")
+    )
+    return joined

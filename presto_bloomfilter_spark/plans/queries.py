@@ -3149,6 +3149,109 @@ FROM ranked GROUP BY source HAVING COUNT(*) >= 2
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/temporal.py:as_of_join): every
+    click event matched to the LATEST preceding view of the same user —
+    the union-merge implementation (tag + union + one window carrying
+    the last right payload; ZERO join operators, one key shuffle)
+    against DuckDB's NATIVE ASOF LEFT JOIN as the oracle.  The right
+    side is pre-aggregated to one row per (user, ts) so tie order is
+    engine-independent; timestamps are compared as their canonical
+    string forms."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = temporal.as_of_join(clicks, views, "user_id",
+                              right_payload=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+        F.col("matched_value").alias("matched_value"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id,
+       CAST(r.ts AS VARCHAR) AS matched_ts,
+       r.value AS matched_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+_SESSION_SQL_CTE = """
+WITH sess AS (
+  SELECT event_id, user_id, ts,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (SELECT event_id, user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1
+             ELSE 0 END AS new
+        FROM events)
+)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (temporal.sessionize, 30-minute gap):
+    lag + cumulative-sum window, one shuffle on the user key.  Full
+    value oracle: identical window SQL in DuckDB."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.sessionize(ev, "user_id", "ts", "INTERVAL 30 MINUTES") \
+        .select("event_id", "user_id", F.col("session_seq").cast("long").alias("session_seq"))
+
+
+ORACLE_SESSIONIZE = _SESSION_SQL_CTE + """
+SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM sess
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via interval bucketing
+    (temporal.range_join): session [start, end+1s) windows derived by
+    sessionize become the intervals, click events the points — every
+    click must land back in exactly its own session.  The bucketed
+    equi-join replaces the broadcast-nested-loop plan a raw inequality
+    join would get; the oracle replays sessions and joins with the
+    plain BETWEEN predicate."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = temporal.sessionize(ev, "user_id", "ts", "INTERVAL 30 MINUTES")
+    intervals = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("b"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("e"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    out = temporal.range_join(clicks, intervals, "user_id", "ts", "b", "e",
+                              bucket=1800.0)
+    return out.select("event_id", "user_id",
+                      F.col("session_seq").cast("long").alias("session_seq"))
+
+
+ORACLE_RANGE_JOIN = _SESSION_SQL_CTE + """
+, ivl AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         MIN(ts) AS b, MAX(ts) + INTERVAL 1 SECOND AS e
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT l.event_id, l.user_id, ivl.session_seq
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+JOIN ivl ON l.user_id = ivl.user_id AND l.ts >= ivl.b AND l.ts < ivl.e
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -3245,6 +3348,9 @@ QUERIES = {
     "dedup_tokens": q_dedup_tokens,
     "pmi_bigrams": q_pmi_bigrams,
     "zipf_alpha": q_zipf_alpha,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
@@ -3341,4 +3447,7 @@ ORACLES = {
     "dedup_tokens": ORACLE_DEDUP_TOKENS,
     "pmi_bigrams": ORACLE_PMI_BIGRAMS,
     "zipf_alpha": ORACLE_ZIPF_ALPHA,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "sessionize": ORACLE_SESSIONIZE,
+    "range_join": ORACLE_RANGE_JOIN,
 }

@@ -1,0 +1,87 @@
+"""operators/temporal.py: as-of join, sessionization, range join.
+
+Hand-computable cases for match/tie/tolerance/unmatched semantics, gap
+boundaries, and end-exclusive bucketed containment; the cross-engine
+gates (asof_join vs DuckDB's native ASOF JOIN, sessionize/range_join
+vs window SQL) cover the corpus-scale parity.
+"""
+
+from pyspark.sql import functions as F
+
+from presto_bloomfilter_spark.operators import temporal
+
+
+def test_as_of_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 20.0), (3, "u", 5.0), (4, "v", 50.0)],
+        "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 15.0, "b"), ("w", 1.0, "z")],
+        "k string, ts double, tag string")
+    got = {r.id: (r.matched_ts, r.matched_tag)
+           for r in temporal.as_of_join(
+               left, right, "k", "ts", "ts", ["tag"]).collect()}
+    assert got[1] == (10.0, "a")      # tie at equal ts matches
+    assert got[2] == (15.0, "b")      # latest preceding
+    assert got[3] == (None, None)     # nothing at or before ts=5
+    assert got[4] == (None, None)     # key with no right rows
+
+
+def test_as_of_join_tolerance(spark):
+    left = spark.createDataFrame([(1, "u", 100.0)], "id long, k string, ts double")
+    right = spark.createDataFrame([("u", 10.0, 7.0)], "k string, ts double, v double")
+    loose = temporal.as_of_join(left, right, "k", right_payload=["v"],
+                                tolerance=F.lit(1000.0)).collect()[0]
+    tight = temporal.as_of_join(left, right, "k", right_payload=["v"],
+                                tolerance=F.lit(10.0)).collect()[0]
+    assert loose.matched_v == 7.0
+    assert tight.matched_v is None    # match is 90 units stale > 10
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps of exactly `gap` do NOT open a session; > gap does
+    df = spark.createDataFrame(
+        [(1, "u", 0.0), (2, "u", 30.0), (3, "u", 60.1), (4, "v", 0.0)],
+        "id long, k string, ts double")
+    got = {r.id: r.session_seq
+           for r in temporal.sessionize(df, "k", "ts", gap=30.0).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_range_join_end_exclusive_and_buckets(spark):
+    iv = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 15.0, 18.0), (3, 30.0, 30.0)],
+        "iid long, b double, e double")
+    pt = spark.createDataFrame(
+        [(100, 12.0), (101, 17.0), (102, 20.0), (103, 30.0)],
+        "pid long, v double")
+    got = sorted((r.pid, r.iid) for r in temporal.range_join(
+        pt, iv, None, "v", "b", "e", bucket=4.0).collect())
+    # 102 at v=20 excluded (end-exclusive); empty interval 3 matches nothing
+    assert got == [(100, 1), (101, 1), (101, 2)]
+
+
+def test_range_join_keyed(spark):
+    iv = spark.createDataFrame(
+        [("a", 0.0, 100.0), ("b", 0.0, 100.0)], "k string, b double, e double")
+    pt = spark.createDataFrame([("a", 50.0)], "k string, v double")
+    got = [(r.k, r.b) for r in temporal.range_join(
+        pt, iv, "k", "v", "b", "e", bucket=10.0).collect()]
+    assert got == [("a", 0.0)]        # key match required
+
+
+def test_as_of_join_is_join_free(spark):
+    """The union-merge implementation must plan ZERO join operators —
+    that's the whole point vs a naive inequality join."""
+    import contextlib
+    import io
+
+    left = spark.createDataFrame([(1, "u", 1.0)], "id long, k string, ts double")
+    right = spark.createDataFrame([("u", 1.0, "x")], "k string, ts double, t string")
+    out = temporal.as_of_join(left, right, "k", right_payload=["t"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
