@@ -164,6 +164,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("source_divergence", lambda: stats.source_token_divergence(
             tokens).collect()),
         ("pmi_bigrams", lambda: stats.pmi_bigrams(tokens, k=50).collect()),
+        # temporal shapes over the events table: join-free as-of match
+        # + windowed sessionization (operators/temporal.py)
+        ("asof_join", lambda: Q.q_asof_join(spark, sf_dir).count()),
+        ("sessionize", lambda: Q.q_sessionize(spark, sf_dir).count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS

@@ -295,6 +295,9 @@ def register_sql_aggregates(spark: SparkSession) -> None:
       (the reference's ``bloom_filter(el, n, p)`` overloads — Spark UDF
       names cannot overload by arity, so the sized form is its own name)
     - ``hll_sketch(el string) -> binary``
+    - ``cms_sketch(el string) -> binary`` / ``kll_sketch(v double) ->
+      binary`` — the sibling sketches in SQL text; decode with the
+      registered ``sketch_estimate`` / ``sketch_quantile`` scalars
     - ``sketch_merge(bf binary) -> binary`` (the reference's
       ``bloom_filter(bf)`` aggregation of PRE-BUILT filters,
       BloomFilterAggregation.java — family-generic here)
@@ -326,6 +329,23 @@ def register_sql_aggregates(spark: SparkSession) -> None:
         return HyperLogLog().add_strings(els).to_bytes()
 
     @pandas_udf("binary")
+    def _agg_cms(els: pd.Series) -> bytes:
+        from presto_bloomfilter_spark.functions.cms import CountMinSketch
+
+        return CountMinSketch().add_strings(els).to_bytes()
+
+    @pandas_udf("binary")
+    def _agg_kll(vals: pd.Series) -> bytes:
+        import numpy as np
+
+        from presto_bloomfilter_spark.functions.kll import KLLSketch
+
+        sk = KLLSketch()
+        v = vals.to_numpy(dtype=np.float64, na_value=np.nan)
+        sk.add(v[~np.isnan(v)])
+        return sk.to_bytes()
+
+    @pandas_udf("binary")
     def _agg_merge(blobs: pd.Series) -> bytes:
         it = (ser.sketch_from_bytes(bytes(b)) for b in blobs if b is not None)
         first = next(it, None)
@@ -338,6 +358,8 @@ def register_sql_aggregates(spark: SparkSession) -> None:
     spark.udf.register("bloom_filter", _agg_bloom)
     spark.udf.register("bloom_filter_sized", _agg_bloom_sized)
     spark.udf.register("hll_sketch", _agg_hll)
+    spark.udf.register("cms_sketch", _agg_cms)
+    spark.udf.register("kll_sketch", _agg_kll)
     spark.udf.register("sketch_merge", _agg_merge)
 
 

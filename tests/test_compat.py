@@ -290,3 +290,33 @@ def test_bloom_filter_load_http(tmp_path):
         assert merged.might_contain("x") and merged.might_contain("z")
     finally:
         srv.shutdown()
+
+
+def test_sql_cms_and_kll_aggregates(spark, sf_dir):
+    """The sibling sketches exist as SQL-text aggregates too: build in
+    GROUP BY, decode with the registered scalar surface."""
+    from pyspark.sql import functions as F
+
+    from presto_bloomfilter_spark import compat
+
+    compat.register_sql_functions(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("cmpt_docs")
+    rows = spark.sql("""
+        SELECT source,
+               sketch_quantile(kll_sketch(CAST(n_chars AS DOUBLE)), 0.5) AS med
+        FROM cmpt_docs GROUP BY source
+    """).collect()
+    exact = {r["source"]: r["m"] for r in docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("m")).collect()}
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert abs(r.med - exact[r.source]) / max(exact[r.source], 1) < 0.1
+    blob = spark.sql(
+        "SELECT cms_sketch(lang) AS b FROM cmpt_docs").collect()[0].b
+    from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
+    cms = sketch_from_bytes(bytes(blob))
+    top_lang, top_n = docs.groupBy("lang").count().orderBy(
+        F.desc("count")).first()
+    est = cms.estimate_strings([top_lang])[0]
+    assert top_n <= est <= top_n * 1.05 + 50
