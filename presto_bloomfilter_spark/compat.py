@@ -340,10 +340,10 @@ def register_sql_aggregates(spark: SparkSession) -> None:
 
         from presto_bloomfilter_spark.functions.kll import KLLSketch
 
-        sk = KLLSketch()
-        v = vals.to_numpy(dtype=np.float64, na_value=np.nan)
-        sk.add(v[~np.isnan(v)])
-        return sk.to_bytes()
+        # KLLSketch.add drops NaN itself; only the NULL→NaN conversion
+        # is needed here
+        return KLLSketch().add(
+            vals.to_numpy(dtype=np.float64, na_value=np.nan)).to_bytes()
 
     @pandas_udf("binary")
     def _agg_merge(blobs: pd.Series) -> bytes:

@@ -97,7 +97,9 @@ def _bloomable(col):
     — an empty/whitespace-only doc's single gram — that the exact path
     counts.  Map it to a sentinel on BOTH insert and probe so the bloom
     paths keep the documented no-false-negative contract for it."""
-    return F.when(col == "", F.lit(_EMPTY_GRAM_TOKEN)).otherwise(col)
+    from .probe import map_empty_to
+
+    return map_empty_to(col, _EMPTY_GRAM_TOKEN)
 
 
 def _doc_grams(df: DataFrame, grams_expr, id_col: str) -> DataFrame:

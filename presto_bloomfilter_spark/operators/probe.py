@@ -52,8 +52,15 @@ _SEMI_JOIN_SPECS = {
 _EMPTY_KEY_TOKEN = "\x00<empty-key>"
 
 
+def map_empty_to(col, token: str):
+    """The shared ''→sentinel mapping every filter consumer uses
+    (semi joins here, contamination grams in contamination.py) — one
+    place for the scheme, parameterized by the sentinel."""
+    return F.when(col == "", F.lit(token)).otherwise(col)
+
+
 def _keyable(col):
-    return F.when(col == "", F.lit(_EMPTY_KEY_TOKEN)).otherwise(col)
+    return map_empty_to(col, _EMPTY_KEY_TOKEN)
 
 # executor-local deserialization cache, keyed by the 32-byte sha256
 # header (reference cache: max 40 entries, BloomFilterScalarFunctions.java:25)

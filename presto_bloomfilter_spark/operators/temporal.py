@@ -109,6 +109,9 @@ def as_of_join(
         r.unionByName(lft)
         .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
         .filter(F.col("__is_right") == 0)
+        # SQL join equality never matches NULL keys; the window's
+        # partitionBy groups them, so mask the carried match out
+        .withColumn("__m", F.when(F.col("__k").isNotNull(), F.col("__m")))
     )
     if tolerance is not None:
         carried = carried.withColumn(
@@ -134,7 +137,9 @@ def sessionize(
     deterministic session identifier ``concat(key, '#', session_seq)``
     is trivially derivable.  One shuffle (the per-key window); ties at
     identical timestamps order by the remaining columns' arrival and do
-    not open sessions (gap 0 is not > gap)."""
+    not open sessions (gap 0 is not > gap).  NULL timestamps sort
+    FIRST and each opens its own session (gap vs NULL is unknowable) —
+    an oracle replaying this must order NULLS FIRST explicitly."""
     if isinstance(gap, str):
         # intervals refuse a double cast; epoch-0 + interval → epoch
         # seconds of the gap, microsecond-exact
@@ -187,12 +192,17 @@ def range_join(
     pts = points.withColumn("__b", p_b)
     # empty/inverted intervals contain nothing — and would otherwise
     # make sequence() count DOWNWARD and explode a bogus bucket range
+    # floor(end/bucket) may explode one bucket past the half-open end
+    # when end sits exactly on a boundary — the exact containment
+    # filter below drops it, which is simpler and safer than an
+    # epsilon (below one ulp at epoch-seconds magnitude, and wrong for
+    # ends within the epsilon of a boundary)
     ivl = intervals.filter(to_num(end_col) > to_num(begin_col)).withColumn(
         "__b",
         F.explode(
             F.sequence(
                 F.floor(to_num(begin_col) / bucket).cast("long"),
-                F.floor((to_num(end_col) - 1e-9) / bucket).cast("long"),
+                F.floor(to_num(end_col) / bucket).cast("long"),
             )
         ),
     )

@@ -3186,14 +3186,18 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+# ORDER BY ts NULLS FIRST mirrors Spark's ASC default; a NULL ts (or a
+# NULL-ts predecessor) always opens a session, matching
+# temporal.sessionize's documented NULL semantics
 _SESSION_SQL_CTE = """
 WITH sess AS (
   SELECT event_id, user_id, ts,
-         SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM (SELECT event_id, user_id, ts,
-        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
-             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1
+        CASE WHEN ts IS NULL THEN 1
+             WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL THEN 1
+             WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST)) > 1800 THEN 1
              ELSE 0 END AS new
         FROM events)
 )

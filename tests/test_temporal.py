@@ -85,3 +85,34 @@ def test_as_of_join_is_join_free(spark):
     plan = buf.getvalue()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_as_of_join_null_keys_never_match(spark):
+    """SQL join equality never matches NULL keys (review finding): a
+    NULL-keyed left row keeps NULL payload even when NULL-keyed right
+    rows exist."""
+    left = spark.createDataFrame([(1, None, 10.0)], "id long, k string, ts double")
+    right = spark.createDataFrame([(None, 5.0, "x")], "k string, ts double, t string")
+    [r] = temporal.as_of_join(left, right, "k", right_payload=["t"]).collect()
+    assert r.matched_ts is None and r.matched_t is None
+
+
+def test_sessionize_null_ts_each_own_session(spark):
+    df = spark.createDataFrame(
+        [(1, "u", None), (2, "u", None), (3, "u", 0.0), (4, "u", 5.0)],
+        "id long, k string, ts double")
+    got = {r.id: r.session_seq
+           for r in temporal.sessionize(df, "k", "ts", gap=30.0).collect()}
+    # NULLs sort first, each its own session; the first real ts opens a
+    # fresh one (gap vs NULL unknowable); 5.0 continues it
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_range_join_end_on_bucket_boundary(spark):
+    # end exactly on a boundary: extra exploded bucket is filtered, and
+    # a point equal to end stays excluded (half-open)
+    iv = spark.createDataFrame([(1, 0.0, 8.0)], "iid long, b double, e double")
+    pt = spark.createDataFrame([(100, 7.999), (101, 8.0)], "pid long, v double")
+    got = sorted((r.pid, r.iid) for r in temporal.range_join(
+        pt, iv, None, "v", "b", "e", bucket=4.0).collect())
+    assert got == [(100, 1)]
