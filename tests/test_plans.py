@@ -111,3 +111,27 @@ def test_cap_per_key_pretruncates_before_shuffle(spark):
     plan = cap_per_key(d, "source", 7)._jdf.queryExecution().executedPlan().toString()
     pre, _, post = plan.partition("Exchange")
     assert "WindowGroupLimit" in post, plan  # below (after) the exchange in tree order
+
+
+def test_pmi_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """pmi_bigrams' docstring claims the final top-k is a
+    TakeOrderedAndProject over the filtered bigram table, not a global
+    sort of anything corpus-sized."""
+    from presto_bloomfilter_spark.operators import stats
+    from presto_bloomfilter_spark.sources.corpus import load_tokens
+
+    plan = _plan(stats.pmi_bigrams(load_tokens(spark, sf_dir), k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_divergence_branches_read_cached_counts(spark, sf_dir):
+    """source_token_divergence persists the unigram-count table so its
+    marginal/total branches read the cache instead of re-running the
+    corpus-sized explode+aggregate (stats.py module docstring)."""
+    from presto_bloomfilter_spark.operators import stats
+    from presto_bloomfilter_spark.sources.corpus import load_tokens
+
+    df = stats.source_token_divergence(load_tokens(spark, sf_dir))
+    df.collect()
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
