@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["as_of_join", "sessionize", "range_join"]
+__all__ = ["as_of_join", "sessionize", "range_join", "retention_cohorts"]
 
 
 def _as_seconds(df: DataFrame, col: str) -> Column:
@@ -213,3 +213,47 @@ def range_join(
         .drop("__b")
     )
     return joined
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (the cohort), counted in every later period they were active.
+
+    Returns (cohort, period_offset, n_users): cohort is the truncated
+    first-activity timestamp, period_offset the whole number of periods
+    between cohort and the activity period (0 = the cohort period
+    itself), n_users the count of the cohort's users active then —
+    the retention-curve input every activity dashboard draws.
+
+    ``period``: 'week' or 'day' (both truncate identically in Spark and
+    standard SQL engines — week is Monday-start).
+
+    Scale: distinct (key, period) first — the corpus-sized pass
+    collapses to at most |users| x |periods| rows with map-side partial
+    aggregation — then a per-key min and an equi-join on the key.  No
+    windows, no inequality joins.
+    """
+    seconds = {"day": 86400.0, "week": 7 * 86400.0}
+    if period not in seconds:
+        raise ValueError(f"period must be one of {sorted(seconds)}")
+    act = df.select(F.col(key).alias("__k"),
+                    F.date_trunc(period, F.col(ts)).alias("__p")).distinct()
+    coh = act.groupBy("__k").agg(F.min("__p").alias("__c"))
+    per_len = seconds[period]
+    return (
+        act.join(coh, "__k")
+        .select(
+            F.col("__c").alias("cohort"),
+            ((F.col("__p").cast("timestamp_ltz").cast("double")
+              - F.col("__c").cast("timestamp_ltz").cast("double"))
+             / per_len).cast("long").alias("period_offset"),
+            F.col("__k"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

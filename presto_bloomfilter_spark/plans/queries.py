@@ -3256,6 +3256,32 @@ JOIN ivl ON l.user_id = ivl.user_id AND l.ts >= ivl.b AND l.ts < ivl.e
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (temporal.retention_cohorts):
+    users bucketed by first-activity week, counted in each later active
+    week.  Distinct-collapse first (map-side partials), then per-key
+    min + equi-join — no windows, no inequality joins.  Full value
+    oracle; cohort timestamps compared as canonical strings."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.retention_cohorts(ev, "user_id", "ts", "week")
+    # DuckDB's date_trunc('week') yields a DATE — compare date strings
+    return out.select(F.col("cohort").cast("date").cast("string").alias("cohort"),
+                      "period_offset", "n_users")
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+coh AS (SELECT user_id, MIN(p) AS c FROM act GROUP BY user_id)
+SELECT CAST(c AS VARCHAR) AS cohort,
+       CAST((epoch(p) - epoch(c)) / 604800 AS BIGINT) AS period_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -3355,6 +3381,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "range_join": q_range_join,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLES = {
@@ -3454,4 +3481,5 @@ ORACLES = {
     "asof_join": ORACLE_ASOF_JOIN,
     "sessionize": ORACLE_SESSIONIZE,
     "range_join": ORACLE_RANGE_JOIN,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
 }

@@ -116,3 +116,25 @@ def test_range_join_end_on_bucket_boundary(spark):
     got = sorted((r.pid, r.iid) for r in temporal.range_join(
         pt, iv, None, "v", "b", "e", bucket=4.0).collect())
     assert got == [(100, 1)]
+
+
+def test_retention_cohorts_hand_computed(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [
+        ("a", t(1)), ("a", t(8)), ("a", t(22)),   # cohort wk0: active 0,1,3
+        ("b", t(2)), ("b", t(2)),                 # cohort wk0: active 0 only
+        ("c", t(9)),                              # cohort wk1: active 0
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {(str(r.cohort)[:10], r.period_offset): r.n_users
+           for r in temporal.retention_cohorts(df, "user_id", "ts").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # a and b in week of Jan 1
+        ("2024-01-01", 1): 1,   # only a returns
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,   # c's own cohort
+    }
