@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["as_of_join", "sessionize", "range_join", "retention_cohorts"]
+__all__ = ["as_of_join", "sessionize", "range_join", "retention_cohorts",
+           "funnel"]
 
 
 def _as_seconds(df: DataFrame, col: str) -> Column:
@@ -257,3 +258,57 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    within: float | None = None,
+) -> DataFrame:
+    """Ordered funnel: how many users completed steps[0..k] IN ORDER,
+    for every k.  A user reaches step k if events of the step types
+    exist at non-decreasing timestamps; the standard greedy earliest-
+    completion cascade (t1 = min ts of step 1; tk = min ts of step k at
+    or after t_{k-1}) decides existence exactly.
+
+    ``within``: optional max seconds from the step-1 time to any later
+    step (conversion window).
+
+    Returns (step int 1-based, step_name, n_users), n_users monotone
+    non-increasing.  Each cascade level is one equi-join on the key +
+    a per-key min — no window over the event stream, no inequality
+    join (the time predicate is a post-join filter on co-keyed rows);
+    per-level state is one row per surviving user, persisted so the
+    left-join consumer doesn't re-run the cascade prefix.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    acc = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(key).alias("__k"))
+        .agg(F.min(ts).alias("__t1"))
+    ).persist()
+    for i, s in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == s).select(
+            F.col(key).alias("__k"), F.col(ts).alias("__e"))
+        prev_cols = ["__k", f"__t{i-1}"] + (["__t1"] if within is not None and i > 2 else [])
+        j = ev.join(acc.select(*dict.fromkeys(prev_cols)), "__k") \
+              .filter(F.col("__e") >= F.col(f"__t{i-1}"))
+        if within is not None:
+            j = j.filter(
+                _as_seconds(j, "__e")
+                <= _as_seconds(j, "__t1") + float(within))
+        stepk = j.groupBy("__k").agg(F.min("__e").alias(f"__t{i}"))
+        acc = acc.join(stepk, "__k", "left").persist()
+    wide = acc.agg(*[F.count(f"__t{i}").alias(f"__n{i}")
+                     for i in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step"),
+                 F.lit(name).alias("step_name"),
+                 F.col(f"__n{i}").alias("n_users"))
+        for i, name in enumerate(steps, start=1)
+    ])
+    return wide.select(F.explode(rows).alias("r")).select("r.*")

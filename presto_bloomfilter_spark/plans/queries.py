@@ -3282,6 +3282,38 @@ GROUP BY 1, 2
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase with a 1-hour
+    window (temporal.funnel): greedy earliest-completion cascade, one
+    equi-join + per-key min per level, no inequality joins or event-
+    stream windows.  Full value oracle replays the identical cascade."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.funnel(ev, ["view", "click", "purchase"], within=3600.0)
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1
+         AND epoch(e.ts) <= epoch(s1.t1) + 3600
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         AND epoch(e.ts) <= epoch(s2.t1) + 3600
+       GROUP BY e.user_id)
+SELECT * FROM (VALUES
+  (1, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)),
+  (2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)),
+  (3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+) t(step, step_name, n_users)
+"""
+
+
 # ============================== registry ======================================
 
 QUERIES = {
@@ -3382,6 +3414,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "range_join": q_range_join,
     "retention_cohorts": q_retention_cohorts,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLES = {
@@ -3482,4 +3515,5 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "range_join": ORACLE_RANGE_JOIN,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
 }

@@ -138,3 +138,28 @@ def test_retention_cohorts_hand_computed(spark):
         ("2024-01-01", 3): 1,
         ("2024-01-08", 0): 1,   # c's own cohort
     }
+
+
+def test_funnel_order_and_window(spark):
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # u1 completes in order
+        ("u1", "view", t(0)), ("u1", "click", t(5)), ("u1", "buy", t(10)),
+        # u2 clicked BEFORE viewing: click must not count
+        ("u2", "click", t(0)), ("u2", "view", t(5)),
+        # u3 converts but outside a 6-minute window
+        ("u3", "view", t(0)), ("u3", "click", t(20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    base = {(r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click", "buy"]).collect()}
+    assert base == {(1, 3), (2, 2), (3, 1)}
+    # 11-minute window: u1's whole funnel fits (click +5m, buy +10m);
+    # u3's 20-minute click does not
+    windowed = {(r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click", "buy"], within=660.0).collect()}
+    assert windowed == {(1, 3), (2, 1), (3, 1)}
