@@ -232,27 +232,35 @@ def retention_cohorts(
     the retention-curve input every activity dashboard draws.
 
     ``period``: 'week' or 'day' (both truncate identically in Spark and
-    standard SQL engines — week is Monday-start).
+    standard SQL engines — week is Monday-start).  Offsets are computed
+    CALENDAR-wise (datediff of the truncated dates / period days), not
+    from epoch arithmetic — a DST spring-forward week is 604800-3600
+    epoch seconds, which would truncate to the previous offset and
+    double-count the user there in any DST session timezone.
 
     Scale: distinct (key, period) first — the corpus-sized pass
     collapses to at most |users| x |periods| rows with map-side partial
     aggregation — then a per-key min and an equi-join on the key.  No
     windows, no inequality joins.
     """
-    seconds = {"day": 86400.0, "week": 7 * 86400.0}
-    if period not in seconds:
-        raise ValueError(f"period must be one of {sorted(seconds)}")
+    days = {"day": 1, "week": 7}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}")
+    dt = dict(df.dtypes)[ts]
+    if not (dt.startswith("timestamp") or dt == "date"):
+        raise ValueError(
+            f"retention_cohorts needs a timestamp/date column; {ts} is {dt}")
     act = df.select(F.col(key).alias("__k"),
                     F.date_trunc(period, F.col(ts)).alias("__p")).distinct()
     coh = act.groupBy("__k").agg(F.min("__p").alias("__c"))
-    per_len = seconds[period]
     return (
         act.join(coh, "__k")
         .select(
             F.col("__c").alias("cohort"),
-            ((F.col("__p").cast("timestamp_ltz").cast("double")
-              - F.col("__c").cast("timestamp_ltz").cast("double"))
-             / per_len).cast("long").alias("period_offset"),
+            # truncated periods are whole calendar days apart, so the
+            # day-diff is an exact multiple of the period length
+            (F.datediff(F.col("__p").cast("date"), F.col("__c").cast("date"))
+             / days[period]).cast("long").alias("period_offset"),
             F.col("__k"),
         )
         .groupBy("cohort", "period_offset")
@@ -272,30 +280,40 @@ def funnel(
     for every k.  A user reaches step k if events of the step types
     exist at non-decreasing timestamps; the standard greedy earliest-
     completion cascade (t1 = min ts of step 1; tk = min ts of step k at
-    or after t_{k-1}) decides existence exactly.
+    or after t_{k-1}) decides existence exactly when ``within`` is None.
 
     ``within``: optional max seconds from the step-1 time to any later
-    step (conversion window).
+    step (conversion window).  MIN-ANCHOR semantics: the window anchors
+    at the user's EARLIEST step-1 event only — a user who converts
+    within the window of a LATER step-1 occurrence is not counted
+    (exact any-anchor windowed funnels need per-candidate anchoring,
+    which is a different, quadratic problem).
 
     Returns (step int 1-based, step_name, n_users), n_users monotone
     non-increasing.  Each cascade level is one equi-join on the key +
     a per-key min — no window over the event stream, no inequality
-    join (the time predicate is a post-join filter on co-keyed rows);
-    per-level state is one row per surviving user, persisted so the
-    left-join consumer doesn't re-run the cascade prefix.
+    join (the time predicate is a post-join filter on co-keyed rows).
+    The operator is EAGER: per-level state (one row per surviving user)
+    is persisted so each level's two consumers share it, the final
+    counts (len(steps) numbers) are collected, and every intermediate
+    is unpersisted before returning — nothing lingers in the cache.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    spark = df.sparkSession
     acc = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(key).alias("__k"))
         .agg(F.min(ts).alias("__t1"))
     ).persist()
+    cached = [acc]
     for i, s in enumerate(steps[1:], start=2):
         ev = df.filter(F.col(type_col) == s).select(
             F.col(key).alias("__k"), F.col(ts).alias("__e"))
-        prev_cols = ["__k", f"__t{i-1}"] + (["__t1"] if within is not None and i > 2 else [])
-        j = ev.join(acc.select(*dict.fromkeys(prev_cols)), "__k") \
+        prev_cols = ["__k", f"__t{i-1}"]
+        if within is not None and i > 2:
+            prev_cols.append("__t1")
+        j = ev.join(acc.select(*prev_cols), "__k") \
               .filter(F.col("__e") >= F.col(f"__t{i-1}"))
         if within is not None:
             j = j.filter(
@@ -303,12 +321,13 @@ def funnel(
                 <= _as_seconds(j, "__t1") + float(within))
         stepk = j.groupBy("__k").agg(F.min("__e").alias(f"__t{i}"))
         acc = acc.join(stepk, "__k", "left").persist()
-    wide = acc.agg(*[F.count(f"__t{i}").alias(f"__n{i}")
-                     for i in range(1, len(steps) + 1)])
-    rows = F.array(*[
-        F.struct(F.lit(i).alias("step"),
-                 F.lit(name).alias("step_name"),
-                 F.col(f"__n{i}").alias("n_users"))
-        for i, name in enumerate(steps, start=1)
-    ])
-    return wide.select(F.explode(rows).alias("r")).select("r.*")
+        cached.append(acc)
+    [row] = acc.agg(*[F.count(f"__t{i}").alias(f"__n{i}")
+                      for i in range(1, len(steps) + 1)]).collect()
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(
+        [(i, name, int(row[f"__n{i}"]))
+         for i, name in enumerate(steps, start=1)],
+        "step int, step_name string, n_users long",
+    )

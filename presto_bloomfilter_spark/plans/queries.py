@@ -3275,7 +3275,7 @@ ORACLE_RETENTION_COHORTS = """
 WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
 coh AS (SELECT user_id, MIN(p) AS c FROM act GROUP BY user_id)
 SELECT CAST(c AS VARCHAR) AS cohort,
-       CAST((epoch(p) - epoch(c)) / 604800 AS BIGINT) AS period_offset,
+       CAST(date_diff('day', CAST(c AS DATE), CAST(p AS DATE)) / 7 AS BIGINT) AS period_offset,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM act JOIN coh USING (user_id)
 GROUP BY 1, 2

@@ -163,3 +163,32 @@ def test_funnel_order_and_window(spark):
     windowed = {(r.step, r.n_users) for r in temporal.funnel(
         df, ["view", "click", "buy"], within=660.0).collect()}
     assert windowed == {(1, 3), (2, 1), (3, 1)}
+
+
+def test_retention_cohorts_dst_safe(spark):
+    """Calendar offsets, not epoch arithmetic: the 2024-03-10 US
+    spring-forward week is 3600 epoch-seconds short of 7 days, which
+    would truncate the following week's offset to 0 and double-count
+    the user (live-reproduced review finding)."""
+    import datetime as dt
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("u", dt.datetime(2024, 3, 4)), ("u", dt.datetime(2024, 3, 11)),
+             ("u", dt.datetime(2024, 3, 18))],
+            "user_id string, ts timestamp")
+        got = {r.period_offset: r.n_users
+               for r in temporal.retention_cohorts(df).collect()}
+        assert got == {0: 1, 1: 1, 2: 1}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_retention_cohorts_rejects_numeric_ts(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("u", 5.0)], "user_id string, ts double")
+    with _pytest.raises(ValueError, match="timestamp"):
+        temporal.retention_cohorts(df)
