@@ -168,6 +168,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         # + windowed sessionization (operators/temporal.py)
         ("asof_join", lambda: Q.q_asof_join(spark, sf_dir).count()),
         ("sessionize", lambda: Q.q_sessionize(spark, sf_dir).count()),
+        ("retention_cohorts", lambda: Q.q_retention_cohorts(spark, sf_dir).count()),
+        ("funnel_steps", lambda: Q.q_funnel_steps(spark, sf_dir).count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS
