@@ -86,7 +86,12 @@ def as_of_join(
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_payload],
     )
-    r = right.select(
+    # The contract ``right.ts <= left.ts`` is never satisfied by a NULL
+    # right timestamp (SQL comparison with NULL is unknown), but under
+    # the window's ascending order NULL __t would sort FIRST and its
+    # payload would be carried into every later left row of the key —
+    # drop such rows before the union so they can never match.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),

@@ -97,6 +97,22 @@ def test_as_of_join_null_keys_never_match(spark):
     assert r.matched_ts is None and r.matched_t is None
 
 
+def test_as_of_join_null_right_ts_never_match(spark):
+    """A NULL-timestamp right row can never satisfy right.ts <= left.ts
+    (advisor finding): without the pre-union filter NULL __t sorts
+    FIRST and its payload would be carried into every later left row."""
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 20.0)], "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("u", None, "bad"), ("u", 15.0, "good")],
+        "k string, ts double, t string")
+    got = {r.id: (r.matched_ts, r.matched_t)
+           for r in temporal.as_of_join(
+               left, right, "k", right_payload=["t"]).collect()}
+    assert got[1] == (None, None)       # only the NULL-ts row precedes
+    assert got[2] == (15.0, "good")
+
+
 def test_sessionize_null_ts_each_own_session(spark):
     df = spark.createDataFrame(
         [(1, "u", None), (2, "u", None), (3, "u", 0.0), (4, "u", 5.0)],
