@@ -105,8 +105,62 @@ def bm25_topk(df: DataFrame, terms: Sequence[str], k: int = 50,
 # ---- bigram LM quality scoring -------------------------------------------------
 
 
+def _lm_train(df: DataFrame, sample_percent: int, text_col: str, id_col: str,
+              min_count: int, max_table_rows: int | None,
+              ) -> tuple[pd.Series, pd.Series]:
+    """Train the bounded bigram-LM count tables (see ``lm_score``).
+
+    Returns ``(uni, bi)`` pandas Series keyed by word / \\x1f-joined
+    pair.  Pruning runs IN SPARK before the collect, so the driver
+    never holds more than ``max_table_rows`` entries per table: count
+    floor first (``HAVING count >= min_count`` shape), then
+    deterministic top-M by (count DESC, key ASC) — executed as
+    TakeOrderedAndProject, no global sort.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_table_rows is not None and max_table_rows < 1:
+        raise ValueError(f"max_table_rows must be >= 1, got {max_table_rows}")
+    from presto_bloomfilter_spark.operators.text import hash_sample
+
+    def bounded(counts: DataFrame, key: str) -> list:
+        if min_count > 1:
+            counts = counts.filter(F.col("count") >= min_count)
+        if max_table_rows is not None:
+            counts = counts.orderBy(F.desc("count"), key).limit(max_table_rows)
+        return counts.collect()
+
+    words_col = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    sample = hash_sample(df, id_col, sample_percent)
+    uni_rows = bounded(sample.select(F.explode(words_col).alias("w"))
+                       .groupBy("w").count(), "w")
+    if not uni_rows:
+        raise ValueError(
+            f"lm_score: the {sample_percent}% training sample is empty (after "
+            f"min_count={min_count} pruning) — raise sample_percent, lower "
+            "min_count, or check the corpus")
+    # bigrams via shifted zip_with: pairing stays map-side, only the
+    # sample's pair rows shuffle for the count.  \x1f (unit separator)
+    # joins the pair — non-whitespace so it can't appear inside a word
+    # of any corpus whose words exclude control chars, and unlike \x00
+    # it is representable in every engine a parity oracle might use
+    n_pairs = F.greatest(F.size(words_col) - 1, F.lit(0))
+    pairs = sample.select(F.explode(F.zip_with(
+        F.slice(words_col, 1, n_pairs),
+        F.slice(words_col, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )).alias("p"))
+    bi_rows = bounded(pairs.groupBy("p").count(), "p")
+
+    uni = pd.Series({r["w"]: float(r["count"]) for r in uni_rows})
+    bi = pd.Series({r["p"]: float(r["count"]) for r in bi_rows}, dtype=float)
+    return uni, bi
+
+
 def lm_score(df: DataFrame, sample_percent: int = 20, alpha: float = 0.1,
-             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+             text_col: str = "text", id_col: str = "doc_id",
+             min_count: int = 1,
+             max_table_rows: int | None = 10_000_000) -> DataFrame:
     """Per-document bigram-LM negative log-likelihood (lower = more
     in-domain).  Returns DataFrame[id string, n_words int, nll double]
     where nll is the mean over word positions 2..n of
@@ -120,47 +174,41 @@ def lm_score(df: DataFrame, sample_percent: int = 20, alpha: float = 0.1,
     (standard for a quality FILTER; use a disjoint sample for held-out
     perplexity).  Unknown words hit the alpha floor.
 
+    Driver-table bound (KenLM-style count pruning): bigram TYPE count
+    grows near-linearly with sample tokens, so the count tables are
+    pruned IN SPARK before anything reaches the driver.  ``min_count``
+    drops uni/bigram types seen fewer times (KenLM's ``--prune``);
+    ``max_table_rows`` then hard-caps each table at the top-M types by
+    (count DESC, key ASC) — a total order, so the cut is deterministic
+    and an oracle can replay it.  Executed as TakeOrderedAndProject
+    (per-partition top-M + M-row merge, no global sort).  A pruned
+    type scores through the same alpha floor as an unseen one, and V
+    is the PRUNED unigram type count — the model the executors see is
+    exactly the model the parameters describe.  The driver therefore
+    holds at most ``2 * max_table_rows`` entries regardless of corpus
+    or sample size; the default caps the tables at roughly a few
+    hundred MB, the same bound a filtered KenLM table imposes.
+
     Scale posture: training explodes and shuffles only the SAMPLE's
-    (word, count) pairs — bounded by sample size, never the corpus —
-    and the count tables live on the driver only as long as the
-    closure broadcast needs (their size is the sample's uni/bigram
-    vocabulary; cap ``sample_percent`` accordingly, this is the same
-    bound a KenLM table imposes).  Scoring is ONE Arrow-batched
+    (word, count) pairs — bounded by sample size, never the corpus.
+    The pruned count tables ship to executors as a REAL
+    ``sc.broadcast`` (torrent-distributed once per executor, not
+    re-pickled into every task closure).  Scoring is ONE Arrow-batched
     mapInPandas pass: word splitting is the Arrow C kernel
     (utf8_split_whitespace — identical semantics to str.split()),
     lookups are C-level pandas map joins, per-doc means are bincount
     segment sums.  No explode of the corpus, no join, no per-row
     Python.
     """
-    from presto_bloomfilter_spark.operators.text import hash_sample
-
-    words_col = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    sample = hash_sample(df, id_col, sample_percent)
-    uni_rows = (sample.select(F.explode(words_col).alias("w"))
-                .groupBy("w").count().collect())
-    if not uni_rows:
-        raise ValueError(
-            f"lm_score: the {sample_percent}% training sample is empty — "
-            "raise sample_percent or check the corpus")
-    # bigrams via shifted zip_with: pairing stays map-side, only the
-    # sample's pair rows shuffle for the count.  \x1f (unit separator)
-    # joins the pair — non-whitespace so it can't appear inside a word
-    # of any corpus whose words exclude control chars, and unlike \x00
-    # it is representable in every engine a parity oracle might use
-    n_pairs = F.greatest(F.size(words_col) - 1, F.lit(0))
-    pairs = sample.select(F.explode(F.zip_with(
-        F.slice(words_col, 1, n_pairs),
-        F.slice(words_col, 2, n_pairs),
-        lambda a, b: F.concat(a, F.lit("\x1f"), b),
-    )).alias("p"))
-    bi_rows = pairs.groupBy("p").count().collect()
-
-    uni = pd.Series({r["w"]: float(r["count"]) for r in uni_rows})
-    bi = pd.Series({r["p"]: float(r["count"]) for r in bi_rows}, dtype=float)
+    uni, bi = _lm_train(df, sample_percent, text_col, id_col,
+                        min_count, max_table_rows)
     vocab = float(len(uni))
     a = float(alpha)
+    model_bc = df.sparkSession.sparkContext.broadcast((uni, bi))
+    del uni, bi  # keep the tables out of the task closure
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        uni, bi = model_bc.value
         for pdf in it:
             arr = pa.array(pdf[text_col].fillna(""), type=pa.string())
             sp = pc.utf8_split_whitespace(arr)

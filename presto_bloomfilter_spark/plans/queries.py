@@ -1812,9 +1812,11 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample and rescores every doc.  Docs with <2 words aren't
     scoreable; both sides coalesce that to 0.0 (true nll is strictly
     positive under add-alpha smoothing, so the sentinel is
-    unambiguous)."""
+    unambiguous).  ``min_count=2`` exercises the KenLM-style driver-
+    table bound — the oracle applies the identical count floor, so
+    singleton uni/bigram types hit the alpha path on BOTH engines."""
     d = load_table(spark, sf_dir, "documents")
-    scored = ranking.lm_score(d, sample_percent=20, alpha=0.1)
+    scored = ranking.lm_score(d, sample_percent=20, alpha=0.1, min_count=2)
     return scored.select(
         "id", "n_words",
         F.when(F.col("nll").isNull() | F.isnan("nll"), F.lit(0.0))
@@ -1834,6 +1836,7 @@ train AS (
 ),
 uni AS (
   SELECT w, count(*) AS c FROM (SELECT unnest(words) AS w FROM train) GROUP BY w
+  HAVING count(*) >= 2
 ),
 bi AS (
   SELECT p, count(*) AS c FROM (
@@ -1841,6 +1844,7 @@ bi AS (
                                  i -> words[i] || chr(31) || words[i + 1])) AS p
     FROM train
   ) GROUP BY p
+  HAVING count(*) >= 2
 ),
 v AS (SELECT count(*) AS nv FROM uni),
 pos AS (

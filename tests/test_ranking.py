@@ -150,3 +150,62 @@ def test_lm_score_empty_sample_raises(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     with pytest.raises(ValueError, match="training sample is empty"):
         ranking.lm_score(df, sample_percent=0)
+
+
+def test_lm_train_tables_bounded_under_heavy_vocab(spark):
+    """The driver count tables must be capped by the parameters, not by
+    the corpus: a heavy-vocab sample (every word a singleton except a
+    small head) must yield tables of at most max_table_rows entries,
+    with the deterministic (count DESC, key ASC) head retained."""
+    rows = [(i, "head0 head1 " + " ".join(f"u{i}_{j}" for j in range(20)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # unbounded: vocab is ~20 uniques/doc * sample docs + the head
+    uni_all, bi_all = ranking._lm_train(df, 100, "text", "doc_id", 1, None)
+    assert len(uni_all) > 500 and len(bi_all) > 500
+    # count floor: only the repeated head words survive
+    uni_f, bi_f = ranking._lm_train(df, 100, "text", "doc_id", 2, None)
+    assert set(uni_f.index) == {"head0", "head1"}
+    assert set(bi_f.index) == {"head0\x1fhead1"}
+    # hard cap: top-M by (count DESC, key ASC), deterministic
+    uni_c, bi_c = ranking._lm_train(df, 100, "text", "doc_id", 1, 3)
+    assert len(uni_c) == 3 and len(bi_c) == 3
+    assert set(uni_c.index[:2]) == {"head0", "head1"}  # the true head
+    assert uni_c.index[2] == sorted(
+        w for w in uni_all.index if w not in ("head0", "head1"))[0]
+
+
+def test_lm_score_min_count_matches_pruned_reference(spark):
+    """Scoring under min_count must equal the pure-python retrain with
+    the same floor: pruned types hit the alpha path and V is the PRUNED
+    unigram type count."""
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {r.id: r for r in ranking.lm_score(
+        df, sample_percent=60, alpha=0.1, min_count=2).collect()}
+
+    train = [_words(t) for i, t in DOCS if _md5_bucket(str(i)) < 60]
+    uni, bi = {}, {}
+    for w in train:
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    uni = {k: c for k, c in uni.items() if c >= 2}
+    bi = {k: c for k, c in bi.items() if c >= 2}
+    v = len(uni)
+    assert v > 0
+    for did, t in DOCS:
+        w = _words(t)
+        if len(w) < 2:
+            continue
+        nls = [-math.log((bi.get((p, c), 0) + 0.1) / (uni.get(p, 0) + 0.1 * v))
+               for p, c in zip(w, w[1:])]
+        assert got[str(did)].nll == pytest.approx(sum(nls) / len(nls), rel=1e-12)
+
+
+def test_lm_score_param_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError, match="min_count"):
+        ranking.lm_score(df, min_count=0)
+    with pytest.raises(ValueError, match="max_table_rows"):
+        ranking.lm_score(df, max_table_rows=0)
