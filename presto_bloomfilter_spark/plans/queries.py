@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark.operators import aggregate as agg
 from presto_bloomfilter_spark.operators import (
-    contamination, dedup, multimodal, packing, ranking, sampling, selection,
-    similarity, text,
+    classifier, contamination, dedup, multimodal, packing, ranking, sampling,
+    selection, similarity, text,
 )
 from presto_bloomfilter_spark.operators.probe import bloom_semi_join, contains_udf
 from presto_bloomfilter_spark.sources.corpus import load_tokens, tokens_parquet_path
@@ -1866,6 +1866,93 @@ FROM d LEFT JOIN (SELECT id, sum(nl) / count(*) AS nll FROM sc GROUP BY id) s
 """
 
 
+_QC_B, _QC_ITERS, _QC_LR, _QC_PCT = 32, 12, 2.0, 30
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (fasttext-style hashed-gram logistic
+    regression): fit on the deterministic md5 30% seed sample labeled
+    ``source == 'src0'``, score every document.  Full value oracle:
+    DuckDB REFITS the identical model — the fixed-iteration zero-init
+    full-batch GD is unrolled into one chained CTE per iteration — and
+    replays every probability; scores round to 6 decimals (cross-
+    engine float discipline, the GD replay agrees to ~1e-12)."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = text.hash_sample(d, "doc_id", _QC_PCT).withColumn(
+        "label", (F.col("source") == "src0").cast("double"))
+    model = classifier.train_quality_classifier(
+        labeled, buckets=_QC_B, iters=_QC_ITERS, lr=_QC_LR)
+    return classifier.score_quality(d, model)
+
+
+def _quality_classifier_oracle(buckets: int = _QC_B, iters: int = _QC_ITERS,
+                               lr: float = _QC_LR,
+                               percent: int = _QC_PCT) -> str:
+    """Unrolled-GD replay: w0 = zeros; each iteration is two CTEs
+    (per-doc margins p{t}, weight update w{t+1}) mirroring
+    classifier.train_quality_classifier exactly."""
+    b = buckets
+    head = rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT id, unnest(words || list_transform(range(1, len(words)),
+                                            i -> words[i] || chr(31) || words[i + 1])) AS gram
+  FROM d
+),
+cnt AS MATERIALIZED (
+  SELECT id, CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {b} AS bucket,
+         count(*) AS c
+  FROM g GROUP BY id, bucket
+),
+tot AS (SELECT id, sum(c) AS t FROM cnt GROUP BY id),
+x AS MATERIALIZED (
+  SELECT cnt.id, cnt.bucket, CAST(cnt.c AS DOUBLE) / tot.t AS x
+  FROM cnt JOIN tot USING (id)
+  UNION ALL
+  SELECT id, {b} AS bucket, 1.0 AS x FROM d
+),
+lab AS MATERIALIZED (
+  SELECT id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+  FROM d
+  WHERE CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 100 < {percent}
+),
+xs AS MATERIALIZED (SELECT x.* FROM x JOIN lab ON x.id = lab.id),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+w0 AS MATERIALIZED (SELECT unnest(range({b + 1})) AS bucket, 0.0 AS w)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+p{t} AS MATERIALIZED (
+  SELECT lab.id, lab.y, 1.0 / (1.0 + exp(-coalesce(m.s, 0.0))) AS p
+  FROM lab LEFT JOIN (
+    SELECT xs.id, sum(xs.x * w{t}.w) AS s
+    FROM xs JOIN w{t} USING (bucket) GROUP BY xs.id
+  ) m USING (id)
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT w{t}.bucket,
+         w{t}.w - {lr!r} * coalesce(gr.g, 0.0) / (SELECT n FROM n) AS w
+  FROM w{t} LEFT JOIN (
+    SELECT xs.bucket, sum((p{t}.p - p{t}.y) * xs.x) AS g
+    FROM xs JOIN p{t} USING (id) GROUP BY xs.bucket
+  ) gr USING (bucket)
+)""")
+    tail = f"""
+SELECT x.id, CAST(count(*) - 1 AS INTEGER) AS n_gram_types,
+       round(1.0 / (1.0 + exp(-sum(x.x * wf.w))), 6) + 0.0 AS prob
+FROM x JOIN w{iters} wf USING (bucket)
+GROUP BY x.id
+"""
+    return head + "," + ",".join(steps) + tail
+
+
+ORACLE_QUALITY_CLASSIFIER = _quality_classifier_oracle()
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
     downsampled hard, minority sources kept): per-source deterministic
@@ -3327,6 +3414,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "quality_classifier": q_quality_classifier,
     "lm_score": q_lm_score,
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_pq": q_ann_pq,
@@ -3428,6 +3516,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
     "sharded_bloom_semijoin": ORACLE_SHARDED_BLOOM_SEMIJOIN,
     "sql_surface_cte": ORACLE_SQL_SURFACE_CTE,
