@@ -2965,6 +2965,71 @@ FROM documents
 """
 
 
+def q_incremental_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-keyed incremental maintenance over a REAL table-format
+    directory (the north_rule's "resumable from Iceberg-snapshot
+    checkpoints"): a Delta-protocol table (sources/delta.py) grows by
+    two commits; the sketch follows by reading the transaction log's
+    manifest — v1→v2 processes exactly the files commit 2 added, the
+    recorded snapshot is the real table version (``docs@v2``), a
+    re-run is a 0-file no-op, time travel to v1 reproduces the first
+    snapshot, and the incrementally maintained sketch is BYTE-identical
+    to a full rebuild of the table read.  Counts are value-checked
+    cross-engine via the engine-portable md5 split."""
+    import glob
+    import tempfile
+
+    from presto_bloomfilter_spark.operators.sampling import md5_bucket
+    from presto_bloomfilter_spark.sources.delta import create_delta_table
+    from presto_bloomfilter_spark.store import (
+        IncrementalBuild, SketchStore, incremental_aggregate_delta)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    root = tempfile.mkdtemp(prefix="pbs_delta_")
+    t = create_delta_table(root + "/tbl", "docs")
+    docs.filter(md5_bucket("doc_id", 2) == 0).repartition(2) \
+        .write.parquet(t.path + "/a")
+    files_a = sorted(glob.glob(t.path + "/a/*.parquet"))
+    t.commit(adds=files_a)
+    docs.filter(md5_bucket("doc_id", 2) == 1).repartition(2) \
+        .write.parquet(t.path + "/b")
+    files_b = sorted(glob.glob(t.path + "/b/*.parquet"))
+    t.commit(adds=files_b)
+
+    store = SketchStore(tempfile.mkdtemp(prefix="pbs_deltastore_"))
+    spec = agg.hll_over_strings("doc_id")
+    sk1, n1 = incremental_aggregate_delta(spark, t, spec, store, "incd", 1)
+    snap1 = IncrementalBuild(store, "incd").snapshot
+    sk2, n2 = incremental_aggregate_delta(spark, t, spec, store, "incd")
+    sk3, n3 = incremental_aggregate_delta(spark, t, spec, store, "incd")
+    full = agg.aggregate_sketch(t.read(spark), spec)
+    n_v1 = t.read(spark, 1).count()
+    n_all = t.read(spark).count()
+    return spark.createDataFrame(
+        [(n_v1, n_all,
+          bool(abs(sk1.estimate() - n_v1) <= 0.05 * max(n_v1, 1)),
+          bool(abs(sk2.estimate() - n_all) <= 0.03 * max(n_all, 1)),
+          bool(n1 == len(files_a) and n2 == len(files_b) and n3 == 0),
+          bool(sk2.to_bytes() == full.to_bytes() == sk3.to_bytes()),
+          bool(snap1 == "docs@v1"
+               and IncrementalBuild(store, "incd").snapshot == "docs@v2"))],
+        "n_docs_v1 long, n_docs long, hll_v1_ok boolean, hll_ok boolean, "
+        "delta_counts_ok boolean, identical_to_full boolean, "
+        "snapshot_keyed boolean",
+    )
+
+
+ORACLE_INCREMENTAL_UPDATE_DELTA = """
+SELECT CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_v1,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS hll_v1_ok, TRUE AS hll_ok, TRUE AS delta_counts_ok,
+       TRUE AS identical_to_full, TRUE AS snapshot_keyed
+FROM documents
+"""
+
+
 def q_streaming_windowed_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed stateful streaming (applyInPandasWithState):
     per-day HLL sketches of distinct users over the events table,
@@ -3415,6 +3480,7 @@ SELECT * FROM (VALUES
 
 QUERIES = {
     "quality_classifier": q_quality_classifier,
+    "incremental_update_delta": q_incremental_update_delta,
     "lm_score": q_lm_score,
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_pq": q_ann_pq,
@@ -3517,6 +3583,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "incremental_update_delta": ORACLE_INCREMENTAL_UPDATE_DELTA,
     "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
     "sharded_bloom_semijoin": ORACLE_SHARDED_BLOOM_SEMIJOIN,
     "sql_surface_cte": ORACLE_SQL_SURFACE_CTE,

@@ -389,18 +389,29 @@ class IncrementalBuild:
              "snapshot": self.snapshot, "updated_at": time.time()},
             sort_keys=True, indent=1).encode())
 
-    def update(self, spark, files: list[str], spec, fan_in: int = 16):
+    def update(self, spark, files: list[str], spec, fan_in: int = 16,
+               sizes: dict[str, int] | None = None,
+               snapshot_id: str | None = None):
         """Bring the sketch up to date with the given snapshot (full
         CURRENT file list, not just the delta — the delta is computed
         here, which is what makes re-running an update idempotent).
-        Returns (merged sketch, n_new_files_processed)."""
+        Returns (merged sketch, n_new_files_processed).
+
+        ``sizes``/``snapshot_id``: manifest-driven mode for table
+        formats (sources/delta.py) — file sizes come from the
+        transaction log instead of filesystem stat calls, and the
+        recorded snapshot is the REAL table version (e.g.
+        ``<table-id>@v3``) instead of a file-set fingerprint."""
         import pyarrow as pa
 
         from presto_bloomfilter_spark.operators.aggregate import _unwrap
 
         if not files:
             raise ValueError("empty snapshot: no files")
-        sizes = {f: os.path.getsize(f) for f in files}
+        if sizes is None:
+            sizes = {f: os.path.getsize(f) for f in files}
+        elif missing := [f for f in files if f not in sizes]:
+            raise ValueError(f"sizes missing for {missing[:3]!r}…")
         new = _delta_or_raise(self.files, files, sizes)
         if new:
             job_id, store, cols = self.job_id, self.store, list(spec.columns)
@@ -434,9 +445,14 @@ class IncrementalBuild:
                     raise ValueError(f"partial {key!r} missing; task persist failed?")
                 self.files[r.path] = {"key": key, "sha256": r.sha256,
                                       "rows": r.rows, "size": sizes[r.path]}
-            self.snapshot = snapshot_fingerprint(
+            self.snapshot = snapshot_id or snapshot_fingerprint(
                 (f, self.files[f]["size"]) for f in self.files)
             self._flush()  # one manifest write per update, not one per file
+        elif snapshot_id and self.snapshot != snapshot_id:
+            # 0-file update under a NEW table version (e.g. a metadata-only
+            # commit): record that the sketch is current as of it
+            self.snapshot = snapshot_id
+            self._flush()
         keys = sorted(v["key"] for v in self.files.values())
         if len(keys) > fan_in:
             return self.store.load_merged_distributed(spark, keys, fan_in), len(new)
@@ -454,6 +470,26 @@ def incremental_aggregate(spark, files, spec, store: SketchStore, job_id: str,
     if isinstance(files, str):
         files = _snapshot_files(files)
     return IncrementalBuild(store, job_id).update(spark, list(files), spec, fan_in)
+
+
+def incremental_aggregate_delta(spark, table, spec, store: SketchStore,
+                                job_id: str, version: int | None = None,
+                                fan_in: int = 16):
+    """Snapshot-delta update keyed on a REAL Delta table version
+    (sources/delta.py): the file manifest and sizes come from the
+    transaction log (no directory listing, no stat calls), the
+    recorded snapshot is ``<table-id>@v<version>``, and bringing the
+    sketch from version N to M processes exactly the files the log
+    added in between.  ``table`` is a ``DeltaTable`` or a table-dir
+    path.  Returns (sketch, n_new_files_processed)."""
+    from presto_bloomfilter_spark.sources.delta import DeltaTable
+
+    if isinstance(table, str):
+        table = DeltaTable(table)
+    snap = table.snapshot(version)
+    build = IncrementalBuild(store, job_id)
+    return build.update(spark, list(snap.files), spec, fan_in,
+                        sizes=snap.sizes, snapshot_id=snap.snapshot_id)
 
 
 def _snapshot_files(directory: str) -> list[str]:
