@@ -24,9 +24,14 @@ operator here is re-expressed as equi-partitioned dataflow:
   range-join hints).
 
 Skew: all three shuffle on the caller's key column.  A single hot key
-(one user with a billion events) serializes its partition — the same
-caveat as any windowed computation; pre-split hot keys upstream or
-bound per-key cardinality (operators/sampling.py:cap_per_key).
+(one user with a billion events) serializes its partition under the
+default plans; ``sessionize`` and ``as_of_join`` take ``salt_block``
+(a time-block width) to pre-split hot keys — the per-key window runs
+per (key, time-block) in parallel and a second pass over the tiny
+per-block summary table stitches the boundaries exactly (the salting
+escape hatch grouped sketch builds already had).  ``range_join``
+needs no salt (points map to one bucket each); bound per-key
+cardinality for the rest (operators/sampling.py:cap_per_key).
 """
 
 from __future__ import annotations
@@ -35,6 +40,15 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["as_of_join", "sessionize", "range_join", "retention_cohorts",
            "funnel"]
+
+
+def _interval_seconds(v: float | str) -> Column:
+    """Seconds Column from a number or an ``INTERVAL ...`` SQL string
+    (intervals refuse a double cast; epoch-0 + interval → epoch
+    seconds of the width, microsecond-exact)."""
+    if isinstance(v, str):
+        return (F.lit(0).cast("timestamp_ltz") + F.expr(v)).cast("double")
+    return F.lit(float(v))
 
 
 def _as_seconds(df: DataFrame, col: str) -> Column:
@@ -57,6 +71,7 @@ def as_of_join(
     right_payload: list[str] | None = None,
     tolerance: Column | None = None,
     prefix: str = "matched_",
+    salt_block: float | str | None = None,
 ) -> DataFrame:
     """For every left row, attach the LATEST right row of the same
     ``key`` with ``right.ts <= left.ts`` (backward as-of; ties at equal
@@ -75,7 +90,18 @@ def as_of_join(
 
     If several right rows share (key, ts), the carried one is the last
     in the union's deterministic (ts, tag) order within the window —
-    make right unique per (key, ts) upstream if that order matters.
+    make right unique per (key, ts) upstream if that order matters
+    (in salted mode the cross-block carry picks among such ties
+    arbitrarily, so uniqueness per (key, ts) is REQUIRED there for a
+    deterministic result).
+
+    ``salt_block`` (seconds or INTERVAL string): hot-key escape hatch
+    — the union-merge window runs per (key, floor(ts / salt_block)),
+    spreading one hot key over many tasks; each block's match is the
+    later of its local carry and the carry-in stitched from a second
+    window over the tiny per-(key, block) summary (the last right
+    payload per block, prefix-carried across blocks).  Identical
+    results to the unsalted path for any block width.
 
     Returns the left rows (original columns) plus ``{prefix}ts`` and
     one ``{prefix}{col}`` per payload column.
@@ -106,19 +132,56 @@ def as_of_join(
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
         *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = (
-        r.unionByName(lft)
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .filter(F.col("__is_right") == 0)
-        # SQL join equality never matches NULL keys; the window's
-        # partitionBy groups them, so mask the carried match out
-        .withColumn("__m", F.when(F.col("__k").isNotNull(), F.col("__m")))
-    )
+    union = r.unionByName(lft)
+    if salt_block is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = (
+            union
+            .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+            .filter(F.col("__is_right") == 0)
+        )
+    else:
+        blk_secs = _interval_seconds(salt_block)
+        union = union.withColumn(
+            "__blk", F.floor(_as_seconds(union, "__t") / blk_secs))
+        w_loc = (
+            Window.partitionBy("__k", "__blk")
+            .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        loc = union.withColumn("__m", F.last("__p", ignorenulls=True).over(w_loc))
+        # per-(key, block) last right payload (right rows always have
+        # non-NULL __t here, and NULL ordering values are skipped by
+        # max_by, so blocks without right rows summarize to NULL)
+        summary = (union.groupBy("__k", "__blk").agg(
+            F.max_by("__p", F.when(F.col("__is_right") == 1, F.col("__t")))
+            .alias("__bp")))
+        w_prev = (Window.partitionBy("__k")
+                  .orderBy(F.col("__blk").asc_nulls_first())
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        carry_in = (summary
+                    .withColumn("__cin",
+                                F.last("__bp", ignorenulls=True).over(w_prev))
+                    .select(F.col("__k").alias("__ck"),
+                            F.col("__blk").alias("__cb"), "__cin"))
+        carried = (
+            loc.filter(F.col("__is_right") == 0)
+            # null-safe: NULL keys/blocks are window groups a plain
+            # equi-join would drop
+            .join(carry_in,
+                  F.col("__k").eqNullSafe(F.col("__ck"))
+                  & F.col("__blk").eqNullSafe(F.col("__cb")))
+            .withColumn("__m", F.coalesce("__m", "__cin"))
+            .drop("__blk", "__ck", "__cb", "__cin")
+        )
+    # SQL join equality never matches NULL keys; the window's
+    # partitionBy groups them, so mask the carried match out
+    carried = carried.withColumn(
+        "__m", F.when(F.col("__k").isNotNull(), F.col("__m")))
     if tolerance is not None:
         carried = carried.withColumn(
             "__m",
@@ -136,6 +199,7 @@ def sessionize(
     key: str = "user_id",
     ts: str = "ts",
     gap: float | str = "INTERVAL 30 MINUTES",
+    salt_block: float | str | None = None,
 ) -> DataFrame:
     """Gap-based session assignment: within each ``key``, a new session
     starts whenever the time since the previous event exceeds ``gap``.
@@ -145,25 +209,87 @@ def sessionize(
     identical timestamps order by the remaining columns' arrival and do
     not open sessions (gap 0 is not > gap).  NULL timestamps sort
     FIRST and each opens its own session (gap vs NULL is unknowable) —
-    an oracle replaying this must order NULLS FIRST explicitly."""
-    if isinstance(gap, str):
-        # intervals refuse a double cast; epoch-0 + interval → epoch
-        # seconds of the gap, microsecond-exact
-        gap_secs = (F.lit(0).cast("timestamp_ltz") + F.expr(gap)).cast("double")
-    else:
-        gap_secs = F.lit(float(gap))
-    w_ord = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    an oracle replaying this must order NULLS FIRST explicitly.
+
+    ``salt_block`` (seconds or INTERVAL string): hot-key escape hatch.
+    A single key with 10^9 events serializes the default per-key
+    window; with a block width set, events partition by
+    (key, floor(ts / salt_block)) so one hot key spreads over
+    time-blocks and MANY tasks.  Session flags are exact within a
+    block; the only cross-block adjacency is (last event of a block,
+    first event of the next non-empty block), stitched by a second
+    window over the per-(key, block) summary table — one tiny row per
+    non-empty block, carrying (first_ts, last_ts, local session
+    count) — which yields each block's session-number offset and
+    whether its first local session continues the previous block's
+    last.  Identical output to the unsalted path for ANY block width
+    (blocks narrower than ``gap`` just mean more merges).  Cost: the
+    event-level window body runs per branch (Catalyst shares the
+    shuffle, not the window), so salted mode trades ~2x window CPU
+    for per-key parallelism — use it when keys are hot, not by
+    default.  Tie order inside a block matches the unsalted window;
+    NULL timestamps land in a NULL block that sorts first, preserving
+    their one-session-each semantics."""
+    gap_secs = _interval_seconds(gap)
     tnum = _as_seconds(df, ts)
-    is_new = (tnum - F.lag(tnum).over(w_ord) > gap_secs).cast("int")
-    return (
-        df.withColumn("__new", F.coalesce(is_new, F.lit(1)))
-        .withColumn(
-            "session_seq",
-            F.sum("__new").over(
-                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    if salt_block is None:
+        w_ord = Window.partitionBy(key).orderBy(F.col(ts).asc())
+        is_new = (tnum - F.lag(tnum).over(w_ord) > gap_secs).cast("int")
+        return (
+            df.withColumn("__new", F.coalesce(is_new, F.lit(1)))
+            .withColumn(
+                "session_seq",
+                F.sum("__new").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)),
+            )
+            .drop("__new")
         )
-        .drop("__new")
+    blk_secs = _interval_seconds(salt_block)
+    w_loc = Window.partitionBy(key, "__blk").orderBy(F.col(ts).asc())
+    loc = (
+        df.withColumn("__tn", tnum)
+        .withColumn("__blk", F.floor(F.col("__tn") / blk_secs))
+        .withColumn(
+            "__new",
+            F.coalesce((F.col("__tn") - F.lag("__tn").over(w_loc)
+                        > gap_secs).cast("int"), F.lit(1)))
+        .withColumn(
+            "__lseq",
+            F.sum("__new").over(
+                w_loc.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
     )
+    summary = (loc.groupBy(key, "__blk")
+               .agg(F.min("__tn").alias("__first"),
+                    F.max("__tn").alias("__last"),
+                    F.sum("__new").alias("__nloc")))
+    w_blk = Window.partitionBy(key).orderBy(F.col("__blk").asc_nulls_first())
+    continues = (F.col("__first") - F.lag("__last").over(w_blk)
+                 <= gap_secs).cast("long")
+    offsets = (
+        summary.withColumn("__cont", F.coalesce(continues, F.lit(0)))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__nloc").over(
+                    w_blk.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))
+            - F.sum("__cont").over(
+                w_blk.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)))
+        .select(F.col(key).alias("__ok"), F.col("__blk").alias("__ob"),
+                "__off")
+    )
+    # null-safe equality: NULL keys form a window group and NULL
+    # timestamps a NULL block — a plain equi-join would drop both
+    joined = loc.join(
+        offsets,
+        F.col(key).eqNullSafe(F.col("__ok"))
+        & F.col("__blk").eqNullSafe(F.col("__ob")))
+    return (joined
+            .withColumn("session_seq", F.col("__lseq") + F.col("__off"))
+            .drop("__tn", "__blk", "__new", "__lseq", "__off", "__ok", "__ob"))
 
 
 def range_join(

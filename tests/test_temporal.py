@@ -134,6 +134,83 @@ def test_range_join_end_on_bucket_boundary(spark):
     assert got == [(100, 1)]
 
 
+def _mixed_events(spark, n_keys=7, n_per_key=40):
+    """Deterministic pseudo-random events incl. duplicate and NULL
+    timestamps and a NULL key — every edge the salted stitch must
+    preserve."""
+    rows = []
+    rid = 0
+    for k in range(n_keys):
+        key = None if k == 0 else f"u{k}"
+        for i in range(n_per_key):
+            h = (k * 131071 + i * 8191) % 997
+            ts = None if h % 29 == 0 else float(h % 200) * 7.0
+            rows.append((rid, key, ts))
+            rid += 1
+    return spark.createDataFrame(rows, "id long, k string, ts double")
+
+
+def test_sessionize_salted_equals_unsalted(spark):
+    df = _mixed_events(spark)
+    base = {(r.id): r.session_seq
+            for r in temporal.sessionize(df, "k", "ts", gap=25.0).collect()}
+    for blk in (10.0, 50.0, 1000.0):  # narrower AND wider than gap
+        got = {(r.id): r.session_seq
+               for r in temporal.sessionize(
+                   df, "k", "ts", gap=25.0, salt_block=blk).collect()}
+        assert got == base, f"salt_block={blk}"
+
+
+def test_as_of_join_salted_equals_unsalted(spark):
+    ev = _mixed_events(spark)
+    left = ev.filter("id % 3 != 0")
+    right = (ev.filter("id % 3 = 0")
+             .groupBy("k", "ts").agg(F.min("id").alias("rid")))  # unique (k, ts)
+    base = {r.id: (r.matched_ts, r.matched_rid)
+            for r in temporal.as_of_join(
+                left, right, "k", right_payload=["rid"]).collect()}
+    for blk in (13.0, 200.0):
+        got = {r.id: (r.matched_ts, r.matched_rid)
+               for r in temporal.as_of_join(
+                   left, right, "k", right_payload=["rid"],
+                   salt_block=blk).collect()}
+        assert got == base, f"salt_block={blk}"
+
+
+def test_salted_hot_key_runs_on_many_tasks(spark):
+    """One key holding 10^6 events: the salted plans must spread it
+    over >1 task (the unsalted window serializes it into one), with
+    results identical to the sequential definition."""
+    n = 1_000_000
+    gap, blk = 3.0, 10_000.0
+    ev = spark.range(n).selectExpr(
+        "cast(id as long) id", "'hot' k",
+        # every 1000th gap is 5.0 (> gap) => exactly n/1000 sessions
+        "cast((id div 1000) * 5.0 + (id % 1000) * 0.001 as double) ts")
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sess = temporal.sessionize(ev, "k", "ts", gap=gap, salt_block=blk)
+        agg = sess.groupBy("session_seq").count()
+        n_tasks = (sess.select(F.spark_partition_id().alias("p"))
+                   .distinct().count())
+        assert n_tasks > 1
+        dist = {r.session_seq: r["count"] for r in agg.collect()}
+        assert len(dist) == n // 1000
+        assert set(dist.values()) == {1000}
+        # as-of: latest session-opening event at or before each probe
+        left = spark.createDataFrame(
+            [(1, "hot", 2_503.2), (2, "hot", 0.0), (3, "hot", 4_999_999.0)],
+            "id long, k string, ts double")
+        right = ev.filter("id % 1000 = 0").selectExpr("k", "ts", "id rid")
+        got = {r.id: r.matched_rid for r in temporal.as_of_join(
+            left, right, "k", right_payload=["rid"],
+            salt_block=blk).collect()}
+        assert got == {1: 500_000, 2: 0, 3: 999_000}
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
 def test_retention_cohorts_hand_computed(spark):
     import datetime as dt
 
