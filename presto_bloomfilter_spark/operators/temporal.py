@@ -406,55 +406,99 @@ def funnel(
     ts: str = "ts",
     type_col: str = "event_type",
     within: float | None = None,
+    anchor: str = "min",
+    max_anchors: int = 64,
 ) -> DataFrame:
     """Ordered funnel: how many users completed steps[0..k] IN ORDER,
     for every k.  A user reaches step k if events of the step types
-    exist at non-decreasing timestamps; the standard greedy earliest-
-    completion cascade (t1 = min ts of step 1; tk = min ts of step k at
-    or after t_{k-1}) decides existence exactly when ``within`` is None.
+    exist at non-decreasing timestamps; the greedy earliest-completion
+    cascade (t1 = anchor ts; tk = min ts of step k at or after
+    t_{k-1}) decides existence exactly (exchange argument: taking the
+    earliest valid event at each step never forecloses a later one).
 
-    ``within``: optional max seconds from the step-1 time to any later
-    step (conversion window).  MIN-ANCHOR semantics: the window anchors
-    at the user's EARLIEST step-1 event only — a user who converts
-    within the window of a LATER step-1 occurrence is not counted
-    (exact any-anchor windowed funnels need per-candidate anchoring,
-    which is a different, quadratic problem).
+    ``within``: optional max seconds from the step-1 anchor to any
+    later step (conversion window).  ``anchor`` picks the windowed
+    semantics:
+
+    - ``"min"`` (default): the window anchors at the user's EARLIEST
+      step-1 event only — cheap (one cascade row per user) but a user
+      who converts within the window of a LATER step-1 occurrence is
+      not counted.
+    - ``"any"``: the analytics-industry default — the user converts
+      if ANY of their step-1 events anchors a full in-window chain.
+      Exact via bounded-candidate anchoring: the cascade runs per
+      (user, distinct step-1 ts) and a user counts at step k when any
+      candidate completes it.  Join fan-out is bounded by
+      ``max_anchors`` candidates per user; a user exceeding the cap
+      is a LOUD error (cap or pre-aggregate step-1 events upstream —
+      silent truncation would undercount conversions).  Requires
+      ``within`` (without a window the earliest anchor dominates, so
+      ``"min"`` is already exact).
 
     Returns (step int 1-based, step_name, n_users), n_users monotone
     non-increasing.  Each cascade level is one equi-join on the key +
-    a per-key min — no window over the event stream, no inequality
-    join (the time predicate is a post-join filter on co-keyed rows).
-    The operator is EAGER: per-level state (one row per surviving user)
-    is persisted so each level's two consumers share it, the final
-    counts (len(steps) numbers) are collected, and every intermediate
-    is unpersisted before returning — nothing lingers in the cache.
+    a per-(key[, anchor]) min — no window over the event stream, no
+    inequality join (the time predicates are post-join filters on
+    co-keyed rows).  The operator is EAGER: per-level state (one row
+    per surviving user/candidate) is persisted so each level's two
+    consumers share it, the final counts (len(steps) numbers) are
+    collected, and every intermediate is unpersisted before returning
+    — nothing lingers in the cache.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if anchor not in ("min", "any"):
+        raise ValueError(f"anchor must be 'min' or 'any', got {anchor!r}")
+    if anchor == "any" and within is None:
+        raise ValueError(
+            "anchor='any' requires a `within` window — without one the "
+            "earliest anchor dominates and anchor='min' is already exact")
     spark = df.sparkSession
-    acc = (
-        df.filter(F.col(type_col) == steps[0])
-        .groupBy(F.col(key).alias("__k"))
-        .agg(F.min(ts).alias("__t1"))
-    ).persist()
+    first = df.filter(F.col(type_col) == steps[0]).select(
+        F.col(key).alias("__k"), F.col(ts).alias("__t1"))
+    if anchor == "min":
+        group_keys = ["__k"]
+        acc = first.groupBy("__k").agg(F.min("__t1").alias("__t1")).persist()
+    else:
+        group_keys = ["__k", "__t1"]
+        acc = first.distinct().persist()
+        over = (acc.groupBy("__k").count()
+                .filter(F.col("count") > max_anchors)
+                .orderBy(F.desc("count")).limit(1).collect())
+        if over:
+            acc.unpersist()
+            raise ValueError(
+                f"funnel(anchor='any'): key {over[0]['__k']!r} has "
+                f"{over[0]['count']} candidate step-1 anchors > "
+                f"max_anchors={max_anchors} — raise the cap or bound "
+                "step-1 events per key upstream")
     cached = [acc]
     for i, s in enumerate(steps[1:], start=2):
         ev = df.filter(F.col(type_col) == s).select(
             F.col(key).alias("__k"), F.col(ts).alias("__e"))
-        prev_cols = ["__k", f"__t{i-1}"]
-        if within is not None and i > 2:
+        prev_cols = list(group_keys) + [f"__t{i-1}"]
+        if within is not None and "__t1" not in prev_cols:
             prev_cols.append("__t1")
-        j = ev.join(acc.select(*prev_cols), "__k") \
+        j = ev.join(acc.select(*prev_cols).filter(
+            F.col(f"__t{i-1}").isNotNull()), "__k") \
               .filter(F.col("__e") >= F.col(f"__t{i-1}"))
         if within is not None:
             j = j.filter(
                 _as_seconds(j, "__e")
                 <= _as_seconds(j, "__t1") + float(within))
-        stepk = j.groupBy("__k").agg(F.min("__e").alias(f"__t{i}"))
-        acc = acc.join(stepk, "__k", "left").persist()
+        stepk = j.groupBy(*group_keys).agg(F.min("__e").alias(f"__t{i}"))
+        acc = acc.join(stepk, group_keys, "left").persist()
         cached.append(acc)
-    [row] = acc.agg(*[F.count(f"__t{i}").alias(f"__n{i}")
-                      for i in range(1, len(steps) + 1)]).collect()
+    if anchor == "min":
+        count_exprs = [F.count(f"__t{i}").alias(f"__n{i}")
+                       for i in range(1, len(steps) + 1)]
+    else:
+        count_exprs = [
+            F.count_distinct(
+                F.when(F.col(f"__t{i}").isNotNull(), F.col("__k")))
+            .alias(f"__n{i}")
+            for i in range(1, len(steps) + 1)]
+    [row] = acc.agg(*count_exprs).collect()
     for c in cached:
         c.unpersist()
     return spark.createDataFrame(

@@ -3449,6 +3449,40 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.funnel(ev, ["view", "click", "purchase"], within=3600.0)
 
 
+def q_funnel_steps_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-anchor windowed funnel (the analytics-industry ``within``
+    default): a user converts if ANY of their step-1 events anchors a
+    full in-window chain — exact bounded-candidate anchoring, cascade
+    per (user, distinct step-1 ts), loud cap on candidates per user.
+    Full value oracle replays the per-anchor greedy cascade."""
+    from presto_bloomfilter_spark.operators import temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.funnel(ev, ["view", "click", "purchase"],
+                           within=3600.0, anchor="any", max_anchors=64)
+
+
+ORACLE_FUNNEL_STEPS_ANY = """
+WITH a AS (SELECT DISTINCT user_id, ts AS t1 FROM events
+           WHERE event_type = 'view'),
+s2 AS (SELECT a.user_id, a.t1, MIN(e.ts) AS t2
+       FROM events e JOIN a USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= a.t1
+         AND epoch(e.ts) <= epoch(a.t1) + 3600
+       GROUP BY a.user_id, a.t1),
+s3 AS (SELECT s2.user_id, s2.t1, MIN(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         AND epoch(e.ts) <= epoch(s2.t1) + 3600
+       GROUP BY s2.user_id, s2.t1)
+SELECT * FROM (VALUES
+  (1, 'view', (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM a)),
+  (2, 'click', (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM s2)),
+  (3, 'purchase', (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM s3))
+) t(step, step_name, n_users)
+"""
+
+
 ORACLE_FUNNEL_STEPS = """
 WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
             WHERE event_type = 'view' GROUP BY user_id),
@@ -3481,6 +3515,7 @@ SELECT * FROM (VALUES
 QUERIES = {
     "quality_classifier": q_quality_classifier,
     "incremental_update_delta": q_incremental_update_delta,
+    "funnel_steps_any": q_funnel_steps_any,
     "lm_score": q_lm_score,
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_pq": q_ann_pq,
@@ -3584,6 +3619,7 @@ QUERIES = {
 ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "incremental_update_delta": ORACLE_INCREMENTAL_UPDATE_DELTA,
+    "funnel_steps_any": ORACLE_FUNNEL_STEPS_ANY,
     "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
     "sharded_bloom_semijoin": ORACLE_SHARDED_BLOOM_SEMIJOIN,
     "sql_surface_cte": ORACLE_SQL_SURFACE_CTE,

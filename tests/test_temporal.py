@@ -258,6 +258,76 @@ def test_funnel_order_and_window(spark):
     assert windowed == {(1, 3), (2, 1), (3, 1)}
 
 
+def test_funnel_any_anchor_counts_later_windows(spark):
+    """The case min-anchor misses: u1's FIRST view at t=0 can't convert
+    within 10 min (click at t=30), but the view at t=25 can — any-anchor
+    counts it.  u2 has no in-window chain from any anchor."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        ("u1", "view", t(0)), ("u1", "view", t(25)), ("u1", "click", t(30)),
+        ("u2", "view", t(0)), ("u2", "click", t(40)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+    mins = {(r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click"], within=600.0).collect()}
+    assert mins == {(1, 2), (2, 0)}          # min-anchor misses u1
+    anys = {(r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click"], within=600.0, anchor="any").collect()}
+    assert anys == {(1, 2), (2, 1)}          # any-anchor counts u1
+
+    # greedy chain per anchor: the u1 anchor at 25 reaches a 3-step
+    # funnel only if a buy lands within ITS window
+    rows3 = rows + [("u1", "buy", t(34)), ("u2", "buy", t(41))]
+    df3 = spark.createDataFrame(
+        rows3, "user_id string, event_type string, ts timestamp")
+    anys3 = {(r.step, r.n_users) for r in temporal.funnel(
+        df3, ["view", "click", "buy"], within=600.0, anchor="any").collect()}
+    assert anys3 == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_funnel_any_anchor_equals_min_for_single_anchors(spark):
+    """With one step-1 event per user the two semantics coincide."""
+    import datetime as dt
+
+    rows = []
+    for u in range(20):
+        base = dt.datetime(2024, 1, 1, u)
+        rows.append((f"u{u}", "view", base))
+        if u % 2 == 0:
+            rows.append((f"u{u}", "click",
+                         base + dt.timedelta(minutes=u)))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+    a = sorted((r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click"], within=900.0).collect())
+    b = sorted((r.step, r.n_users) for r in temporal.funnel(
+        df, ["view", "click"], within=900.0, anchor="any").collect())
+    assert a == b
+
+
+def test_funnel_any_anchor_cap_is_loud(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    rows = [("hot", "view", dt.datetime(2024, 1, 1, 0, 0, s))
+            for s in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp")
+    with _pytest.raises(ValueError, match="candidate step-1 anchors"):
+        temporal.funnel(df, ["view", "click"], within=60.0,
+                        anchor="any", max_anchors=5)
+    with _pytest.raises(ValueError, match="requires a `within`"):
+        temporal.funnel(df, ["view", "click"], anchor="any")
+    with _pytest.raises(ValueError, match="anchor must be"):
+        temporal.funnel(df, ["view"], anchor="first")
+
+
 def test_retention_cohorts_dst_safe(spark):
     """Calendar offsets, not epoch arithmetic: the 2024-03-10 US
     spring-forward week is 3600 epoch-seconds short of 7 days, which
