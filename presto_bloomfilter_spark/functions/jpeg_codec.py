@@ -368,6 +368,195 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a uint8 array (h, w) or (h, w, 3) as PROGRESSIVE JFIF
+    JPEG (SOF2, 4:4:4), exercising every Annex G decode path: an
+    interleaved DC first scan at Al=1, per-component spectral-band AC
+    first scans (1-5, then 6-63) at Al=1, a DC refinement scan, and
+    per-component AC refinement scans (Ah=1→Al=0) with correction
+    bits.  Uses the Annex K huffman tables, so EOB runs are emitted
+    as per-block EOB0 (the longer EOBn symbols are absent from those
+    tables — costs a little compression, changes no semantics).
+    Pixel-identical to ``jpeg_encode`` at the same quality once
+    decoded (same quantized coefficients, different scan order)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, ch = a.shape
+    if ch == 3:
+        f = a.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+    qluma = _scale_quant(QUANT_LUMA, quality)
+    qchroma = _scale_quant(QUANT_CHROMA, quality)
+    qtabs = [qluma] if ch == 1 else [qluma, qchroma]
+
+    # quantized zigzag coefficients per component, block raster order
+    blocks_h, blocks_w = (h + 7) // 8, (w + 7) // 8
+    zz_all = []
+    for ci in range(ch):
+        q = qtabs[0 if ci == 0 else 1].flatten()[ZIGZAG]
+        plane = planes[ci]
+        comp = np.empty((blocks_h * blocks_w, 64), np.int64)
+        i = 0
+        for by in range(blocks_h):
+            for bx in range(blocks_w):
+                block = np.empty((8, 8), np.float64)
+                y0, x0 = by * 8, bx * 8
+                sub = plane[y0:min(y0 + 8, h), x0:min(x0 + 8, w)]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                if sub.shape[0] < 8:
+                    block[sub.shape[0]:, :sub.shape[1]] = sub[-1:, :]
+                if sub.shape[1] < 8:
+                    block[:, sub.shape[1]:] = block[:, sub.shape[1] - 1: sub.shape[1]]
+                coef = _dct2(block - 128.0)
+                comp[i] = np.round(coef.flatten()[ZIGZAG] / q).astype(np.int64)
+                i += 1
+        zz_all.append(comp)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qtabs):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(q.flatten()[ZIGZAG].astype(np.uint8))
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * ch, 8, h, w, ch)  # SOF2
+    for ci in range(ch):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    hts = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if ch == 3:
+        hts += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, values) in hts:
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+
+    dc_codes = [_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA)]
+    ac_codes = [_build_codes(*_AC_LUMA), _build_codes(*_AC_CHROMA)]
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
+            payload: bytearray) -> None:
+        out.extend(b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                             len(comp_ids)))
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            out.append(cid)
+            out.append((td << 4) | td)
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        out.extend(payload)
+
+    # scan 1: interleaved DC first pass at Al=1
+    bw = _BitWriter()
+    prev = [0] * ch
+    for bi in range(blocks_h * blocks_w):
+        for ci in range(ch):
+            dc = int(zz_all[ci][bi][0]) >> 1    # arithmetic shift per G.1.2.1
+            diff = dc - prev[ci]
+            prev[ci] = dc
+            n, v = _magnitude(diff)
+            code, length = dc_codes[0 if ci == 0 else 1][n]
+            bw.write(code, length)
+            if n:
+                bw.write(v, n)
+    bw.flush()
+    sos(list(range(1, ch + 1)), 0, 0, 0, 1, bw.out)
+
+    # scans 2-3: per-component AC first passes at Al=1, two spectral bands
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ch):
+            codes = ac_codes[0 if ci == 0 else 1]
+            bw = _BitWriter()
+            for bi in range(blocks_h * blocks_w):
+                zz = zz_all[ci][bi]
+                vals = [int(np.sign(zz[k])) * (abs(int(zz[k])) >> 1)
+                        for k in range(ss, se + 1)]
+                if not any(vals):
+                    code, length = codes[0x00]  # EOB0 (Annex K tables only)
+                    bw.write(code, length)
+                    continue
+                run = 0
+                for v in vals:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = codes[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    n, vv = _magnitude(v)
+                    code, length = codes[(run << 4) | n]
+                    bw.write(code, length)
+                    bw.write(vv, n)
+                    run = 0
+                if run:
+                    code, length = codes[0x00]
+                    bw.write(code, length)
+            bw.flush()
+            sos([ci + 1], ss, se, 0, 1, bw.out)
+
+    # scan 4: interleaved DC refinement (Ah=1 → Al=0), raw bits
+    bw = _BitWriter()
+    for bi in range(blocks_h * blocks_w):
+        for ci in range(ch):
+            bw.write(int(zz_all[ci][bi][0]) & 1, 1)
+    bw.flush()
+    sos(list(range(1, ch + 1)), 0, 0, 1, 0, bw.out)
+
+    # scan 5: per-component AC refinement (Ah=1 → Al=0) — the libjpeg
+    # encode_mcu_AC_refine control flow with EOB runs capped at EOB0
+    for ci in range(ch):
+        codes = ac_codes[0 if ci == 0 else 1]
+        bw = _BitWriter()
+        for bi in range(blocks_h * blocks_w):
+            zz = zz_all[ci][bi]
+            absv = [abs(int(zz[k])) for k in range(64)]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k  # last NEWLY-nonzero coefficient
+            r = 0
+            br: list[int] = []
+            k = 1
+            while k <= 63:
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    k += 1
+                    continue
+                while r > 15 and k <= eob:
+                    code, length = codes[0xF0]
+                    bw.write(code, length)
+                    r -= 16
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                if t > 1:  # already nonzero at Al=1: buffer correction bit
+                    br.append(t & 1)
+                    k += 1
+                    continue
+                code, length = codes[(r << 4) | 1]
+                bw.write(code, length)
+                bw.write(1 if zz[k] > 0 else 0, 1)
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+                r = 0
+                k += 1
+            if r > 0 or br:
+                code, length = codes[0x00]  # EOB0 + its correction bits
+                bw.write(code, length)
+                for bit in br:
+                    bw.write(bit, 1)
+        bw.flush()
+        sos([ci + 1], 1, 63, 1, 0, bw.out)
+
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 # ---- decoder -----------------------------------------------------------------
 
 
@@ -395,14 +584,12 @@ def _read_header_impl(buf: bytes) -> tuple[int, int, str]:
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment in JPEG stream")
         marker = buf[pos + 1]
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline, ext. sequential, progressive
             h, w, ncomp = struct.unpack(">HHB", buf[pos + 5: pos + 10])
             _check_ncomp(ncomp)
             # mode names follow PIL's convention for decoded JPEGs
             # ("L" / "RGB"), so metadata is engine-independent
             return w, h, ("L" if ncomp == 1 else "RGB")
-        if marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported by the baseline codec")
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -412,14 +599,193 @@ def _read_header_impl(buf: bytes) -> tuple[int, int, str]:
 
 
 def jpeg_decode(buf: bytes):
-    """Decode a baseline JFIF JPEG to a uint8 numpy array — (h, w) for
-    grayscale, (h, w, 3) RGB otherwise.  Raises ValueError on
-    progressive/arithmetic/CMYK streams, truncation, or malformed
-    data."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF JPEG to a
+    uint8 numpy array — (h, w) for grayscale, (h, w, 3) RGB otherwise.
+    Progressive streams are decoded exactly per T.81 Annex G: spectral
+    selection, successive approximation (DC + AC first/refinement
+    passes with EOB-run correction bits), interleaved DC scans,
+    restart intervals.  Raises ValueError on arithmetic/hierarchical/
+    CMYK streams, truncation, or malformed data."""
     try:
         return _decode_impl(buf)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated or malformed JPEG ({e})") from e
+
+
+class _ProgressiveState:
+    """Coefficient accumulator + scan decoders for SOF2 (T.81 Annex G).
+
+    Coefficients accumulate per component as (blocks_y, blocks_x, 64)
+    int64 arrays in ZIGZAG index space across scans; each scan refines
+    a spectral band (Ss..Se) at a successive-approximation bit
+    position (Ah→Al).  DC scans may interleave all components in MCU
+    order; AC scans are single-component in the component's own block
+    raster (T.81 G.1.1).  Restart intervals reset DC predictors and
+    the EOB run.
+    """
+
+    def __init__(self, frame: dict):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        h, w = frame["h"], frame["w"]
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs: dict[int, np.ndarray] = {}
+        self.nblocks: dict[int, tuple[int, int]] = {}
+        for c in comps:
+            self.coefs[c["id"]] = np.zeros(
+                (self.mcus_y * c["v"], self.mcus_x * c["h"], 64), np.int64)
+            cw = -(-w * c["h"] // self.hmax)
+            ch = -(-h * c["v"] // self.vmax)
+            self.nblocks[c["id"]] = (-(-ch // 8), -(-cw // 8))
+
+    def decode_scan(self, buf: bytes, pos: int, scan: list[dict],
+                    ss: int, se: int, ah: int, al: int,
+                    dc_tabs: dict, ac_tabs: dict, ri: int) -> int:
+        reader = _BitReader(buf, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive scan mixes DC and AC bands")
+            self._dc_scan(reader, scan, ah, al, dc_tabs, ri)
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component (T.81 G.1.1)")
+            self._ac_scan(reader, scan[0], ss, se, ah, al, ac_tabs, ri)
+        # snap past trailing pad bits / fill bytes to the next marker
+        p = reader.pos
+        while buf[p] != 0xFF or buf[p + 1] in (0x00, 0xFF):
+            p += 1
+        return p
+
+    def _dc_scan(self, reader: _BitReader, scan: list[dict],
+                 ah: int, al: int, dc_tabs: dict, ri: int) -> None:
+        if len(scan) == 1:
+            c = scan[0]
+            by, bx = self.nblocks[c["id"]]
+            mcus = [[(c, y, x)] for y in range(by) for x in range(bx)]
+        else:
+            mcus = [
+                [(c, my * c["v"] + v, mx * c["h"] + hh)
+                 for c in scan for v in range(c["v"]) for hh in range(c["h"])]
+                for my in range(self.mcus_y) for mx in range(self.mcus_x)]
+        pred = {c["id"]: 0 for c in scan}
+        for count, mcu in enumerate(mcus):
+            if ri and count and count % ri == 0:
+                reader.align_and_skip_restart()
+                pred = {c["id"]: 0 for c in scan}
+            for c, y, x in mcu:
+                blk = self.coefs[c["id"]][y, x]
+                if ah == 0:
+                    s = _decode_symbol(reader, dc_tabs[c["td"]])
+                    pred[c["id"]] += _extend(reader.read_bits(s), s)
+                    blk[0] = pred[c["id"]] << al
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+
+    def _ac_scan(self, reader: _BitReader, c: dict, ss: int, se: int,
+                 ah: int, al: int, ac_tabs: dict, ri: int) -> None:
+        coefs = self.coefs[c["id"]]
+        by, bx = self.nblocks[c["id"]]
+        table = ac_tabs[c["ta"]]
+        decode_block = self._ac_first if ah == 0 else self._ac_refine
+        eobrun = 0
+        count = 0
+        for y in range(by):
+            for x in range(bx):
+                if ri and count and count % ri == 0:
+                    reader.align_and_skip_restart()
+                    eobrun = 0
+                count += 1
+                eobrun = decode_block(reader, coefs[y, x],
+                                      ss, se, al, table, eobrun)
+
+    @staticmethod
+    def _ac_first(reader: _BitReader, blk: np.ndarray, ss: int, se: int,
+                  al: int, table: dict, eobrun: int) -> int:
+        """First AC pass (Ah=0): magnitudes at bit Al with EOB runs."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r)+extra blocks incl. this one
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    return eobrun
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index out of range")
+            blk[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(reader: _BitReader, blk: np.ndarray, ss: int, se: int,
+                   al: int, table: dict, eobrun: int) -> int:
+        """AC refinement pass (Ah=Al+1): correction bits for already-
+        nonzero coefficients interleave with new ±1<<Al coefficients
+        and EOB runs (T.81 G.1.2.3; the libjpeg REFINE control flow)."""
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_symbol(reader, table)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement scan magnitude must be 1")
+                    val = p1 if reader.read_bit() else m1
+                elif r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # advance r zero-history positions (16 for ZRL), reading
+                # a correction bit at every nonzero-history one passed
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits through the rest of the block
+                if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def idct_planes(self, qtabs: dict[int, np.ndarray]) -> dict[int, np.ndarray]:
+        """Dequantize + vectorized per-block IDCT into full planes."""
+        planes = {}
+        for c in self.frame["comps"]:
+            coef = self.coefs[c["id"]]
+            by, bx, _ = coef.shape
+            q_zig = qtabs[c["tq"]].flatten()[ZIGZAG].astype(np.int64)
+            natural = np.zeros((by, bx, 64), np.float64)
+            natural[:, :, ZIGZAG] = coef * q_zig
+            blocks = natural.reshape(by, bx, 8, 8)
+            out = np.einsum("ij,ybjk,kl->ybil", _DCT_A.T, blocks, _DCT_A)
+            planes[c["id"]] = (
+                out.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0)
+        return planes
 
 
 def _decode_impl(buf: bytes):
@@ -431,6 +797,7 @@ def _decode_impl(buf: bytes):
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog = None  # _ProgressiveState once the first progressive scan lands
     while True:
         if pos + 2 > len(buf):
             raise ValueError("truncated JPEG (no SOS)")
@@ -439,6 +806,8 @@ def _decode_impl(buf: bytes):
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if prog is not None:
+                break  # progressive: all scans consumed, reconstruct
             raise ValueError("EOI before scan data")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue
@@ -456,7 +825,7 @@ def _decode_impl(buf: bytes):
                 q[ZIGZAG] = zz
                 qtabs[prec_id & 0x0F] = q.reshape(8, 8)
                 b += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG not supported")
@@ -465,9 +834,8 @@ def _decode_impl(buf: bytes):
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported by the baseline codec")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG SOF 0x{marker:02X} not supported by the baseline codec")
         elif marker == 0xC4:  # DHT
@@ -494,10 +862,20 @@ def _decode_impl(buf: bytes):
                 cs, tdta = body[1 + 2 * i: 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0x0F})
-            break
+            if not frame.get("progressive"):
+                break
+            ss, se, ahal = body[1 + 2 * ncomp: 4 + 2 * ncomp]
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            pos = prog.decode_scan(buf, pos, scan, ss, se,
+                                   ahal >> 4, ahal & 0x0F,
+                                   dc_tabs, ac_tabs, restart_interval)
         # APPn / COM / others: skipped via seg_len
 
     h, w = frame["h"], frame["w"]
+    if prog is not None:  # progressive: coefficients fully accumulated
+        return _assemble(frame["comps"], prog.idct_planes(qtabs),
+                         h, w, prog.hmax, prog.vmax)
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcus_x = -(-w // (8 * hmax))
@@ -549,12 +927,19 @@ def _decode_impl(buf: bytes):
                 raise ValueError("restart marker mid-MCU: corrupt scan data") from None
             mcu_count += 1
 
-    if len(scan) == 1:
-        out = planes[scan[0]["id"]][:h, :w]
+    return _assemble(scan, planes, h, w, hmax, vmax)
+
+
+def _assemble(comps: list[dict], planes: dict[int, np.ndarray],
+              h: int, w: int, hmax: int, vmax: int):
+    """Crop / chroma-upsample the component planes and convert to the
+    output array — shared by the baseline and progressive paths."""
+    if len(comps) == 1:
+        out = planes[comps[0]["id"]][:h, :w]
         return np.clip(np.round(out), 0, 255).astype(np.uint8)
     # upsample chroma to full resolution, then YCbCr → RGB
     full = []
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:

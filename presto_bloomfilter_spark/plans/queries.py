@@ -2221,15 +2221,20 @@ FROM documents
 
 def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode (the dominant crawl format), cross-engine-
-    checked: synthesize a baseline JFIF JPEG per document (smooth
-    gradient seeded from the text length, dims = len%48+8 x len%32+8),
-    run it through extract_metadata_image (PIL or the stdlib baseline
-    JPEG codec), and ALSO decode the pixels and assert the
-    reconstruction tracks the encoded gradient (mean abs error < 8 at
-    quality 90 — JPEG is lossy, so the pixel check is a bounded-error
-    boolean rather than an exact hash).  The oracle recomputes expected
-    dims from length(text) in pure SQL; a decoder that misparses SOF,
-    huffman tables, or the scan stream fails the dims or the bound."""
+    checked: synthesize a JFIF JPEG per document (smooth gradient
+    seeded from the text length, dims = len%48+8 x len%32+8) —
+    BASELINE SOF0 for even text lengths, PROGRESSIVE SOF2 (DC+AC
+    successive approximation, spectral-band scans, refinement
+    correction bits) for odd — run it through extract_metadata_image
+    (PIL or the stdlib codec), and ALSO decode the pixels: the
+    reconstruction must track the encoded gradient (mean abs error
+    < 8 at quality 90) and every progressive decode must be
+    PIXEL-IDENTICAL to the baseline decode of the same image (same
+    quantized coefficients, different scan order).  The oracle
+    recomputes dims and the progressive flag from length(text) in
+    pure SQL; a decoder that misparses SOF, huffman tables, scan
+    scripts, or refinement bits fails the dims, the bound, or the
+    identity."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -2249,27 +2254,41 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def make_jpeg(it):
         for pdf in it:
-            payloads, ok = [], []
+            payloads, ok, progs = [], [], []
             for t in pdf["text"]:
                 n = len(t)
                 w, h = n % 48 + 8, n % 32 + 8
                 img = gradient(w, h)
-                blob = jc.jpeg_encode(img, quality=90)
+                prog = bool(n % 2)
+                if prog:
+                    blob = jc.jpeg_encode_progressive(img, quality=90)
+                else:
+                    blob = jc.jpeg_encode(img, quality=90)
                 dec = jc.jpeg_decode(blob)
                 err = float(np.abs(dec.astype(np.float64) - img).mean())
+                good = dec.shape == img.shape and err < 8.0
+                if prog and good:
+                    base = jc.jpeg_decode(jc.jpeg_encode(img, quality=90))
+                    good = np.array_equal(dec, base)
                 payloads.append(blob)
-                ok.append(bool(dec.shape == img.shape and err < 8.0))
+                ok.append(bool(good))
+                progs.append(prog)
             yield pd.DataFrame({"id": pdf["doc_id"].astype(str),
-                                "media": payloads, "pixels_ok": ok})
+                                "media": payloads, "pixels_ok": ok,
+                                "progressive": progs})
 
-    media = docs.mapInPandas(make_jpeg, "id string, media binary, pixels_ok boolean")
+    media = docs.mapInPandas(
+        make_jpeg,
+        "id string, media binary, pixels_ok boolean, progressive boolean")
     meta = mm.extract_metadata_image(media.select("id", "media"))
-    return meta.join(media.select("id", "pixels_ok"), "id").select(
+    return meta.join(
+        media.select("id", "pixels_ok", "progressive"), "id").select(
         "id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
         F.col("mode").alias("mode"),
         "pixels_ok",
+        "progressive",
     )
 
 
@@ -2278,7 +2297,8 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        CAST(length(text) % 48 + 8 AS INTEGER) AS width,
        CAST(length(text) % 32 + 8 AS INTEGER) AS height,
        'RGB' AS mode,
-       TRUE AS pixels_ok
+       TRUE AS pixels_ok,
+       CAST(length(text) % 2 = 1 AS BOOLEAN) AS progressive
 FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 256)
 """
 

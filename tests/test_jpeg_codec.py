@@ -63,12 +63,18 @@ def test_unsupported_streams_fail_loud():
 
     with pytest.raises(ValueError, match="bad SOI"):
         jc.jpeg_decode(b"not a jpeg at all")
+    # SOF2 header parses (progressive is supported since round 5); a
+    # stream that ENDS there is truncated, not "unsupported"
     sof2 = (b"\xFF\xD8\xFF\xC2" + struct.pack(">H", 11)
             + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
-    with pytest.raises(ValueError, match="progressive"):
-        jc.jpeg_read_header(sof2)
-    with pytest.raises(ValueError, match="progressive"):
-        jc.jpeg_decode(sof2)
+    assert jc.jpeg_read_header(sof2) == (16, 16, "L")
+    with pytest.raises(ValueError):
+        jc.jpeg_decode(sof2)  # no scans → truncated
+    # lossless/arithmetic SOF markers stay loud
+    sof3 = (b"\xFF\xD8\xFF\xC3" + struct.pack(">H", 11)
+            + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    with pytest.raises(ValueError, match="not supported"):
+        jc.jpeg_decode(sof3)
     # 4-component (CMYK-shaped) baseline: ValueError, not garbage RGB
     cmyk = (b"\xFF\xD8\xFF\xC0" + struct.pack(">H", 20)
             + b"\x08\x00\x10\x00\x10\x04"
@@ -77,6 +83,35 @@ def test_unsupported_streams_fail_loud():
         jc.jpeg_read_header(cmyk)
     with pytest.raises(ValueError, match="component"):
         jc.jpeg_decode(cmyk)
+
+
+def test_progressive_roundtrip_identical_to_baseline():
+    """The progressive scan script (interleaved DC first, spectral-band
+    AC firsts, DC refinement, AC refinement with correction bits)
+    carries the SAME quantized coefficients as the baseline stream, so
+    the decodes must be pixel-identical — any drift in EOB runs,
+    successive-approximation shifts, or refinement bit order breaks
+    equality, not just an error bound."""
+    rng = np.random.default_rng(7)
+    for shape, q in [((16, 16), 90), ((24, 17, 3), 90), ((8, 8), 50),
+                     ((33, 29, 3), 75), ((9, 9), 100)]:
+        img = _gradient(shape[0], shape[1], 3 if len(shape) == 3 else 1)
+        img = np.clip(img.astype(float)
+                      + rng.normal(0, 12, img.shape), 0, 255).astype(np.uint8)
+        blob = jc.jpeg_encode_progressive(img, quality=q)
+        w, h, mode = jc.jpeg_read_header(blob)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        assert mode == ("L" if img.ndim == 2 else "RGB")
+        base = jc.jpeg_decode(jc.jpeg_encode(img, quality=q))
+        prog = jc.jpeg_decode(blob)
+        assert np.array_equal(prog, base), (shape, q)
+
+
+def test_progressive_is_really_sof2_multiscan():
+    blob = jc.jpeg_encode_progressive(_gradient(24, 24, 3), quality=90)
+    assert b"\xFF\xC2" in blob and b"\xFF\xC0" not in blob
+    # DC first + DC refine + (2 AC first bands + 1 AC refine) x 3 comps
+    assert blob.count(b"\xFF\xDA") == 11
 
 
 def test_truncated_jpeg_raises_valueerror_not_indexerror():
