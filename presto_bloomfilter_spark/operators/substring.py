@@ -100,6 +100,84 @@ def duplicated_spans(
     )
 
 
+def maximal_exact_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    max_occurrences: int = 256,
+    verify: bool = False,
+) -> DataFrame:
+    """Every maximal exact match (MEM) of ≥ ``min_len`` words between
+    two positions of the corpus → DataFrame[id_a string, pos_a int,
+    id_b string, pos_b int, len_w int]: the words
+    ``a[pos_a : pos_a+len_w] == b[pos_b : pos_b+len_w]`` and the match
+    cannot be extended one word left or right at both occurrences
+    simultaneously (or hits a document boundary).  This is the exact
+    per-repeat output of Lee et al.'s suffix-array pass
+    (arXiv:2107.06499) that ``duplicated_spans`` cannot express: the
+    window form reports fused per-doc coverage, while MEMs pin the
+    precise boundary and the partner occurrence of EACH repeat — two
+    distinct repeats that happen to be adjacent in one document stay
+    two rows with their own partners and lengths.
+
+    Method (suffix-array-free but equivalent on bounded-frequency
+    grams): two overlapping equal ``min_len``-word windows compose to
+    an equal ``min_len+1``-word window, so a run of r consecutive
+    window matches on one (id_a, id_b, pos_b-pos_a) diagonal is
+    exactly an equality of ``min_len + r - 1`` words, and a maximal
+    run is a maximal match (the extending window pair would belong to
+    the same diagonal run).  Dataflow: one gram-hash shuffle for
+    occurrence counts, one hash-keyed self-join producing occurrence
+    pairs, one diagonal-keyed window pass for run detection — all
+    shuffles keyed on uniform 64-bit hashes.
+
+    Scale posture: a gram value with f occurrences yields f(f-1)/2
+    pairs, so grams with more than ``max_occurrences`` occurrences
+    (web boilerplate) are EXCLUDED from pairing — that bounds the
+    self-join at f_cap·n_dup rows but under-reports matches whose
+    every alignment routes through a super-cap window (their coverage
+    is still fully captured by ``duplicated_spans``, which has no
+    frequency cap; raise ``max_occurrences`` when exactness matters
+    more than the shuffle bound).  ``verify=True`` keys every
+    join/count on the gram STRING as well as the hash, removing the
+    ~2^-64 per-pair collision risk."""
+    grams = _word_grams(df, text_col, id_col, min_len)
+    key = ["h", "g"] if verify else ["h"]
+    occ = grams.groupBy(*key).agg(F.count("*").alias("cnt"))
+    dup = occ.filter(
+        (F.col("cnt") >= 2) & (F.col("cnt") <= max_occurrences)
+    ).select(*key)
+    marked = grams.join(dup, key).select("id", "pos", *key)
+    a = marked.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), *key)
+    b = marked.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"),
+        *[F.col(k).alias(f"{k}_b") for k in key])
+    cond = [F.col(k) == F.col(f"{k}_b") for k in key]
+    pairs = a.join(b, cond).filter(
+        (F.col("id_a") < F.col("id_b"))
+        | ((F.col("id_a") == F.col("id_b"))
+           & (F.col("pos_a") < F.col("pos_b")))
+    ).select("id_a", "pos_a", "id_b", "pos_b",
+             (F.col("pos_b") - F.col("pos_a")).alias("diag"))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    chains = pairs.withColumn(
+        "new_chain",
+        F.when(F.col("pos_a") - F.lag("pos_a").over(w) == 1,
+               F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("chain", F.sum("new_chain").over(w))
+    return (
+        chains.groupBy("id_a", "id_b", "diag", "chain")
+        .agg(F.min("pos_a").alias("start_a"),
+             F.min("pos_b").alias("start_b"),
+             (F.count("*") + min_len - 1).alias("len_w"))
+        .select("id_a", F.col("start_a").cast("int").alias("pos_a"),
+                "id_b", F.col("start_b").cast("int").alias("pos_b"),
+                F.col("len_w").cast("int"))
+    )
+
+
 def strip_duplicated_spans(
     df: DataFrame,
     text_col: str = "text",

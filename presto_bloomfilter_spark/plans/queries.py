@@ -931,6 +931,90 @@ FROM isl2 GROUP BY id, island
 """
 
 
+_MEM_A = ("argon beacon cipher dynamo ember falcon garnet helix "
+          "indigo jasper krypton lumen")                      # 12 words
+_MEM_B = ("maroon nectar onyx prism quartz russet sierra topaz "
+          "umber vortex walnut xenon")                        # 12 words
+_MEM_T = "yonder zenith abacus brindle cobble drossel ferrule gimbal"  # 8
+
+
+def q_substring_mem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact matches — the suffix-array per-repeat output of
+    Lee et al. 2022 that the hashed-window coverage form cannot
+    express (VERDICT r4 item 9): sentinel A is appended to doc_id%20
+    docs, B to doc_id%30 docs (so %60 docs carry 'A B' ADJACENT — the
+    window form fuses them into one span; MEMs must report a len-12
+    match with an A-only partner and a longer match with another AB
+    doc, each with exact boundaries), and a tandem 'T T' to doc_id%50
+    docs (within-doc diagonal + varied-prefix cross-doc extensions).
+    FULL value oracle: DuckDB recomputes every MEM from gram STRINGS
+    with the same pair/diagonal-chain semantics in pure SQL."""
+    from presto_bloomfilter_spark.operators import substring as subs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(" " + _MEM_A))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 30 == 0, F.lit(" " + _MEM_B))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 50 == 0,
+                   F.lit(" " + _MEM_T + " " + _MEM_T)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return subs.maximal_exact_matches(
+        docs, min_len=8, max_occurrences=1024, verify=True)
+
+
+ORACLE_SUBSTRING_MEM = rf"""
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         text
+         || (CASE WHEN doc_id % 20 = 0 THEN ' {_MEM_A}' ELSE '' END)
+         || (CASE WHEN doc_id % 30 = 0 THEN ' {_MEM_B}' ELSE '' END)
+         || (CASE WHEN doc_id % 50 = 0 THEN ' {_MEM_T} {_MEM_T}' ELSE '' END)
+         AS text
+  FROM documents
+),
+d AS (
+  SELECT id, ws FROM (
+    SELECT id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+    FROM aug
+  ) WHERE len(ws) >= 8
+),
+gi AS (
+  SELECT id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM d
+),
+g AS (
+  SELECT id, i - 1 AS pos, array_to_string(ws[i:i+7], ' ') AS gr FROM gi
+),
+keep AS (SELECT gr FROM g GROUP BY gr HAVING COUNT(*) BETWEEN 2 AND 1024),
+m AS (SELECT id, pos, gr FROM g JOIN keep USING (gr)),
+p AS (
+  SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+  FROM m a JOIN m b ON a.gr = b.gr
+  WHERE a.id < b.id OR (a.id = b.id AND a.pos < b.pos)
+),
+c AS (
+  SELECT *, CASE WHEN pos_a - LAG(pos_a) OVER (
+      PARTITION BY id_a, id_b, pos_b - pos_a ORDER BY pos_a) = 1
+    THEN 0 ELSE 1 END AS nc
+  FROM p
+),
+c2 AS (
+  SELECT *, SUM(nc) OVER (
+      PARTITION BY id_a, id_b, pos_b - pos_a ORDER BY pos_a) AS chain
+  FROM c
+)
+SELECT id_a, CAST(MIN(pos_a) AS INTEGER) AS pos_a,
+       id_b, CAST(MIN(pos_b) AS INTEGER) AS pos_b,
+       CAST(COUNT(*) + 7 AS INTEGER) AS len_w
+FROM c2 GROUP BY id_a, id_b, pos_b - pos_a, chain
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_aug_documents(spark, sf_dir), "text", "id")
 
@@ -3533,6 +3617,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "substring_mem": q_substring_mem,
     "quality_classifier": q_quality_classifier,
     "incremental_update_delta": q_incremental_update_delta,
     "funnel_steps_any": q_funnel_steps_any,
@@ -3637,6 +3722,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "substring_mem": ORACLE_SUBSTRING_MEM,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "incremental_update_delta": ORACLE_INCREMENTAL_UPDATE_DELTA,
     "funnel_steps_any": ORACLE_FUNNEL_STEPS_ANY,

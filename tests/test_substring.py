@@ -94,3 +94,78 @@ def test_spans_scale_posture_no_python_in_plan(spark):
     plan = (ss.duplicated_spans(_docs(spark), min_len=8)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Python" not in plan
+
+
+# ---------------- maximal exact matches (MEM / suffix-array output) ----
+
+
+def _mem_docs(spark):
+    X = " ".join(f"x{i}" for i in range(8))
+    Y = " ".join(f"y{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    return spark.createDataFrame([
+        ("d1", X + " " + Y),   # X then Y adjacent: fused by windows
+        ("d2", "zz " + X),     # X only, shifted one word
+        ("d3", Y + " ww"),     # Y only
+        ("d4", C + " " + C),   # within-doc tandem repeat
+    ], "doc_id string, text string")
+
+
+def test_mem_pins_exact_boundaries_where_windows_fuse(spark):
+    """The hashed-window span in d1 is one fused [0,16) region; MEMs
+    separate it into the two underlying repeats with their partner
+    occurrences and exact lengths — the suffix-array-only output."""
+    docs = _mem_docs(spark)
+    mems = sorted(map(tuple,
+                      ss.maximal_exact_matches(docs, min_len=8).collect()))
+    assert mems == [("d1", 0, "d2", 1, 8),
+                    ("d1", 8, "d3", 0, 8),
+                    ("d4", 0, "d4", 8, 8)]
+    spans = sorted(map(tuple,
+                       ss.duplicated_spans(docs, min_len=8)
+                       .filter("id = 'd1'").collect()))
+    assert spans == [("d1", 0, 16)]  # the fused form, for contrast
+
+
+def test_mem_long_match_and_maximality(spark):
+    """A 12-word shared region → ONE MEM of len 12 (not five 8-word
+    ones); differing flank words bound it exactly."""
+    R = " ".join(f"r{i}" for i in range(12))
+    docs = spark.createDataFrame([
+        ("a", "left1 " + R + " right1"),
+        ("b", "left2 " + R + " right2"),
+    ], "doc_id string, text string")
+    mems = sorted(map(tuple,
+                      ss.maximal_exact_matches(docs, min_len=8).collect()))
+    assert mems == [("a", 1, "b", 1, 12)]
+
+
+def test_mem_occurrence_cap_and_verify_parity(spark):
+    docs = _mem_docs(spark)
+    assert ss.maximal_exact_matches(docs, min_len=8,
+                                    max_occurrences=1).count() == 0
+    base = sorted(map(tuple,
+                      ss.maximal_exact_matches(docs, min_len=8).collect()))
+    ver = sorted(map(tuple,
+                     ss.maximal_exact_matches(docs, min_len=8,
+                                              verify=True).collect()))
+    assert base == ver
+
+
+def test_mem_three_occurrences_all_pairs(spark):
+    """f occurrences of a repeat → all C(f,2) ordered MEM pairs."""
+    S = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [("a", S + " ta"), ("b", S + " tb"), ("c", S + " tc")],
+        "doc_id string, text string")
+    mems = sorted(map(tuple,
+                      ss.maximal_exact_matches(docs, min_len=8).collect()))
+    assert mems == [("a", 0, "b", 0, 8),
+                    ("a", 0, "c", 0, 8),
+                    ("b", 0, "c", 0, 8)]
+
+
+def test_mem_scale_posture_no_python_in_plan(spark):
+    plan = (ss.maximal_exact_matches(_mem_docs(spark), min_len=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
