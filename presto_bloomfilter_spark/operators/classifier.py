@@ -48,7 +48,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["QualityClassifier", "gram_features", "train_quality_classifier",
-           "score_quality"]
+           "score_quality", "LangClassifier", "train_lang_classifier",
+           "predict_lang"]
 
 _ROUND = 6
 
@@ -76,11 +77,19 @@ class QualityClassifier:
 
 
 def gram_features(df: DataFrame, buckets: int,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  scale: float = 1.0) -> DataFrame:
     """(id, bucket, x) mean-normalized hashed-gram features plus the
     constant bias coordinate (bucket == ``buckets``, x == 1.0) — the
     bias row keeps gram-less documents alive, so every input document
-    has at least one feature row."""
+    has at least one feature row.
+
+    ``scale`` multiplies the gram coordinates (NOT the bias): raw
+    mean-normalized values average 1/B per present bucket, so gradient
+    descent updates gram weights ~B times slower than the bias and a
+    short fixed-iteration fit learns only class priors; ``scale=B``
+    puts both coordinate kinds at O(1) magnitude (the multiclass
+    trainer's default)."""
     from presto_bloomfilter_spark.operators.sampling import hex_prefix_bucket
     from presto_bloomfilter_spark.operators.selection import _grams
 
@@ -99,7 +108,8 @@ def gram_features(df: DataFrame, buckets: int,
     totals = counts.groupBy("id").agg(F.sum("c").alias("t"))
     feats = (counts.join(totals, "id")
              .select("id", "bucket",
-                     (F.col("c").cast("double") / F.col("t")).alias("x")))
+                     (F.col("c").cast("double") / F.col("t")
+                      * F.lit(float(scale))).alias("x")))
     bias = ids.select("id", F.lit(buckets).cast("long").alias("bucket"),
                       F.lit(1.0).alias("x"))
     return feats.unionByName(bias)
@@ -204,3 +214,153 @@ def score_quality(df: DataFrame, model: QualityClassifier,
 def sigmoid(z: float) -> float:
     """Reference scalar sigmoid for tests/oracles."""
     return 1.0 / (1.0 + math.exp(-z))
+
+
+# -------------------- multiclass (trained language ID) --------------------
+
+
+@dataclass(frozen=True)
+class LangClassifier:
+    """A fitted multinomial (softmax) model over hashed-gram features:
+    ``weights[k][b]`` per class k and bucket b, with the bias at index
+    ``buckets``; ``p_k = softmax_k(x . w_k)``.  The trained counterpart
+    of the heuristic ``text.lang_id`` — the fasttext language-ID shape
+    (Joulin et al. 2016) with the same deterministic full-batch GD
+    discipline as :class:`QualityClassifier`, so a DuckDB oracle can
+    refit it exactly."""
+
+    classes: tuple[str, ...]
+    weights: tuple[tuple[float, ...], ...]
+    buckets: int
+    iters: int
+    lr: float
+
+    def __post_init__(self):
+        if len(self.weights) != len(self.classes):
+            raise ValueError(
+                f"need one weight row per class, got {len(self.weights)} "
+                f"rows for {len(self.classes)} classes")
+        for row in self.weights:
+            if len(row) != self.buckets + 1:
+                raise ValueError(
+                    f"each class needs buckets+1={self.buckets + 1} weights "
+                    f"(bias last), got {len(row)}")
+        if list(self.classes) != sorted(set(self.classes)):
+            raise ValueError("classes must be sorted and distinct")
+
+
+def _class_weights_df(spark, model: "LangClassifier"):
+    rows = [(c, int(b), float(model.weights[k][b]))
+            for k, c in enumerate(model.classes)
+            for b in range(model.buckets + 1)]
+    return spark.createDataFrame(rows, "cls string, bucket long, w double")
+
+
+def train_lang_classifier(
+    labeled_df: DataFrame,
+    buckets: int = 64,
+    iters: int = 20,
+    lr: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    max_classes: int = 1000,
+) -> LangClassifier:
+    """Fit the softmax model on a labeled seed set by full-batch
+    gradient descent on the cross-entropy loss:
+
+        W_{t+1}[k] = W_t[k] - lr * X^T (softmax_k(X W_t) - y_k) / n
+
+    Deterministic end to end: classes are the sorted distinct labels,
+    init is zero, lr/iters fixed — the fit is a pure function of the
+    seed set and unrolls into chained SQL CTEs for the oracle replay.
+    Per iteration: one margins aggregation per (id, class) (the
+    (B+1)·K-row weight table is broadcast), one softmax window over
+    the K classes of each doc, one gradient aggregation — only the
+    (B+1)·K gradient rows reach the driver, and the feature/label
+    tables are persisted once across all iterations.  The seed set
+    bounds every cost; corpus size never enters training."""
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    if lr <= 0:
+        raise ValueError("lr must be positive")
+    spark = labeled_df.sparkSession
+    cls_rows = (labeled_df.select(F.col(label_col).cast("string").alias("cls"))
+                .distinct().limit(max_classes + 1).collect())
+    classes = tuple(sorted(r["cls"] for r in cls_rows))
+    if len(classes) > max_classes:
+        raise ValueError(f"more than max_classes={max_classes} distinct "
+                         f"labels in {label_col!r}")
+    if len(classes) < 2 or any(c is None for c in classes):
+        raise ValueError("need ≥2 non-NULL classes to train")
+    k = len(classes)
+    feats = gram_features(labeled_df, buckets, text_col, id_col,
+                          scale=float(buckets)).persist()
+    labels = (labeled_df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(label_col).cast("string").alias("y")).persist())
+    n = labels.count()
+
+    from pyspark.sql import Window
+    wid = Window.partitionBy("id")
+    w = np.zeros((k, buckets + 1))
+    try:
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(classes[j], int(b), float(w[j][b]))
+                 for j in range(k) for b in range(buckets + 1)],
+                "cls string, bucket long, w double")
+            margins = (feats.join(F.broadcast(wdf), "bucket")
+                       .groupBy("id", "cls")
+                       .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
+            probs = margins.withColumn(
+                "p", F.exp("s") / F.sum(F.exp("s")).over(wid))
+            resid = (probs.join(labels, "id")
+                     .select("id", "cls",
+                             (F.col("p")
+                              - (F.col("cls") == F.col("y")).cast("double")
+                              ).alias("r")))
+            grad_rows = (feats.join(resid, "id")
+                         .groupBy("cls", "bucket")
+                         .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                         .collect())
+            grad = np.zeros((k, buckets + 1))
+            idx = {c: j for j, c in enumerate(classes)}
+            for row in grad_rows:
+                grad[idx[row["cls"]]][row["bucket"]] = row["g"]
+            w = w - lr * grad / n
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return LangClassifier(
+        classes=classes,
+        weights=tuple(tuple(float(v) for v in row) for row in w),
+        buckets=buckets, iters=iters, lr=lr)
+
+
+def predict_lang(df: DataFrame, model: LangClassifier,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 ) -> DataFrame:
+    """Predict the most probable class per document → DataFrame[id
+    string, pred_lang string, prob double] with prob the softmax
+    probability of the winner rounded to 6 decimals; ties break to the
+    lexicographically first class.  One corpus pass — explode → bucket
+    → broadcast-join the (B+1)·K weight table → per-doc softmax window
+    → per-doc argmax window — no Python anywhere."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    wdf = _class_weights_df(spark, model)
+    feats = gram_features(df, model.buckets, text_col, id_col,
+                          scale=float(model.buckets))
+    margins = (feats.join(F.broadcast(wdf), "bucket")
+               .groupBy("id", "cls")
+               .agg(F.sum(F.col("x") * F.col("w")).alias("s")))
+    wid = Window.partitionBy("id")
+    pick = Window.partitionBy("id").orderBy(F.desc("p"), F.asc("cls"))
+    return (margins
+            .withColumn("p", F.exp("s") / F.sum(F.exp("s")).over(wid))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cls").alias("pred_lang"),
+                    (F.round("p", _ROUND) + F.lit(0.0)).alias("prob")))

@@ -2037,6 +2037,125 @@ GROUP BY x.id
 ORACLE_QUALITY_CLASSIFIER = _quality_classifier_oracle()
 
 
+_LID_B, _LID_ITERS, _LID_LR, _LID_PCT = 64, 12, 1.0, 30
+
+
+def q_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID (fasttext-style multiclass softmax over
+    hashed grams) — the trained counterpart of the heuristic
+    ``lang_id``.  The raw corpus text does NOT vary by language (the
+    synthetic generator shares one vocabulary), so the gate constructs
+    a deterministic multilingual corpus in-band: word i keeps its form
+    when i%10 ≥ 7 and becomes ``word_<lang>`` otherwise — the same
+    positional rule on both engines.  Fit on the md5 30% seed sample
+    labeled with the ``lang`` column, predict every document.  FULL
+    value oracle: DuckDB refits the identical softmax GD (unrolled
+    CTEs, one margins+softmax+update block per iteration) and replays
+    every argmax prediction + 6dp winner probability."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    synth = d.select(
+        "doc_id", "lang",
+        F.concat_ws(" ", F.transform(
+            words,
+            lambda w, i: F.when(i % 10 < 7,
+                                F.concat(w, F.lit("_"), F.col("lang")))
+                          .otherwise(w))).alias("text"))
+    labeled = text.hash_sample(synth, "doc_id", _LID_PCT)
+    model = classifier.train_lang_classifier(
+        labeled, buckets=_LID_B, iters=_LID_ITERS, lr=_LID_LR,
+        label_col="lang")
+    return classifier.predict_lang(synth, model)
+
+
+def _lang_id_trained_oracle(buckets: int = _LID_B, iters: int = _LID_ITERS,
+                            lr: float = _LID_LR,
+                            percent: int = _LID_PCT) -> str:
+    """Unrolled softmax-GD replay mirroring train_lang_classifier:
+    W0 = zeros over (class × bucket); each iteration is margins per
+    (id, class) → per-doc softmax → residual vs one-hot label →
+    per-(class, bucket) gradient → weight update."""
+    b = buckets
+    head = rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w0
+  FROM documents
+),
+sy AS (
+  SELECT id, lang,
+         list_transform(w0, (x, i) -> CASE WHEN (i - 1) % 10 < 7
+                                      THEN x || '_' || lang ELSE x END) AS words
+  FROM d
+),
+g AS (
+  SELECT id, unnest(words || list_transform(range(1, len(words)),
+                                            i -> words[i] || chr(31) || words[i + 1])) AS gram
+  FROM sy
+),
+cnt AS MATERIALIZED (
+  SELECT id, CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {b} AS bucket,
+         count(*) AS c
+  FROM g GROUP BY id, bucket
+),
+tot AS (SELECT id, sum(c) AS t FROM cnt GROUP BY id),
+x AS MATERIALIZED (
+  SELECT cnt.id, cnt.bucket, CAST(cnt.c AS DOUBLE) / tot.t * {b} AS x
+  FROM cnt JOIN tot USING (id)
+  UNION ALL
+  SELECT id, {b} AS bucket, 1.0 AS x FROM sy
+),
+lab AS MATERIALIZED (
+  SELECT id, lang AS y FROM sy
+  WHERE CAST(('0x' || substr(md5(id), 1, 8)) AS BIGINT) % 100 < {percent}
+),
+xs AS MATERIALIZED (SELECT x.* FROM x JOIN lab ON x.id = lab.id),
+n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+w0 AS MATERIALIZED (
+  SELECT y AS cls, bucket, 0.0 AS w
+  FROM (SELECT DISTINCT y FROM lab) CROSS JOIN (SELECT unnest(range({b + 1})) AS bucket)
+)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT xs.id, w.cls, sum(xs.x * w.w) AS s
+  FROM xs JOIN w{t} w USING (bucket) GROUP BY xs.id, w.cls
+),
+p{t} AS MATERIALIZED (
+  SELECT id, cls, exp(s) / sum(exp(s)) OVER (PARTITION BY id) AS p FROM s{t}
+),
+w{t + 1} AS MATERIALIZED (
+  SELECT w{t}.cls, w{t}.bucket,
+         w{t}.w - {lr!r} * coalesce(gr.g, 0.0) / (SELECT n FROM n) AS w
+  FROM w{t} LEFT JOIN (
+    SELECT r.cls, xs.bucket, sum(r.r * xs.x) AS g
+    FROM (SELECT p.id, p.cls,
+                 p.p - CASE WHEN lab.y = p.cls THEN 1.0 ELSE 0.0 END AS r
+          FROM p{t} p JOIN lab ON lab.id = p.id) r
+    JOIN xs ON xs.id = r.id
+    GROUP BY r.cls, xs.bucket
+  ) gr ON gr.cls = w{t}.cls AND gr.bucket = w{t}.bucket
+)""")
+    tail = f"""
+, sf AS (
+  SELECT x.id, w.cls, sum(x.x * w.w) AS s
+  FROM x JOIN w{iters} w USING (bucket) GROUP BY x.id, w.cls
+),
+pf AS (
+  SELECT id, cls, exp(s) / sum(exp(s)) OVER (PARTITION BY id) AS p FROM sf
+)
+SELECT id, cls AS pred_lang, round(p, 6) + 0.0 AS prob
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY id ORDER BY p DESC, cls ASC) AS rn FROM pf)
+WHERE rn = 1
+"""
+    return head + "," + ",".join(steps) + tail
+
+
+ORACLE_LANG_ID_TRAINED = _lang_id_trained_oracle()
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
     downsampled hard, minority sources kept): per-source deterministic
@@ -3618,6 +3737,7 @@ SELECT * FROM (VALUES
 
 QUERIES = {
     "substring_mem": q_substring_mem,
+    "lang_id_trained": q_lang_id_trained,
     "quality_classifier": q_quality_classifier,
     "incremental_update_delta": q_incremental_update_delta,
     "funnel_steps_any": q_funnel_steps_any,
@@ -3723,6 +3843,7 @@ QUERIES = {
 
 ORACLES = {
     "substring_mem": ORACLE_SUBSTRING_MEM,
+    "lang_id_trained": ORACLE_LANG_ID_TRAINED,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "incremental_update_delta": ORACLE_INCREMENTAL_UPDATE_DELTA,
     "funnel_steps_any": ORACLE_FUNNEL_STEPS_ANY,

@@ -152,3 +152,111 @@ def test_validation(spark, labeled):
             labeled.withColumn("label", F.lit(0.5)))
     with pytest.raises(ValueError, match="buckets\\+1"):
         classifier.QualityClassifier((0.0,) * 3, buckets=8, iters=1, lr=1.0)
+
+
+# ------------------- multiclass (trained language ID) -------------------
+
+
+def _py_fit_softmax(rows, labels, classes, buckets=B, iters=12, lr=2.0):
+    feats = _py_features(rows, buckets)
+    X = np.stack([feats[str(i)] for i, _ in rows])
+    X[:, :buckets] *= buckets  # the multiclass scale=B convention
+    Y = np.zeros((len(rows), len(classes)))
+    for r, (i, _) in enumerate(rows):
+        Y[r, classes.index(labels[str(i)])] = 1.0
+    W = np.zeros((len(classes), buckets + 1))
+    for _ in range(iters):
+        S = X @ W.T
+        P = np.exp(S) / np.exp(S).sum(axis=1, keepdims=True)
+        W = W - lr * ((P - Y).T @ X) / len(rows)
+    return W
+
+
+def _lang_rows():
+    """Three deterministic 'languages' with disjoint vocabularies plus
+    a shared filler word."""
+    rows, labels = [], {}
+    vocab = {"aa": ["zorp", "blen", "quix", "marl"],
+             "bb": ["t索", "w索k", "p索n", "k索"],
+             "cc": ["ülm", "ärk", "öst", "ñip"]}
+    i = 0
+    for lang, words in vocab.items():
+        for d in range(8):
+            toks = [words[(d + j) % 4] for j in range(6)] + ["shared"]
+            rows.append((i, " ".join(toks)))
+            labels[str(i)] = lang
+            i += 1
+    return rows, labels
+
+
+def test_lang_classifier_matches_numpy_refit(spark):
+    rows, labels = _lang_rows()
+    df = spark.createDataFrame(
+        [(i, t, labels[str(i)]) for i, t in rows],
+        "doc_id long, text string, lang string")
+    model = classifier.train_lang_classifier(df, buckets=B, iters=12, lr=2.0)
+    assert model.classes == ("aa", "bb", "cc")
+    W = _py_fit_softmax(rows, labels, list(model.classes),
+                        buckets=B, iters=12, lr=2.0)
+    got = np.array(model.weights)
+    assert np.allclose(got, W, atol=1e-9), np.abs(got - W).max()
+
+
+def test_lang_classifier_separates_and_predicts(spark):
+    rows, labels = _lang_rows()
+    df = spark.createDataFrame(
+        [(i, t, labels[str(i)]) for i, t in rows],
+        "doc_id long, text string, lang string")
+    model = classifier.train_lang_classifier(df, buckets=B, iters=20, lr=2.0)
+    # held-out docs drawn from each vocabulary (unseen word orders)
+    ev = spark.createDataFrame(
+        [(100, "marl quix zorp blen zorp shared"),
+         (101, "k索 p索n t索 w索k shared"),
+         (102, "ñip öst ärk ülm ärk")],
+        "doc_id long, text string")
+    pred = {r.id: (r.pred_lang, r.prob)
+            for r in classifier.predict_lang(ev, model).collect()}
+    assert pred["100"][0] == "aa" and pred["101"][0] == "bb" \
+        and pred["102"][0] == "cc", pred
+    # winner prob must clearly beat 3-class chance (1/3); full-batch GD
+    # at 20 iters is well separated but not yet saturated
+    assert all(p > 0.42 for _, p in pred.values()), pred
+    # training accuracy on the seed set itself
+    acc = (classifier.predict_lang(df, model)
+           .join(df.select(F.col("doc_id").cast("string").alias("id"), "lang"),
+                 "id")
+           .selectExpr("avg(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END) a")
+           .first()["a"])
+    assert acc >= 0.95, acc
+
+
+def test_lang_classifier_error_paths(spark):
+    one = spark.createDataFrame([(0, "x", "aa")],
+                                "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="classes"):
+        classifier.train_lang_classifier(one, buckets=B, iters=2)
+    rows, labels = _lang_rows()
+    df = spark.createDataFrame(
+        [(i, t, labels[str(i)]) for i, t in rows],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="iters"):
+        classifier.train_lang_classifier(df, iters=0)
+    with pytest.raises(ValueError, match="max_classes"):
+        classifier.train_lang_classifier(df, iters=1, max_classes=2)
+    with pytest.raises(ValueError, match="classes must be sorted"):
+        classifier.LangClassifier(classes=("b", "a"),
+                                  weights=((0.0,) * (B + 1),) * 2,
+                                  buckets=B, iters=1, lr=1.0)
+
+
+def test_predict_lang_no_python_in_plan(spark):
+    rows, labels = _lang_rows()
+    df = spark.createDataFrame(
+        [(i, t, labels[str(i)]) for i, t in rows],
+        "doc_id long, text string, lang string")
+    model = classifier.LangClassifier(
+        classes=("aa", "bb"), weights=((0.1,) * (B + 1), (0.2,) * (B + 1)),
+        buckets=B, iters=1, lr=1.0)
+    plan = (classifier.predict_lang(df, model)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
