@@ -106,6 +106,18 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
     # pipeline amortizes training across the whole corpus
     bpe_merges = bpe.bpe_train(docs, n_merges=384, sample_rows=256)
 
+    # round-5 classifiers, also trained once untimed (seed-set-bounded
+    # fits amortize across the corpus); the timed entries are the
+    # corpus-wide scoring passes a pipeline runs per batch
+    from presto_bloomfilter_spark.operators import classifier, text as _text
+    qc_model = classifier.train_quality_classifier(
+        _text.hash_sample(docs, "doc_id", 30).withColumn(
+            "label", (F.col("source") == "src0").cast("double")),
+        buckets=64, iters=10, lr=2.0)
+    lid_model = classifier.train_lang_classifier(
+        _text.hash_sample(docs, "doc_id", 30), buckets=64, iters=10, lr=1.0,
+        label_col="lang")
+
     # fused family: bloom+CMS+HLL in ONE scan — the flagship build path.
     # bloom sized to the workload (~50k distinct token ids → n=1M keeps
     # 20x headroom and FPR << 0.01); the reference default n=10M is a
@@ -170,6 +182,24 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("sessionize", lambda: Q.q_sessionize(spark, sf_dir).count()),
         ("retention_cohorts", lambda: Q.q_retention_cohorts(spark, sf_dir).count()),
         ("funnel_steps", lambda: Q.q_funnel_steps(spark, sf_dir).count()),
+        # round-5 additions: any-anchor windowed funnel (bounded-
+        # candidate exact anchoring), trained-classifier corpus scoring
+        # passes (broadcast weight tables, zero Python), and the
+        # suffix-array-style maximal-exact-match detector
+        ("funnel_steps_any", lambda: Q.q_funnel_steps_any(spark, sf_dir).count()),
+        ("quality_score_docs", lambda: classifier.score_quality(
+            docs, qc_model).agg(F.sum("prob")).collect()),
+        ("lang_id_predict_docs", lambda: classifier.predict_lang(
+            docs, lid_model).count()),
+        ("substring_mem", lambda: substring.maximal_exact_matches(
+            docs, min_len=8, max_occurrences=1024).count()),
+        # global line dedup (CCNet/C4 paragraph pass: explode + one
+        # md5(line) shuffle + ordered reassembly) and the Gopher
+        # quality rules (one map-only codegen'd projection)
+        ("line_dedup", lambda: Q.q_line_dedup(spark, sf_dir).agg(
+            F.sum("n_kept")).collect()),
+        ("gopher_rules", lambda: _text.gopher_rules(docs).filter(
+            "passes").count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS

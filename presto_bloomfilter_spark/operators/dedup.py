@@ -87,6 +87,56 @@ def drop_exact_dup_tokens(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """CCNet/C4-style GLOBAL line (paragraph) deduplication: every
+    ``sep``-delimited line keeps only its FIRST occurrence across the
+    whole corpus — first = smallest ``(id, line position)`` under the
+    id column's natural ordering — and each document is reassembled
+    from its surviving lines in original order.
+
+    Returns DataFrame[id string, text string, n_lines int, n_kept int]
+    (text = '' when every line of a doc was seen earlier; empty input
+    text is one empty line).  Byte-exact line identity — no
+    normalization — so the contract is engine-portable and the oracle
+    replays it verbatim.
+
+    Scale shape: posexplode → ONE shuffle keyed on md5(line) (uniform
+    128-bit key; a mega-duplicate line lands on one reducer but as a
+    single sequentially-ranked group, never a join fan-out) → one
+    shuffle back on the doc id for ordered reassembly.  Dropped lines
+    stay in the stream only as a boolean mark so fully-deduplicated
+    docs survive with text='' and an honest n_lines.  O(total lines)
+    end to end, no joins, no Python — the per-line analogue of
+    drop_exact_dups.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("__oid"),
+        F.col(id_col).cast("string").alias("id"),
+        # split takes a regex — escape so sep is LITERAL ('|' etc.)
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)), -1))
+         .alias("pos", "line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("__oid", "pos")
+    kept = (lines.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__keep", F.col("__rn") == 1))
+    assembled = (kept.groupBy("id")
+                 .agg(F.array_sort(F.collect_list(
+                          F.when(F.col("__keep"),
+                                 F.struct("pos", "line")))).alias("ls"),
+                      F.count("*").alias("n_lines"),
+                      F.sum(F.col("__keep").cast("int")).alias("n_kept")))
+    return assembled.select(
+        "id",
+        F.concat_ws(sep, F.transform(F.col("ls"), lambda s: s["line"]))
+         .alias("text"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+    )
+
+
 # ---- shingling + minhash ------------------------------------------------------
 #
 # Signature generation is the hottest per-byte pass of a training-data

@@ -101,6 +101,80 @@ def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
     return out
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLETS = ("•", "-", "*")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Gopher/MassiveWeb document quality rules (Rae et al. 2021
+    §A1.1) as one map-only codegen'd projection: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio ('#' chars plus
+    non-overlapping '...'/'…' occurrences), fraction of lines starting
+    with a bullet (•,-,* after left-trim), fraction of lines ending
+    with an ellipsis, fraction of words containing an ASCII letter,
+    and the distinct-stopword floor (exact word match, no case
+    folding — deterministic and engine-portable).  Words follow the
+    repo-wide ``str.split()`` semantics; lines split on '\\n'.
+
+    Returns per-doc metrics plus ``passes`` (the conjunction; ratios
+    are NULL — and passes false — for word-less docs).  No explode, no
+    shuffle, no Python; the identical expressions run in ANSI SQL, so
+    the gate's oracle replays every metric and verdict."""
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    t = F.col(text_col)
+    words = split_words(text_col)
+    n_words = F.size(words)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    word_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    lines = F.split(t, F.lit("\n"), -1)
+    n_lines = F.size(lines)
+    def _is_bullet(l):
+        c = F.startswith(F.ltrim(l), F.lit(_BULLETS[0]))
+        for b in _BULLETS[1:]:
+            c = c | F.startswith(F.ltrim(l), F.lit(b))
+        return c
+
+    bullet = F.size(F.filter(lines, _is_bullet))
+    ellip = F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+                            | F.endswith(F.rtrim(l), F.lit("…"))))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    out = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        n_words.cast("int").alias("n_words"),
+        (word_chars.cast("double") / nw).alias("mean_word_len"),
+        ((n_hash + n_dots + n_uell).cast("double") / nw).alias("symbol_ratio"),
+        (bullet.cast("double") / n_lines).alias("bullet_line_frac"),
+        (ellip.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        (alpha.cast("double") / nw).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
 def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
     """Deterministic hash sampling: keep rows whose md5(key) bucket
     (first 8 hex digits mod 100) falls below ``percent``.

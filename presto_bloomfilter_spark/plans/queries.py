@@ -2156,6 +2156,181 @@ WHERE rn = 1
 ORACLE_LANG_ID_TRAINED = _lang_id_trained_oracle()
 
 
+# The synthetic documents are single-line; the line-shaped gates chunk
+# each doc's words into 8-word lines with the SAME positional rule on
+# both engines (cf. the in-band language synthesis of lang_id_trained).
+_LINE_W = 8
+
+
+def _chunked_lines_col():
+    """array<string> of 8-word lines from the documents text column."""
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    n_lines = (F.floor((n + _LINE_W - 1) / _LINE_W)).cast("int")
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * _LINE_W + 1, _LINE_W)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+_LINES_SQL = (
+    "list_transform(range(CAST(ceil(len(w) / {W}.0) AS BIGINT)), "
+    "i -> array_to_string(w[i * {W} + 1 : i * {W} + {W}], ' '))"
+).format(W=_LINE_W)
+
+_WORDS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style global line dedup: docs chunked into 8-word
+    lines, with planted duplicates — every doc_id%5 doc carries one
+    shared sentinel line (only the smallest doc keeps it), every
+    doc_id%7 doc carries the SAME line twice (within-doc repeat, the
+    second copy always drops).  FULL value oracle: DuckDB replays the
+    keep-first-(id,pos) rule and reassembles every surviving text."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        _chunked_lines_col(),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.lit("DUPLINE shared sentinel"))).otherwise(empty),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.array(F.lit("TWICE twin line"),
+                       F.lit("TWICE twin line"))).otherwise(empty),
+    )
+    synth = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return dedup.line_dedup(synth)
+
+
+ORACLE_LINE_DEDUP = rf"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, {_WORDS_SQL} AS w
+  FROM documents
+),
+sy AS (
+  SELECT doc_id, id,
+         array_to_string(
+           {_LINES_SQL}
+           || (CASE WHEN doc_id % 5 = 0
+                 THEN ['DUPLINE shared sentinel']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 7 = 0
+                 THEN ['TWICE twin line', 'TWICE twin line']
+                 ELSE CAST([] AS VARCHAR[]) END),
+           chr(10)) AS t
+  FROM d
+),
+l AS (
+  SELECT doc_id, id, u.r['line'] AS line, u.r['pos'] AS pos
+  FROM sy, unnest(list_transform(string_split(t, chr(10)),
+                                 (x, i) -> {{'line': x, 'pos': i}})) AS u(r)
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+)
+SELECT id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+FROM k GROUP BY id
+"""
+
+
+_GOPHER_MIN_WORDS = 50
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb quality rules over line-shaped docs: the
+    8-word-line chunking plus deterministic decorations — doc_id%9
+    docs get a leading bullet line, %11 a trailing-ellipsis line, %13
+    a symbol-heavy line, %3 a stopword tail — so every rule fires on a
+    known doc subset and verdicts are diverse.  FULL value oracle:
+    DuckDB recomputes all seven metrics and the conjunction."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(F.col("doc_id") % 9 == 0,
+               F.array(F.lit("- bullet item"))).otherwise(empty),
+        _chunked_lines_col(),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.array(F.lit("to be continued..."))).otherwise(empty),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.array(F.lit("#### tags ####"))).otherwise(empty),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.array(F.lit("the be to of and that have with"))
+               ).otherwise(empty),
+    )
+    synth = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return text.gopher_rules(synth, min_words=_GOPHER_MIN_WORDS)
+
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+ORACLE_GOPHER_RULES = rf"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, {_WORDS_SQL} AS w
+  FROM documents
+),
+sy AS (
+  SELECT doc_id, id,
+         array_to_string(
+           (CASE WHEN doc_id % 9 = 0 THEN ['- bullet item']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || {_LINES_SQL}
+           || (CASE WHEN doc_id % 11 = 0 THEN ['to be continued...']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 13 = 0 THEN ['#### tags ####']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 3 = 0
+                 THEN ['the be to of and that have with']
+                 ELSE CAST([] AS VARCHAR[]) END),
+           chr(10)) AS t
+  FROM d
+),
+m AS (
+  SELECT id,
+         list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS words,
+         string_split(t, chr(10)) AS lines,
+         len(t) - len(replace(t, '#', '')) AS nh,
+         (len(t) - len(replace(t, '...', ''))) / 3 AS nd,
+         len(t) - len(replace(t, '…', '')) AS nu
+  FROM sy
+),
+g AS (
+  SELECT id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+           / nullif(CAST(len(words) AS DOUBLE), 0.0) AS mean_word_len,
+         CAST(nh + nd + nu AS DOUBLE)
+           / nullif(CAST(len(words) AS DOUBLE), 0.0) AS symbol_ratio,
+         CAST(len(list_filter(lines, x ->
+               starts_with(ltrim(x), '•') OR starts_with(ltrim(x), '-')
+               OR starts_with(ltrim(x), '*'))) AS DOUBLE)
+           / len(lines) AS bullet_line_frac,
+         CAST(len(list_filter(lines, x ->
+               ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))
+              AS DOUBLE) / len(lines) AS ellipsis_line_frac,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE)
+           / nullif(CAST(len(words) AS DOUBLE), 0.0) AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(words), {_GOPHER_STOP_SQL}))
+              AS INTEGER) AS n_stopwords
+  FROM m
+)
+SELECT *,
+       coalesce(n_words BETWEEN {_GOPHER_MIN_WORDS} AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND n_stopwords >= 2, false) AS passes
+FROM g
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
     downsampled hard, minority sources kept): per-source deterministic
@@ -3736,6 +3911,8 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "line_dedup": q_line_dedup,
+    "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
     "lang_id_trained": q_lang_id_trained,
     "quality_classifier": q_quality_classifier,
@@ -3842,6 +4019,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "line_dedup": ORACLE_LINE_DEDUP,
+    "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,
     "lang_id_trained": ORACLE_LANG_ID_TRAINED,
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,

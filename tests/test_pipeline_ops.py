@@ -813,3 +813,93 @@ def test_keep_best_per_cluster_plans_window_group_limit(spark):
     out = dedup.keep_best_per_cluster(docs, clusters, [F.length("text").desc()])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------- round-5: line dedup + Gopher rules ----------------
+
+
+def test_line_dedup_keep_first_global(spark):
+    df = spark.createDataFrame([
+        (1, "alpha beta\nshared line\ngamma"),
+        (2, "shared line\ndelta eps\nshared line"),
+        (3, "delta eps"),
+        (4, "shared line"),
+    ], "doc_id long, text string")
+    out = {r.id: r for r in dedup.line_dedup(df).collect()}
+    assert len(out) == 4  # fully-deduplicated docs survive
+    assert out["1"].text == "alpha beta\nshared line\ngamma"
+    assert (out["1"].n_lines, out["1"].n_kept) == (3, 3)
+    # within-doc repeat also dropped; order of survivors preserved
+    assert out["2"].text == "delta eps"
+    assert (out["2"].n_lines, out["2"].n_kept) == (3, 1)
+    assert out["3"].text == "" and out["3"].n_kept == 0
+    assert out["4"].text == "" and out["4"].n_lines == 1
+
+
+def test_line_dedup_first_is_smallest_id_then_pos(spark):
+    # same line appears at different positions; the (id, pos)-minimal
+    # occurrence wins regardless of partitioning
+    df = spark.createDataFrame([
+        (7, "x y\nDUP"),
+        (2, "a b\nDUP\nc d"),
+        (2, None),
+    ], "doc_id long, text string").filter(F.col("text").isNotNull())
+    out = {r.id: r for r in dedup.line_dedup(df.repartition(5)).collect()}
+    assert out["2"].text == "a b\nDUP\nc d"
+    assert out["7"].text == "x y"
+
+
+def test_line_dedup_custom_separator_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "p|q|p"), (2, ""), (3, "")],
+        "doc_id long, text string")
+    out = {r.id: r for r in dedup.line_dedup(df, sep="|").collect()}
+    assert out["1"].text == "p|q" and out["1"].n_lines == 3
+    # empty text = one empty line; its first occurrence (doc 2) keeps it
+    assert out["2"].n_kept == 1 and out["3"].n_kept == 0
+
+
+def test_line_dedup_no_python_no_join_in_plan(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (dedup.line_dedup(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_gopher_rules_thresholds(spark):
+    good = ("the quick brown fox jumps over and that have with be to of "
+            * 6).strip()
+    df = spark.createDataFrame([
+        (1, good),                                    # passes everything
+        (2, "short doc"),                             # too few words
+        (3, "- a\n- b\nthe end with of and that..."),  # bullets+ellipsis
+        (4, "#### #### " + "the be to of and that have with word " * 8),
+    ], "doc_id long, text string")
+    out = {r.id: r for r in text.gopher_rules(df).collect()}
+    assert out["1"].passes and out["1"].n_stopwords == 8
+    assert not out["2"].passes and out["2"].n_words == 2
+    r3 = out["3"]
+    assert abs(r3.bullet_line_frac - 2 / 3) < 1e-12
+    assert abs(r3.ellipsis_line_frac - 1 / 3) < 1e-12
+    assert not r3.passes
+    r4 = out["4"]
+    assert abs(r4.symbol_ratio - 8 / 74) < 1e-12 and not r4.passes
+    # loosened thresholds flip the verdicts the defaults rejected
+    loose = {r.id: r for r in text.gopher_rules(
+        df, min_words=2, max_symbol_ratio=1.0, max_bullet_frac=1.0,
+        max_ellipsis_frac=1.0, min_stopwords=0).collect()}
+    assert loose["2"].passes and loose["4"].passes
+
+
+def test_gopher_rules_wordless_doc_fails_with_null_ratios(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "")],
+                               "doc_id long, text string")
+    for r in text.gopher_rules(df).collect():
+        assert r.n_words == 0 and r.mean_word_len is None and not r.passes
+
+
+def test_gopher_rules_map_only_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (text.gopher_rules(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
