@@ -104,6 +104,144 @@ def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10,
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _BULLETS = ("•", "-", "*")
 
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                     "uses cookies", "use of cookies", "use cookies")
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             min_line_words: int = 3, min_sentences: int = 5) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as one map-only
+    codegen'd projection — the line-level sibling of ``gopher_rules``.
+
+    Line filters (a line survives only if ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "`` after rtrim),
+      * has at least ``min_line_words`` whitespace-run words,
+      * does not contain the word ``javascript`` (case-folded), and
+      * does not contain any boilerplate policy phrase
+        (``C4_POLICY_PHRASES``, case-folded substring match).
+    Document verdict: ``passes`` iff the ORIGINAL text contains
+    neither ``lorem ipsum`` (case-folded) nor a ``{`` brace and the
+    CLEANED text still has ≥ ``min_sentences`` sentences (counted as
+    ``.``/``!``/``?`` characters — deterministic and engine-portable,
+    no sentence-splitter model).
+
+    Returns DataFrame[id, text (cleaned, surviving lines re-joined
+    with '\\n'; '' when none survive), n_lines int, n_kept int,
+    n_sentences int, has_lorem bool, has_brace bool, passes bool].
+
+    Scale shape: zero shuffles, zero Python — ``split``/``filter``/
+    higher-order lambdas all whole-stage codegen, so the pass streams
+    at scan speed and composes with predicate pushdown.  The identical
+    expressions run in ANSI SQL (``list_filter``), so the gate's
+    oracle replays every line decision and the verdict.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    lines = F.split(t, F.lit("\n"), -1)
+
+    def _keep(l):
+        r = F.rtrim(l)
+        ends = F.endswith(r, F.lit(C4_TERMINALS[0]))
+        for p in C4_TERMINALS[1:]:
+            ends = ends | F.endswith(r, F.lit(p))
+        low = F.lower(l)
+        wc = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        bad = F.contains(low, F.lit("javascript"))
+        for ph in C4_POLICY_PHRASES:
+            bad = bad | F.contains(low, F.lit(ph))
+        return ends & (wc >= min_line_words) & ~bad
+
+    kept = F.filter(lines, _keep)
+    clean = F.concat_ws("\n", kept)
+
+    def _count_char(col, ch):
+        return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+    n_sentences = (_count_char(clean, ".") + _count_char(clean, "!")
+                   + _count_char(clean, "?"))
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    out = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        clean.alias("text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    passes = (~F.col("has_lorem") & ~F.col("has_brace")
+              & (F.col("n_sentences") >= min_sentences))
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_entropy: float = 2.0) -> DataFrame:
+    """Per-document Shannon entropy over unicode code points — the
+    cheap proxy for the compression-ratio quality filter (low-entropy
+    text is repetitive boilerplate / generated spam; natural prose
+    sits around 4-5 bits/char).
+
+    Returns DataFrame[id, n_chars int, distinct_chars int,
+    entropy double (bits/char, 0.0 for empty text),
+    max_char_frac double (modal code-point frequency share, 0.0 for
+    empty), passes bool (entropy >= min_entropy)].
+
+    Fully batch-vectorized mapInPandas: the batch's code points are
+    flattened into ONE int64 array keyed ``doc_idx * 2^21 + cp``
+    (code points < 2^21), a single ``np.unique`` produces all per-doc
+    histograms at once, and the entropy/modal reductions are
+    ``np.add.reduceat`` / ``np.maximum.reduceat`` over the sorted key
+    runs — no per-document Python.  Map-only: zero shuffles, streams
+    at scan speed; the exploded-groupBy alternative would shuffle
+    O(total chars).
+    """
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            texts = pdf[text_col].fillna("")
+            # one C-side pass: utf-32 gives fixed-width code points
+            joined = "".join(texts)
+            cps = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            lens = texts.str.len().to_numpy().astype(np.int64)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keys = doc_of * (1 << 21) + cps
+            uniq, counts = np.unique(keys, return_counts=True)
+            udoc = uniq >> 21
+            ent = np.zeros(n)
+            mx = np.zeros(n)
+            dis = np.zeros(n, dtype=np.int64)
+            if len(uniq):
+                starts = np.flatnonzero(
+                    np.r_[True, udoc[1:] != udoc[:-1]])
+                docs = udoc[starts]
+                tot = lens[docs].astype(np.float64)
+                p = counts / tot[np.searchsorted(docs, udoc)]
+                # 0.0 - x, not -x: keeps the zero-entropy case +0.0 so
+                # the oracle's `0.0 + (-sum(...))` hashes identically
+                ent[docs] = 0.0 - np.add.reduceat(p * np.log2(p), starts)
+                mx[docs] = np.maximum.reduceat(p, starts)
+                dis[docs] = np.add.reduceat(
+                    np.ones(len(uniq), dtype=np.int64), starts)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(str),
+                "n_chars": lens,
+                "distinct_chars": dis,
+                "entropy": ent,
+                "max_char_frac": mx,
+                "passes": ent >= min_entropy,
+            })
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        fn,
+        "id string, n_chars int, distinct_chars int, entropy double, "
+        "max_char_frac double, passes boolean",
+    )
+
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",

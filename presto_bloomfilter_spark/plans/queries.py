@@ -2331,6 +2331,165 @@ FROM g
 """
 
 
+_C4_MIN_SENTENCES = 5
+
+# decorated 8-word chunking: every EVEN-indexed line gains a terminal
+# '.' (range()/F.transform indices are both 0-based), so line survival
+# is diverse instead of all-drop
+_C4_LINES_SQL = (
+    "list_transform(range(CAST(ceil(len(w) / {W}.0) AS BIGINT)), "
+    "i -> array_to_string(w[i * {W} + 1 : i * {W} + {W}], ' ') || "
+    "(CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+).format(W=_LINE_W)
+
+_C4_DECOR = (
+    (2, "Please enable javascript to continue."),   # drops: javascript
+    (3, "We use cookies and our privacy policy applies."),  # drops: policy
+    (5, "Too short."),                                # drops: < 3 words
+    (7, "Lorem Ipsum dolor sit amet consectetur."),   # kept line, doc flag
+    (11, "if (x) { return 1; }"),                     # brace doc flag
+)
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning rules over line-shaped docs: 8-word
+    chunks where even-indexed lines end in '.', plus per-modulus
+    decorations so every rule fires on a known subset — a javascript
+    line (%2), a policy line (%3), a too-short line (%5), a kept
+    lorem-ipsum line flagging the doc (%7), a brace line (%11).  FULL
+    value oracle: DuckDB replays every line decision, the cleaned
+    reassembly, the sentence count, and the verdict."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    base = F.transform(
+        _chunked_lines_col(),
+        lambda l, i: F.when(i % 2 == 0, F.concat(l, F.lit("."))).otherwise(l))
+    parts = [base]
+    for mod, line in _C4_DECOR:
+        parts.append(F.when(F.col("doc_id") % mod == 0,
+                            F.array(F.lit(line))).otherwise(empty))
+    synth = d.select(
+        "doc_id", F.concat_ws("\n", F.concat(*parts)).alias("text"))
+    return text.c4_rules(synth, min_sentences=_C4_MIN_SENTENCES)
+
+
+_C4_DECOR_SQL = "\n           ".join(
+    "|| (CASE WHEN doc_id % {m} = 0 THEN ['{l}'] "
+    "ELSE CAST([] AS VARCHAR[]) END)".format(
+        m=mod, l=line.replace("{", "{{").replace("}", "}}"))
+    for mod, line in _C4_DECOR)
+
+_C4_KEEP_SQL = r"""(ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+             OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+         AND len(list_filter(string_split_regex(l, '\s+'),
+                             x -> x <> '')) >= 3
+         AND NOT (contains(lower(l), 'javascript')
+                  OR contains(lower(l), 'terms of use')
+                  OR contains(lower(l), 'privacy policy')
+                  OR contains(lower(l), 'cookie policy')
+                  OR contains(lower(l), 'uses cookies')
+                  OR contains(lower(l), 'use of cookies')
+                  OR contains(lower(l), 'use cookies'))"""
+
+ORACLE_C4_RULES = rf"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, {_WORDS_SQL} AS w
+  FROM documents
+),
+sy AS (
+  SELECT doc_id, id,
+         array_to_string(
+           {_C4_LINES_SQL}
+           {_C4_DECOR_SQL},
+           chr(10)) AS t
+  FROM d
+),
+m AS (
+  SELECT id, t,
+         string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)), l ->
+         {_C4_KEEP_SQL}) AS kept
+  FROM sy
+),
+c AS (
+  SELECT id, t, lines, kept,
+         array_to_string(kept, chr(10)) AS clean
+  FROM m
+)
+SELECT id,
+       clean AS text,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST((len(clean) - len(replace(clean, '.', '')))
+            + (len(clean) - len(replace(clean, '!', '')))
+            + (len(clean) - len(replace(clean, '?', ''))) AS INTEGER)
+         AS n_sentences,
+       contains(lower(t), 'lorem ipsum') AS has_lorem,
+       contains(t, '{{') AS has_brace,
+       coalesce(NOT contains(lower(t), 'lorem ipsum')
+                AND NOT contains(t, '{{')
+                AND ((len(clean) - len(replace(clean, '.', '')))
+                     + (len(clean) - len(replace(clean, '!', '')))
+                     + (len(clean) - len(replace(clean, '?', ''))))
+                    >= {_C4_MIN_SENTENCES}, false) AS passes
+FROM c
+"""
+
+
+_ENTROPY_MIN = 2.0
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (compression-ratio proxy) with
+    planted low-entropy docs: %6==0 → one repeated char (0 bits),
+    %6==1 → two alternating chars (1 bit), %6==2 → empty; the rest
+    keep their natural text (~4+ bits, passes).  FULL value oracle:
+    DuckDB rebuilds every per-doc code-point histogram and replays
+    entropy, modal share, and the verdict."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, F.repeat(F.lit("a"), 40))
+         .when(F.col("doc_id") % 6 == 1, F.repeat(F.lit("ab"), 20))
+         .when(F.col("doc_id") % 6 == 2, F.lit(""))
+         .otherwise(F.col("text")).alias("text"))
+    return text.char_entropy(synth, min_entropy=_ENTROPY_MIN)
+
+
+ORACLE_CHAR_ENTROPY = rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE WHEN doc_id % 6 = 0 THEN repeat('a', 40)
+              WHEN doc_id % 6 = 1 THEN repeat('ab', 20)
+              WHEN doc_id % 6 = 2 THEN ''
+              ELSE text END AS t
+  FROM documents
+),
+c AS (SELECT id, t, len(t) AS n FROM d),
+h AS (
+  SELECT c.id, c.n, u.ch AS ch, count(*) AS cnt
+  FROM c, unnest(string_split_regex(t, '')) AS u(ch)
+  WHERE c.n > 0
+  GROUP BY c.id, c.n, u.ch
+),
+e AS (
+  SELECT id,
+         CAST(count(*) AS INTEGER) AS distinct_chars,
+         0.0 + (-sum((cnt / CAST(n AS DOUBLE))
+                     * log2(cnt / CAST(n AS DOUBLE)))) AS entropy,
+         max(cnt) / CAST(n AS DOUBLE) AS max_char_frac
+  FROM h GROUP BY id, n
+)
+SELECT c.id,
+       CAST(c.n AS INTEGER) AS n_chars,
+       coalesce(e.distinct_chars, 0) AS distinct_chars,
+       coalesce(e.entropy, 0.0) AS entropy,
+       coalesce(e.max_char_frac, 0.0) AS max_char_frac,
+       coalesce(e.entropy >= {_ENTROPY_MIN}, false) AS passes
+FROM c LEFT JOIN e ON c.id = e.id
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture rebalancing over the skewed tokens corpus (web≈70%
     downsampled hard, minority sources kept): per-source deterministic
@@ -3911,6 +4070,8 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "c4_rules": q_c4_rules,
+    "char_entropy": q_char_entropy,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4019,6 +4180,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "c4_rules": ORACLE_C4_RULES,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,

@@ -903,3 +903,76 @@ def test_gopher_rules_map_only_plan(spark):
     plan = (text.gopher_rules(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_c4_rules_line_filters(spark):
+    doc = "\n".join([
+        "This is a proper sentence one.",          # kept
+        "no terminal punctuation here",            # dropped: no terminal
+        "Too short.",                              # dropped: 2 words
+        "Please enable javascript to continue.",   # dropped: javascript
+        "We use cookies on this site.",            # dropped: policy phrase
+        'He said "stop".',                         # kept
+        "Is this a question?",                     # kept
+    ])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = text.c4_rules(df, min_sentences=2).collect()[0]
+    assert r.n_lines == 7 and r.n_kept == 3
+    assert r.text.split("\n") == ["This is a proper sentence one.",
+                                  'He said "stop".', "Is this a question?"]
+    assert r.n_sentences == 3
+    assert not r.has_lorem and not r.has_brace and r.passes
+
+
+def test_c4_rules_doc_level_flags(spark):
+    df = spark.createDataFrame([
+        (1, "Lorem Ipsum dolor sit amet today.\nAnother good sentence here."),
+        (2, "Braces lurk { in this sentence.\nMore good text follows here."),
+        (3, "One good sentence stands alone."),
+    ], "doc_id long, text string")
+    out = {r.id: r for r in text.c4_rules(df, min_sentences=1).collect()}
+    assert out["1"].has_lorem and not out["1"].passes and out["1"].n_kept == 2
+    assert out["2"].has_brace and not out["2"].passes
+    assert out["3"].passes and out["3"].n_sentences == 1
+    # default min_sentences=5 rejects the single-sentence doc
+    strict = {r.id: r for r in text.c4_rules(df).collect()}
+    assert not strict["3"].passes
+
+
+def test_c4_rules_empty_doc_and_map_only_plan(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)],
+                               "doc_id long, text string")
+    for r in text.c4_rules(df).collect():
+        assert r.n_kept == 0 and not r.passes
+    plan = (text.c4_rules(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_char_entropy_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = {r.id: r for r in text.char_entropy(df).collect()}
+    assert out["1"].entropy == 0.0 and out["1"].distinct_chars == 1
+    assert out["1"].max_char_frac == 1.0 and not out["1"].passes
+    assert abs(out["2"].entropy - 1.0) < 1e-12 and out["2"].max_char_frac == 0.5
+    assert abs(out["3"].entropy - 2.0) < 1e-12 and out["3"].passes
+    assert out["4"].n_chars == 0 and out["4"].entropy == 0.0
+    assert not out["4"].passes and out["5"].n_chars == 0
+
+
+def test_char_entropy_unicode_and_batches(spark):
+    rows = [(i, "……") for i in range(3)] + [(99, "日本語")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in text.char_entropy(df.repartition(2)).collect()}
+    assert out["0"].n_chars == 2 and out["0"].distinct_chars == 1
+    assert out["99"].n_chars == 3
+    assert abs(out["99"].entropy - np.log2(3)) < 1e-12
+
+
+def test_char_entropy_map_only_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (text.char_entropy(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
