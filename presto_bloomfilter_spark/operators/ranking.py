@@ -102,6 +102,62 @@ def bm25_topk(df: DataFrame, terms: Sequence[str], k: int = 50,
             .limit(k))
 
 
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id", min_df: int = 1,
+               max_df_frac: float = 1.0) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the standard keyword
+    extraction / topic-tagging pass (and the feature side of sparse
+    retrieval indexes).
+
+    tf = exact occurrence count under ``str.split()`` word semantics;
+    idf = ``ln((N + 1) / (df + 1)) + 1`` (the smoothed sklearn form,
+    always positive); terms with document frequency below ``min_df``
+    or above ``max_df_frac * N`` (corpus-ubiquitous stopwords) are
+    excluded BEFORE ranking.  Returns DataFrame[id string, term
+    string, tf int, df_docs int, score double, rank int] with
+    ``rank ∈ [1, k]`` ordered by (score desc, term asc) per doc.
+
+    Plan shape (the 100 TB path): ONE O(total tokens) explode whose
+    (id, term) counts partial-aggregate map-side, a vocabulary-bounded
+    document-frequency aggregate reusing the same shuffle output, one
+    join of tf against the (filtered, vocab-bounded) df table — AQE
+    broadcasts it when it fits, else it is a key-balanced shuffle join
+    — and a per-doc window Spark executes as WindowGroupLimit
+    (per-partition top-k truncation before the final rank filter).
+    No global sort, no Python, no driver-side tables; N is the only
+    scalar collected.  Cross-engine parity: the ulp argument of
+    ``bm25_topk`` applies — exact ties happen only for identical
+    (tf, df) pairs, which tie in any engine and break by term.
+    """
+    from pyspark.sql import Window
+
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = df.count()
+    if not n_docs:
+        raise ValueError("empty corpus")
+    terms = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(split_words(text_col)).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+             .filter((F.col("df_docs") >= min_df)
+                     & (F.col("df_docs") <= float(max_df_frac) * n_docs)))
+    idf = F.log((F.lit(float(n_docs)) + 1.0)
+                / (F.col("df_docs").cast("double") + 1.0)) + 1.0
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score", F.col("tf").cast("double") * idf))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "term", F.col("tf").cast("int").alias("tf"),
+                    F.col("df_docs").cast("int").alias("df_docs"),
+                    "score", F.col("rank").cast("int").alias("rank")))
+
+
 # ---- bigram LM quality scoring -------------------------------------------------
 
 

@@ -1889,6 +1889,72 @@ LIMIT {_BM25_K}
 ORACLE_BM25_TOPK = _bm25_oracle()
 
 
+_TFIDF_K = 3
+_TFIDF_MIN_DF = 2
+_TFIDF_MAX_DF_FRAC = 0.5
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords with both df bounds active
+    (min_df=2 drops hapaxes; max_df_frac=0.5 drops the corpus's ~30
+    ubiquitous natural terms, all at 75-80% df).  The corpus vocab is
+    too small to rank on alone, so every doc gains in-band keywords:
+    one ``kw_<id%40>`` (df≈2.5%, high idf) and a doubled
+    ``kx_<id%7>`` (df≈14%, tf=2) — their score interplay exercises
+    the tf×idf ordering at every scale with no per-scale tuning.
+    FULL value oracle: DuckDB recomputes tf/df/idf/score and replays
+    the per-doc ranking; ties only at identical (tf, df), broken by
+    term in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    kw = F.concat(F.lit("kw_"), (F.col("doc_id") % 40).cast("string"))
+    kx = F.concat(F.lit("kx_"), (F.col("doc_id") % 7).cast("string"))
+    synth = d.select(
+        "doc_id", F.concat_ws(" ", F.col("text"), kw, kx, kx).alias("text"))
+    return ranking.tfidf_topk(synth, k=_TFIDF_K, min_df=_TFIDF_MIN_DF,
+                              max_df_frac=_TFIDF_MAX_DF_FRAC)
+
+
+ORACLE_TFIDF_TOPK = rf"""
+WITH sy AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'kw_' || CAST(doc_id % 40 AS VARCHAR),
+                   'kx_' || CAST(doc_id % 7 AS VARCHAR),
+                   'kx_' || CAST(doc_id % 7 AS VARCHAR)) AS text
+  FROM documents
+),
+w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, u.term AS term
+  FROM sy,
+       unnest(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS u(term)
+),
+n AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT id, term, count(*) AS tf FROM w GROUP BY id, term),
+dfq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+  HAVING count(*) >= {_TFIDF_MIN_DF}
+     AND count(*) <= {_TFIDF_MAX_DF_FRAC} * (SELECT n FROM n)
+),
+s AS (
+  SELECT tf.id, tf.term, tf.tf, dfq.df_docs,
+         CAST(tf.tf AS DOUBLE)
+         * (ln(((SELECT n FROM n) + 1.0)
+               / (CAST(dfq.df_docs AS DOUBLE) + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfq USING (term)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT id, term, CAST(tf AS INTEGER) AS tf,
+       CAST(df_docs AS INTEGER) AS df_docs, score,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {_TFIDF_K}
+"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM negative log-likelihood per doc (KenLM-style quality
     scoring), trained on the deterministic md5 20% sample — full value
@@ -4072,6 +4138,7 @@ SELECT * FROM (VALUES
 QUERIES = {
     "c4_rules": q_c4_rules,
     "char_entropy": q_char_entropy,
+    "tfidf_topk": q_tfidf_topk,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4182,6 +4249,7 @@ QUERIES = {
 ORACLES = {
     "c4_rules": ORACLE_C4_RULES,
     "char_entropy": ORACLE_CHAR_ENTROPY,
+    "tfidf_topk": ORACLE_TFIDF_TOPK,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,

@@ -209,3 +209,83 @@ def test_lm_score_param_validation(spark):
         ranking.lm_score(df, min_count=0)
     with pytest.raises(ValueError, match="max_table_rows"):
         ranking.lm_score(df, max_table_rows=0)
+
+
+# ---- tfidf_topk ----------------------------------------------------------------
+
+
+def _tfidf_ref(docs, k=5, min_df=1, max_df_frac=1.0):
+    """Pure-python reference: sklearn-smooth idf, (score desc, term) rank."""
+    import math as _m
+    n = len(docs)
+    tf = {}
+    for i, t in docs:
+        for w in t.split():
+            tf[(str(i), w)] = tf.get((str(i), w), 0) + 1
+    dfreq = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for (i, w), c in tf.items():
+        d = dfreq[w]
+        if d < min_df or d > max_df_frac * n:
+            continue
+        score = c * (_m.log((n + 1.0) / (d + 1.0)) + 1.0)
+        out.setdefault(i, []).append((-score, w, c, d))
+    res = {}
+    for i, lst in out.items():
+        for r, (negs, w, c, d) in enumerate(sorted(lst)[:k], 1):
+            res[(i, w)] = (c, d, -negs, r)
+    return res
+
+
+def test_tfidf_topk_matches_pure_python(spark):
+    docs = [(1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple date date date egg"),
+            (4, "fig fig banana apple")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id, r.term): (r.tf, r.df_docs, r.score, r.rank)
+           for r in ranking.tfidf_topk(df, k=2).collect()}
+    ref = _tfidf_ref(docs, k=2)
+    assert set(got) == set(ref)
+    for key, (tf, dfr, score, rank) in ref.items():
+        gtf, gdf, gscore, grank = got[key]
+        assert (gtf, gdf, grank) == (tf, dfr, rank)
+        assert abs(gscore - score) < 1e-12
+
+
+def test_tfidf_topk_df_bounds(spark):
+    docs = [(1, "stop rare1 stop"), (2, "stop rare2"), (3, "stop rare3"),
+            (4, "stop mid"), (5, "stop mid")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # min_df=2 drops the rare* hapaxes; max_df_frac=0.5 drops 'stop' (df=5)
+    out = ranking.tfidf_topk(df, k=3, min_df=2, max_df_frac=0.5).collect()
+    assert {r.term for r in out} == {"mid"}
+    assert sorted(r.id for r in out) == ["4", "5"]
+
+
+def test_tfidf_topk_rank_ties_break_by_term(spark):
+    df = spark.createDataFrame([(1, "bb aa"), (2, "aa bb")],
+                               "doc_id long, text string")
+    out = {(r.id, r.rank): r.term
+           for r in ranking.tfidf_topk(df, k=2).collect()}
+    assert out[("1", 1)] == "aa" and out[("1", 2)] == "bb"
+    assert out[("2", 1)] == "aa"
+
+
+def test_tfidf_topk_plan_window_group_limit(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id long, text string")
+    plan = (ranking.tfidf_topk(df, k=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan, plan
+    assert "Python" not in plan
+
+
+def test_tfidf_topk_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        ranking.tfidf_topk(df, k=0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        ranking.tfidf_topk(df.filter("doc_id < 0"))
