@@ -2502,6 +2502,71 @@ FROM c
 """
 
 
+_Z_BITS = 8
+_Z_NB = 16
+
+
+def _z_interleave_sql(a: str, b: str, bits: int) -> str:
+    """Unrolled Morton interleave: dim a at even bit positions, dim b
+    at odd — the exact bit layout of layout._interleave for D=2."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({a} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b} >> {j}) & 1) << {2 * j + 1})")
+    return "\n         + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering of the orders table on
+    (o_custkey, o_totalprice): exact rank-normalized 8-bit levels,
+    Morton interleave, bucket = the key's high 4 bits — then the
+    per-bucket bounding boxes that make min/max scan pruning work.
+    FULL value oracle: DuckDB replays the dense ranks, the integer
+    scaling, the 16-term bit interleave, and every bucket bbox."""
+    from presto_bloomfilter_spark.operators import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    z = layout.zorder_layout(o, ["o_custkey", "o_totalprice"],
+                             n_buckets=_Z_NB, bits=_Z_BITS)
+    return z.groupBy("zbucket").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.max("o_totalprice").alias("max_tp"),
+    )
+
+
+ORACLE_ZORDER_LAYOUT = rf"""
+WITH da AS (SELECT DISTINCT o_custkey AS v FROM orders
+            WHERE o_custkey IS NOT NULL),
+db AS (SELECT DISTINCT o_totalprice AS v FROM orders
+       WHERE o_totalprice IS NOT NULL),
+la AS (SELECT v, ((row_number() OVER (ORDER BY v) - 1) * {1 << _Z_BITS})
+                 // (SELECT count(*) FROM da) AS lvl FROM da),
+lb AS (SELECT v, ((row_number() OVER (ORDER BY v) - 1) * {1 << _Z_BITS})
+                 // (SELECT count(*) FROM db) AS lvl FROM db),
+r AS (
+  SELECT o.o_custkey, o.o_totalprice,
+         coalesce(la.lvl, 0) AS l0, coalesce(lb.lvl, 0) AS l1
+  FROM orders o
+  LEFT JOIN la ON o.o_custkey = la.v
+  LEFT JOIN lb ON o.o_totalprice = lb.v
+),
+z AS (
+  SELECT *,
+         {_z_interleave_sql("l0", "l1", _Z_BITS)} AS zkey
+  FROM r
+)
+SELECT CAST(zkey >> {2 * _Z_BITS - (_Z_NB.bit_length() - 1)} AS INTEGER)
+         AS zbucket,
+       count(*) AS cnt,
+       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp
+FROM z GROUP BY zbucket
+"""
+
+
 _ENTROPY_MIN = 2.0
 
 
@@ -4139,6 +4204,7 @@ QUERIES = {
     "c4_rules": q_c4_rules,
     "char_entropy": q_char_entropy,
     "tfidf_topk": q_tfidf_topk,
+    "zorder_layout": q_zorder_layout,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4250,6 +4316,7 @@ ORACLES = {
     "c4_rules": ORACLE_C4_RULES,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
+    "zorder_layout": ORACLE_ZORDER_LAYOUT,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,
