@@ -200,6 +200,20 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             F.sum("n_kept")).collect()),
         ("gopher_rules", lambda: _text.gopher_rules(docs).filter(
             "passes").count()),
+        # round-5 session additions: C4 line rules + char entropy (both
+        # map-only corpus passes), per-doc TF-IDF keywords (one token
+        # shuffle + vocab-bounded df + WindowGroupLimit top-k),
+        # normalized dedup (one digest shuffle), and z-order layout
+        # keys over the orders table (rank maps + map-only interleave)
+        ("c4_rules", lambda: _text.c4_rules(docs).filter(
+            "passes").count()),
+        ("char_entropy", lambda: _text.char_entropy(docs).agg(
+            F.sum("entropy")).collect()),
+        ("tfidf_topk", lambda: ranking.tfidf_topk(
+            docs, k=3, min_df=2).count()),
+        ("dedup_normalized", lambda: dedup.drop_dups_normalized(
+            docs).count()),
+        ("zorder_layout", lambda: Q.q_zorder_layout(spark, sf_dir).count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS

@@ -87,6 +87,33 @@ def drop_exact_dup_tokens(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def normalize_text_col(col) -> "F.Column":
+    """The standard pre-dedup text normalization (fuzzy-dedup front
+    end): case-fold, replace every non-[a-z0-9] non-whitespace char
+    with a space, collapse whitespace runs, trim.  ASCII-centric by
+    contract (non-ASCII letters are treated as punctuation; NFKC
+    folding is out of scope) — deterministic, engine-portable, and
+    expressible in ANSI SQL, so oracles replay it verbatim."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"[^a-z0-9\s]", " ")
+    x = F.regexp_replace(x, r"\s+", " ")
+    return F.trim(x)
+
+
+def drop_dups_normalized(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """``drop_exact_dups`` under ``normalize_text_col`` identity:
+    case/punctuation/whitespace variants of the same content collapse
+    to one representative (min id wins).  Adds the ``norm`` column so
+    callers can audit the collapse.  Same scale shape as the exact
+    form: one shuffle on the 128-bit digest of the normalized text,
+    rank-1 window truncated map-side (WindowGroupLimit)."""
+    out = df.withColumn("norm", normalize_text_col(F.col(text_col)))
+    w = Window.partitionBy(F.md5(F.col("norm"))).orderBy(F.col(id_col))
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
 def line_dedup(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """CCNet/C4-style GLOBAL line (paragraph) deduplication: every

@@ -2304,6 +2304,59 @@ FROM k GROUP BY id
 """
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text dedup: docs come in planted triples — the same
+    content as 'Hello, World! k' / 'hello   world k' / 'HELLO?? world.
+    k' — that are byte-distinct but collapse to one normalized form
+    (keep-first = the smallest doc_id); every 7th triple's first
+    member instead carries the doc's natural text plus a tail, so
+    survivors aren't all one variant class.  FULL value oracle: DuckDB
+    replays the case-fold/punct-strip/whitespace-collapse chain and
+    the keep-first rule."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 3")
+    v = F.col("doc_id") % 3
+    synth_text = (
+        F.when((v == 0) & (k % 7 == 0),
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(" TAIL.")))
+        .when(v == 0, F.concat(F.lit("Hello, World! "), k.cast("string")))
+        .when(v == 1, F.concat(F.lit("hello   world "), k.cast("string")))
+        .otherwise(F.concat(F.lit("HELLO?? world. "), k.cast("string"))))
+    synth = d.select("doc_id", synth_text.alias("text"))
+    out = dedup.drop_dups_normalized(synth)
+    return out.select(F.col("doc_id").cast("string").alias("id"),
+                      "text", "norm")
+
+
+_NORM_SQL = (r"trim(regexp_replace(regexp_replace(lower({c}), "
+             r"'[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))")
+
+ORACLE_DEDUP_NORMALIZED = rf"""
+WITH sy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 AND (doc_id // 3) % 7 = 0
+                THEN coalesce(text, '') || ' TAIL.'
+              WHEN doc_id % 3 = 0
+                THEN 'Hello, World! ' || CAST(doc_id // 3 AS VARCHAR)
+              WHEN doc_id % 3 = 1
+                THEN 'hello   world ' || CAST(doc_id // 3 AS VARCHAR)
+              ELSE 'HELLO?? world. ' || CAST(doc_id // 3 AS VARCHAR)
+         END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, text, {_NORM_SQL.format(c="text")} AS norm FROM sy
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM n
+)
+SELECT CAST(doc_id AS VARCHAR) AS id, text, norm
+FROM k WHERE rn = 1
+"""
+
+
 _GOPHER_MIN_WORDS = 50
 
 
@@ -4205,6 +4258,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "tfidf_topk": q_tfidf_topk,
     "zorder_layout": q_zorder_layout,
+    "dedup_normalized": q_dedup_normalized,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4317,6 +4371,7 @@ ORACLES = {
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
+    "dedup_normalized": ORACLE_DEDUP_NORMALIZED,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,

@@ -976,3 +976,32 @@ def test_char_entropy_map_only_plan(spark):
     plan = (text.char_entropy(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_normalize_text_col(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42 "), (2, "héllo world"), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", dedup.normalize_text_col(F.col("text")).alias("n")
+    ).collect()}
+    assert out[1] == "hello world 42"
+    assert out[2] == "h llo world"  # non-ASCII letter -> punctuation
+    assert out[3] == ""
+
+
+def test_drop_dups_normalized_keeps_min_id(spark):
+    df = spark.createDataFrame([
+        (3, "HELLO?? world."), (1, "Hello, World!"), (2, "hello   world"),
+        (4, "something else entirely."),
+    ], "doc_id long, text string")
+    out = sorted((r.doc_id, r.norm)
+                 for r in dedup.drop_dups_normalized(df).collect())
+    assert out == [(1, "hello world"), (4, "something else entirely")]
+
+
+def test_drop_dups_normalized_plan_window_group_limit(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    plan = (dedup.drop_dups_normalized(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan and "Python" not in plan
