@@ -207,6 +207,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         # keys over the orders table (rank maps + map-only interleave)
         ("c4_rules", lambda: _text.c4_rules(docs).filter(
             "passes").count()),
+        ("line_repetition", lambda: _text.line_repetition(docs).filter(
+            "passes").count()),
         ("char_entropy", lambda: _text.char_entropy(docs).agg(
             F.sum("entropy")).collect()),
         ("tfidf_topk", lambda: ranking.tfidf_topk(

@@ -175,6 +175,57 @@ def c4_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
 
 
+def line_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    max_dup_line_frac: float = 0.30,
+                    max_dup_char_frac: float = 0.20) -> DataFrame:
+    """The Gopher repetition rules ``repetition_metrics`` does not
+    cover (Rae et al. 2021 §A1.1 rows 1-2): the fraction of LINES that
+    are duplicates of another line in the same document, and the
+    fraction of CHARACTERS falling in such duplicated lines — both
+    counting every occurrence of a duplicated line (the DataTrove /
+    NeMo-Curator convention).  Template spam repeats whole lines;
+    word-level metrics under-fire on it.
+
+    Returns DataFrame[id, n_lines int, dup_line_frac double,
+    dup_char_frac double, passes bool] — ``passes`` iff both fractions
+    are within bounds; a doc with no characters scores 0.0 on both
+    (emptiness is ``gopher_rules``'s job).  NULL text = empty doc.
+
+    Scale shape: one map-only codegen'd projection — lines never
+    explode, so nothing shuffles.  The duplicate scan is O(L²) in the
+    per-doc LINE count (JVM-local array lambdas, not rows); crawl docs
+    have hundreds of lines, where L² beats an explode+window shuffle
+    by orders of magnitude.  For pathological inputs dedupe first with
+    ``dedup.line_dedup`` (the exploded O(L) form).  The identical
+    nested-lambda expressions run in ANSI SQL, so the gate's oracle
+    replays every fraction and the verdict.
+    """
+    import re
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, F.lit(re.escape(sep)), -1)
+    n_lines = F.size(lines)
+    dup_lines = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda a, l: a + F.length(l))
+    tot_chars = chars(lines)
+    dup_line_frac = F.size(dup_lines).cast("double") / n_lines
+    dup_char_frac = F.when(
+        tot_chars > 0, chars(dup_lines).cast("double") / tot_chars
+    ).otherwise(F.lit(0.0))
+    out = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        n_lines.cast("int").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+    )
+    passes = ((F.col("dup_line_frac") <= max_dup_line_frac)
+              & (F.col("dup_char_frac") <= max_dup_char_frac))
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
 def char_entropy(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  min_entropy: float = 2.0) -> DataFrame:

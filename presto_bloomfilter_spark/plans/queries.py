@@ -2357,6 +2357,73 @@ FROM k WHERE rn = 1
 """
 
 
+_LR_LONG = "LONGDUP " * 8
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line repetition rules over line-shaped docs:
+    %3 docs gain a twice-repeated short line, %5 docs a twice-repeated
+    64-char line (drives the char fraction), so short docs overshoot
+    the 0.30/0.20 bounds and long ones absorb them — diverse verdicts
+    with no per-scale tuning.  FULL value oracle: DuckDB replays both
+    all-occurrence duplicate fractions and the verdict via the same
+    nested list lambdas."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        _chunked_lines_col(),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.array(F.lit("REPEAT twin line"),
+                       F.lit("REPEAT twin line"))).otherwise(empty),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.lit(_LR_LONG), F.lit(_LR_LONG))).otherwise(empty),
+    )
+    synth = d.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return text.line_repetition(synth)
+
+
+ORACLE_LINE_REPETITION = rf"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, {_WORDS_SQL} AS w
+  FROM documents
+),
+sy AS (
+  SELECT doc_id, id,
+         array_to_string(
+           {_LINES_SQL}
+           || (CASE WHEN doc_id % 3 = 0
+                 THEN ['REPEAT twin line', 'REPEAT twin line']
+                 ELSE CAST([] AS VARCHAR[]) END)
+           || (CASE WHEN doc_id % 5 = 0
+                 THEN ['{_LR_LONG}', '{_LR_LONG}']
+                 ELSE CAST([] AS VARCHAR[]) END),
+           chr(10)) AS t
+  FROM d
+),
+m AS (SELECT id, string_split(t, chr(10)) AS ls FROM sy),
+g AS (
+  SELECT id,
+         len(ls) AS n_lines,
+         list_filter(ls, x -> len(list_filter(ls, y -> y = x)) > 1) AS dl,
+         list_sum(list_transform(ls, x -> len(x))) AS tot
+  FROM m
+)
+SELECT id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(len(dl) AS DOUBLE) / n_lines AS dup_line_frac,
+       CASE WHEN tot > 0
+            THEN CAST(coalesce(list_sum(list_transform(dl, x -> len(x))),
+                               0) AS DOUBLE) / tot
+            ELSE 0.0 END AS dup_char_frac,
+       coalesce(CAST(len(dl) AS DOUBLE) / n_lines <= 0.3
+                AND (CASE WHEN tot > 0
+                     THEN CAST(coalesce(list_sum(list_transform(dl,
+                                x -> len(x))), 0) AS DOUBLE) / tot
+                     ELSE 0.0 END) <= 0.2, false) AS passes
+FROM g
+"""
+
+
 _GOPHER_MIN_WORDS = 50
 
 
@@ -4259,6 +4326,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "zorder_layout": q_zorder_layout,
     "dedup_normalized": q_dedup_normalized,
+    "line_repetition": q_line_repetition,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4372,6 +4440,7 @@ ORACLES = {
     "tfidf_topk": ORACLE_TFIDF_TOPK,
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     "dedup_normalized": ORACLE_DEDUP_NORMALIZED,
+    "line_repetition": ORACLE_LINE_REPETITION,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,

@@ -1005,3 +1005,41 @@ def test_drop_dups_normalized_plan_window_group_limit(spark):
     plan = (dedup.drop_dups_normalized(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "WindowGroupLimit" in plan and "Python" not in plan
+
+
+def test_line_repetition_fractions(spark):
+    df = spark.createDataFrame([
+        (1, "aaa\nbbb\naaa\nccc"),        # 'aaa' x2 of 4 lines, 6/12 chars
+        (2, "one\ntwo\nthree"),           # no dups
+        (3, ""),                          # empty doc
+        (4, None),                        # NULL doc
+    ], "doc_id long, text string")
+    out = {r.id: r for r in text.line_repetition(df).collect()}
+    r1 = out["1"]
+    assert r1.n_lines == 4 and abs(r1.dup_line_frac - 0.5) < 1e-12
+    assert abs(r1.dup_char_frac - 0.5) < 1e-12 and not r1.passes
+    assert out["2"].dup_line_frac == 0.0 and out["2"].passes
+    for k in ("3", "4"):
+        assert out[k].n_lines == 1 and out[k].dup_char_frac == 0.0
+        assert out[k].passes
+
+
+def test_line_repetition_char_frac_dominant(spark):
+    # short dup pair among many uniques: line frac passes (2/12),
+    # char frac fails (120/142 > 0.20)
+    longdup = "x" * 60
+    lines = [f"u{i}" for i in range(10)] + [longdup, longdup]
+    df = spark.createDataFrame([(1, "\n".join(lines))],
+                               "doc_id long, text string")
+    r = text.line_repetition(df).collect()[0]
+    assert abs(r.dup_line_frac - 2 / 12) < 1e-12
+    assert r.dup_char_frac > 0.8 and not r.passes
+
+
+def test_line_repetition_custom_sep_and_plan(spark):
+    df = spark.createDataFrame([(1, "a|b|a")], "doc_id long, text string")
+    r = text.line_repetition(df, sep="|").collect()[0]
+    assert r.n_lines == 3 and abs(r.dup_line_frac - 2 / 3) < 1e-12
+    plan = (text.line_repetition(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
