@@ -216,6 +216,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("dedup_normalized", lambda: dedup.drop_dups_normalized(
             docs).count()),
         ("zorder_layout", lambda: Q.q_zorder_layout(spark, sf_dir).count()),
+        ("key_skew", lambda: Q.q_key_skew(spark, sf_dir).count()),
+        ("url_dedup", lambda: Q.q_url_dedup(spark, sf_dir).count()),
     ]
 
     # INTERLEAVED sampling: one sweep runs every query once, N_SWEEPS

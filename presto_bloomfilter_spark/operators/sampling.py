@@ -84,6 +84,50 @@ def sample_mixture(
     return df.filter(bucket < rate)
 
 
+def plan_mixture(df: DataFrame, weights: dict[str, float],
+                 token_budget: int, source_col: str = "source",
+                 tokens_col: str = "n_tok") -> DataFrame:
+    """The planning half of mixture rebalancing: given target mixture
+    ``weights`` and a total ``token_budget``, compute the integer
+    percent rate per source that ``sample_mixture`` should apply.
+
+    Returns DataFrame[source, tokens long (available), weight double,
+    target_tokens long (floor(budget * weight)), rate_pct int
+    (min(100, (100 * target) div tokens) — a source smaller than its
+    target is kept whole, i.e. no upsampling), expected_tokens long
+    ((tokens * rate_pct) div 100)].  Sources absent from ``weights``
+    get weight 0 and rate 0; all arithmetic after the one double
+    multiply is integer division, so the plan is bit-identical in any
+    engine.
+
+    Scale shape: ONE groupBy(source) aggregate (map-side partials,
+    source-bounded shuffle), then a map-only projection over
+    |sources| rows.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    for src, wgt in weights.items():
+        if wgt < 0:
+            raise ValueError(f"weight for {src!r} must be >= 0, got {wgt}")
+    per = (df.groupBy(F.col(source_col).alias("source"))
+           .agg(F.sum(tokens_col).alias("tokens")))
+    wmap = F.create_map(*[lit for src, wgt in weights.items()
+                          for lit in (F.lit(src), F.lit(float(wgt)))])
+    return (per
+            .withColumn("weight", F.coalesce(wmap[F.col("source")],
+                                             F.lit(0.0)))
+            .withColumn("target_tokens",
+                        F.floor(F.lit(float(token_budget))
+                                * F.col("weight")).cast("long"))
+            .withColumn("rate_pct",
+                        F.when(F.col("tokens") > 0,
+                               F.least(F.lit(100), F.expr(
+                                   "(100 * target_tokens) div tokens")))
+                        .otherwise(F.lit(0)).cast("int"))
+            .withColumn("expected_tokens",
+                        F.expr("(tokens * rate_pct) div 100")))
+
+
 def bottom_k_sample(df: DataFrame, key_col: str, k: int,
                     priority_col: str = "pr") -> DataFrame:
     """The k rows with the smallest ``md5(key)`` — a deterministic,

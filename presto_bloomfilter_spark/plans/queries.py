@@ -2357,6 +2357,155 @@ FROM k WHERE rn = 1
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen dedup over in-band crawl URLs: each group of four docs
+    carries three variants of ONE logical URL (case-mangled scheme and
+    host, default :80 port, trailing slash, utm_* tracking params,
+    fragment) plus one distinct https URL — normalization collapses
+    the variants, keep-first retains the smallest doc_id.  FULL value
+    oracle: DuckDB replays every normalization step and the keep-first
+    rule."""
+    from presto_bloomfilter_spark.operators import web
+
+    d = load_table(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 4").cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+               F.lit("http://EXAMPLE.com:80/a/b/?utm_source=x&q="), g,
+               F.lit("#frag")))
+           .when(v == 1, F.concat(F.lit("HTTP://example.COM/a/b?q="), g))
+           .when(v == 2, F.concat(
+               F.lit("http://example.com/a/b/?q="), g,
+               F.lit("&utm_campaign=z")))
+           .otherwise(F.concat(F.lit("https://Other.ORG:443/p/"), g)))
+    synth = d.select("doc_id", url.alias("url"))
+    out = web.url_dedup(synth)
+    return out.select(F.col("doc_id").cast("string").alias("id"),
+                      "url", "norm_url", "domain")
+
+
+ORACLE_URL_DEDUP = r"""
+WITH sy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+                THEN 'http://EXAMPLE.com:80/a/b/?utm_source=x&q='
+                     || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+              WHEN doc_id % 4 = 1
+                THEN 'HTTP://example.COM/a/b?q='
+                     || CAST(doc_id // 4 AS VARCHAR)
+              WHEN doc_id % 4 = 2
+                THEN 'http://example.com/a/b/?q='
+                     || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=z'
+              ELSE 'https://Other.ORG:443/p/' || CAST(doc_id // 4 AS VARCHAR)
+         END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS a
+  FROM sy
+),
+q AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(a, '^([^/?#]*)', 1)) AS host0,
+         regexp_replace(regexp_replace(a, '^[^/?#]*', ''), '#.*$', '')
+           AS tail,
+         regexp_replace(lower(regexp_extract(a, '^([^/?#]*)', 1)),
+                        ':[0-9]+$', '') AS domain
+  FROM p
+),
+r AS (
+  SELECT doc_id, url, scheme, domain,
+         CASE WHEN scheme = 'http://'
+                THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https://'
+                THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         regexp_extract(tail, '^([^?]*)', 1) AS path0,
+         CASE WHEN contains(tail, '?')
+              THEN regexp_replace(tail, '^[^?]*\?', '')
+              ELSE '' END AS query
+  FROM q
+),
+s AS (
+  SELECT doc_id, url, domain,
+         scheme || host
+         || (CASE WHEN path0 <> '/'
+                  THEN regexp_replace(path0, '/$', '')
+                  ELSE path0 END)
+         || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS norm_url
+  FROM (
+    SELECT *,
+           array_to_string(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)=')), '&') AS kept
+    FROM r
+  )
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) AS rn
+  FROM s
+)
+SELECT CAST(doc_id AS VARCHAR) AS id, url, norm_url, domain
+FROM k WHERE rn = 1
+"""
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew triage over the events stream with a planted hot
+    key (every third event remapped to key 999999 — ~33% of all rows
+    on one key, the shape the salting escape hatches exist for): top-5
+    heavy keys + exact count-distribution statistics.  FULL value
+    oracle: DuckDB replays the count table, the histogram quantiles,
+    and every moment statistic."""
+    from presto_bloomfilter_spark.operators import diagnostics
+
+    e = load_table(spark, sf_dir, "events")
+    synth = e.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(999999))
+         .otherwise(F.col("user_id")).alias("k"))
+    return diagnostics.key_skew(synth, "k", k=5)
+
+
+ORACLE_KEY_SKEW = r"""
+WITH s AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 999999 ELSE user_id END AS k
+  FROM events
+),
+c AS (
+  SELECT CAST(k AS VARCHAR) AS key, count(*) AS cnt
+  FROM s WHERE k IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         max(cnt) AS max_cnt, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM c
+),
+h AS (SELECT cnt, count(*) AS nk FROM c GROUP BY cnt),
+cu AS (SELECT cnt, sum(nk) OVER (ORDER BY cnt) AS cum FROM h),
+p50 AS (SELECT min(cnt) AS p50_cnt FROM cu, t WHERE cum >= ceil(0.5 * n_keys)),
+p99 AS (SELECT min(cnt) AS p99_cnt FROM cu, t WHERE cum >= ceil(0.99 * n_keys)),
+top AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+  FROM c ORDER BY cnt DESC, key LIMIT 5
+)
+SELECT CAST(rank AS INTEGER) AS rank, key, cnt,
+       CAST(cnt AS DOUBLE) / t.n_rows AS share,
+       t.n_rows, t.n_keys,
+       CAST(t.max_cnt AS DOUBLE) / t.n_rows AS max_share,
+       p50.p50_cnt, p99.p99_cnt,
+       sqrt(CAST(t.sum_sq AS DOUBLE) / t.n_keys
+            - (CAST(t.n_rows AS DOUBLE) / t.n_keys)
+              * (CAST(t.n_rows AS DOUBLE) / t.n_keys))
+         / (CAST(t.n_rows AS DOUBLE) / t.n_keys) AS cv,
+       CAST(t.max_cnt AS DOUBLE)
+         / (CAST(t.n_rows AS DOUBLE) / t.n_keys) AS skew_ratio
+FROM top, t, p50, p99
+"""
+
+
 _LR_LONG = "LONGDUP " * 8
 
 
@@ -2756,6 +2905,52 @@ SELECT doc_id AS id, source FROM {_TOKENS_SQL}
 WHERE CAST(('0x' || substr(md5(doc_id), 1, 8)) AS BIGINT) % 100 <
       CASE source WHEN 'web' THEN 5 WHEN 'books' THEN 25
                   WHEN 'code' THEN 50 WHEN 'wiki' THEN 75 ELSE 0 END
+"""
+
+
+_PLAN_WEIGHTS = {"web": 0.4, "books": 0.3, "code": 0.2, "wiki": 0.1}
+_PLAN_BUDGET = 500_000
+
+
+def q_plan_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning over the skewed tokens corpus: target weights
+    for four sources (any fifth source exercises the absent-weight →
+    rate-0 path), 500k-token budget; integer-division rates cap at 100
+    (no upsampling) at every scale.  FULL value oracle: DuckDB replays
+    the one double multiply and all integer arithmetic — the oracle
+    CASTs its literals to DOUBLE so both engines floor the identical
+    product."""
+    tokens = load_tokens(spark, sf_dir)
+    return sampling.plan_mixture(tokens, _PLAN_WEIGHTS, _PLAN_BUDGET)
+
+
+_PLAN_W_SQL = " ".join(
+    f"WHEN '{s}' THEN CAST({w} AS DOUBLE)" for s, w in _PLAN_WEIGHTS.items())
+
+ORACLE_PLAN_MIXTURE = f"""
+WITH per AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM {_TOKENS_SQL} GROUP BY source
+),
+w AS (
+  SELECT source, tokens,
+         CASE source {_PLAN_W_SQL} ELSE CAST(0 AS DOUBLE) END AS weight
+  FROM per
+),
+t AS (
+  SELECT *, CAST(floor(CAST({_PLAN_BUDGET} AS DOUBLE) * weight) AS BIGINT)
+              AS target_tokens
+  FROM w
+),
+r AS (
+  SELECT *, CAST(CASE WHEN tokens > 0
+                      THEN least(100, (100 * target_tokens) // tokens)
+                      ELSE 0 END AS INTEGER) AS rate_pct
+  FROM t
+)
+SELECT source, tokens, weight, target_tokens, rate_pct,
+       CAST((tokens * rate_pct) // 100 AS BIGINT) AS expected_tokens
+FROM r
 """
 
 
@@ -4327,6 +4522,9 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "dedup_normalized": q_dedup_normalized,
     "line_repetition": q_line_repetition,
+    "key_skew": q_key_skew,
+    "url_dedup": q_url_dedup,
+    "plan_mixture": q_plan_mixture,
     "line_dedup": q_line_dedup,
     "gopher_rules": q_gopher_rules,
     "substring_mem": q_substring_mem,
@@ -4441,6 +4639,9 @@ ORACLES = {
     "zorder_layout": ORACLE_ZORDER_LAYOUT,
     "dedup_normalized": ORACLE_DEDUP_NORMALIZED,
     "line_repetition": ORACLE_LINE_REPETITION,
+    "key_skew": ORACLE_KEY_SKEW,
+    "url_dedup": ORACLE_URL_DEDUP,
+    "plan_mixture": ORACLE_PLAN_MIXTURE,
     "line_dedup": ORACLE_LINE_DEDUP,
     "gopher_rules": ORACLE_GOPHER_RULES,
     "substring_mem": ORACLE_SUBSTRING_MEM,

@@ -482,3 +482,42 @@ def test_pack_rejects_null_token_elements(spark):
         [("a", [1, None, 3])], "doc_id string, tokens array<int>")
     with pytest.raises(Exception, match="NULL token element"):
         packing.pack_concat_chunks(df, 4).collect()
+
+
+def test_plan_mixture_exact_plan(spark):
+    rows = ([("web", 1000)] * 100 + [("books", 500)] * 60
+            + [("tiny", 100)] * 5)
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    plan = {r.source: r for r in sampling.plan_mixture(
+        df, {"web": 0.5, "books": 0.4, "tiny": 0.1},
+        token_budget=50_000).collect()}
+    web = plan["web"]          # 100k tokens, target 25k -> 25%
+    assert web.tokens == 100_000 and web.target_tokens == 25_000
+    assert web.rate_pct == 25 and web.expected_tokens == 25_000
+    books = plan["books"]      # 30k tokens, target 20k -> 66%
+    assert books.rate_pct == (100 * 20_000) // 30_000 == 66
+    assert books.expected_tokens == (30_000 * 66) // 100
+    tiny = plan["tiny"]        # 500 tokens < 5k target -> capped at 100
+    assert tiny.rate_pct == 100 and tiny.expected_tokens == 500
+
+
+def test_plan_mixture_absent_source_and_feed_forward(spark):
+    df = spark.createDataFrame(
+        [("web", 10), ("junk", 10)], "source string, n_tok long")
+    plan = {r.source: r for r in sampling.plan_mixture(
+        df, {"web": 1.0}, token_budget=5).collect()}
+    assert plan["junk"].weight == 0.0 and plan["junk"].rate_pct == 0
+    # the plan feeds sample_mixture directly
+    rates = {r.source: r.rate_pct for r in plan.values()}
+    kept = sampling.sample_mixture(
+        df.withColumn("doc_id", F.monotonically_increasing_id()),
+        rates).collect()
+    assert all(r.source == "web" for r in kept)
+
+
+def test_plan_mixture_validation(spark):
+    df = spark.createDataFrame([("a", 1)], "source string, n_tok long")
+    with pytest.raises(ValueError, match="token_budget"):
+        sampling.plan_mixture(df, {"a": 0.5}, token_budget=-1)
+    with pytest.raises(ValueError, match="weight"):
+        sampling.plan_mixture(df, {"a": -0.5}, token_budget=10)
