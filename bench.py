@@ -141,6 +141,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             tokens, agg.cms_over_tokens("tokens", eps=1e-4), target_partials=CPUS)),
         ("kll_ntok", lambda: agg.aggregate_sketch(
             tokens, agg.kll_over_column("n_tok"), target_partials=CPUS)),
+        ("ddsketch_ntok", lambda: agg.aggregate_sketch(
+            tokens, agg.ddsketch_over_column("n_tok"), target_partials=CPUS)),
+        ("countsketch_doc_ids", lambda: agg.aggregate_sketch(
+            tokens.select("doc_id"), agg.countsketch_over_strings("doc_id"),
+            target_partials=CPUS)),
         ("moments_ntok_by_source", lambda: agg.grouped_sketch(
             tokens.selectExpr("source", "CAST(n_tok AS DOUBLE) AS v"),
             "source", agg.moments_over_column("v", 0.0, 1024.0)).collect()),

@@ -34,6 +34,8 @@ from presto_bloomfilter_spark.functions.tdigest import TDigest
 from presto_bloomfilter_spark.functions.theta import ThetaSketch
 from presto_bloomfilter_spark.functions.moments import MomentsSketch
 from presto_bloomfilter_spark.functions.mg import MisraGries
+from presto_bloomfilter_spark.functions.ddsketch import DDSketch
+from presto_bloomfilter_spark.functions.countsketch import CountSketch
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -49,6 +51,8 @@ __all__ = [
     "ThetaSketch",
     "MomentsSketch",
     "MisraGries",
+    "DDSketch",
+    "CountSketch",
     "sketch_from_bytes",
     "compat",
 ]

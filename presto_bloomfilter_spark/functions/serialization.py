@@ -47,6 +47,8 @@ KIND_MG = 9
 KIND_SBBF = 10
 KIND_CBF = 11
 KIND_XOR = 12
+KIND_DDSKETCH = 13
+KIND_COUNTSKETCH = 14
 
 _REGISTRY: dict[int, type] = {}
 

@@ -373,6 +373,30 @@ def cms_over_ints(col: str, eps: float = 1e-4, delta: float = 0.01) -> SketchSpe
     )
 
 
+def countsketch_over_strings(col: str, width: int = 4096, depth: int = 7) -> SketchSpec:
+    """Count-Sketch (signed AMS, functions/countsketch.py) over a string
+    column — the UNBIASED frequency/F2/join-size sibling of
+    cms_over_strings with a lossless elementwise-add merge."""
+    from presto_bloomfilter_spark.functions.countsketch import CountSketch
+
+    return SketchSpec(
+        (col,),
+        lambda: CountSketch(width, depth),
+        lambda sk, b: sk.add_strings(_col_strings(b, col)),
+    )
+
+
+def countsketch_over_ints(col: str, width: int = 4096, depth: int = 7) -> SketchSpec:
+    """Count-Sketch over a scalar integer column (join keys, token ids)."""
+    from presto_bloomfilter_spark.functions.countsketch import CountSketch
+
+    return SketchSpec(
+        (col,),
+        lambda: CountSketch(width, depth),
+        lambda sk, b: sk.add_ints(_col_ints(b, col)),
+    )
+
+
 def token_family_over_tokens(
     col: str = "tokens",
     bloom_n: int = 1_000_000,
@@ -463,6 +487,23 @@ def moments_over_column(col: str, lo: float, hi: float,
     return SketchSpec(
         (col,),
         lambda: MomentsSketch(lo, hi, k, clamp=clamp, log=log),
+        lambda sk, b: sk.add(_col_floats(b, col)),
+    )
+
+
+def ddsketch_over_column(col: str, alpha: float = 0.01,
+                         max_bins: int = 2048) -> SketchSpec:
+    """DDSketch quantiles (Masson et al. VLDB 2019) — the RELATIVE-error
+    sibling of kll/tdigest_over_column: every estimate of a positive
+    quantile is within ``alpha`` relative error, and the merge is
+    LOSSLESS bucket-count addition, so estimates are byte-identical
+    under any merge tree / task-retry order — the strongest
+    merge-associativity member of the quantile family."""
+    from presto_bloomfilter_spark.functions.ddsketch import DDSketch
+
+    return SketchSpec(
+        (col,),
+        lambda: DDSketch(alpha, max_bins),
         lambda sk, b: sk.add(_col_floats(b, col)),
     )
 

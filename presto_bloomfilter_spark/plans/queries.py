@@ -520,6 +520,89 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch / AMS second-moment estimation (functions/
+    countsketch.py): per-source signed sketches are built with one
+    grouped tree-merge pass, the GLOBAL sketch is their lossless
+    elementwise-add merge (byte-exact, any order), and three published
+    bounds are asserted against exact distributed aggregates —
+    corpus-wide F2 = Σ f_w² (self-join size), and the word-multiset
+    equi-join size Σ f_a·f_b between the two lexicographically first
+    sources via the unbiased inner-product estimator.  Exact values are
+    value-checked against DuckDB; the estimates are asserted within
+    4σ of the Thorup-Zhang variance envelopes."""
+    import numpy as np
+
+    from presto_bloomfilter_spark.functions.countsketch import CountSketch
+    from presto_bloomfilter_spark.operators.contamination import split_words
+
+    width = 4096
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(split_words("text")).alias("word"))
+
+    per_src = agg.grouped_sketch(
+        words, "source", agg.countsketch_over_strings("word", width=width))
+    sks = {r[0]: sketch_from_bytes(r.sketch) for r in per_src.collect()}
+    a, b = sorted(sks)[:2]
+    merged = None
+    for s in sorted(sks):
+        merged = sks[s].copy() if merged is None else merged.merge(sks[s])
+    f2_est = merged.f2()
+    join_est = sks[a].inner_product(sks[b])
+
+    # exact distributed aggregates (one word-count shuffle, reused)
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    counts.persist()
+    glob = (counts.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+            .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect())
+    f2_exact = int(glob[0]["f2"])
+    per = {
+        r["source"]: int(r["f2"])
+        for r in counts.groupBy("source")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2")).collect()
+    }
+    ca = counts.filter(F.col("source") == a).select("word", F.col("cnt").alias("ca"))
+    cb = counts.filter(F.col("source") == b).select("word", F.col("cnt").alias("cb"))
+    join_exact = int(
+        ca.join(cb, "word").agg(F.sum(F.col("ca") * F.col("cb")).alias("j"))
+        .collect()[0]["j"])
+    counts.unpersist()
+
+    f2_ok = abs(f2_est - f2_exact) <= 4.0 * np.sqrt(2.0 / width) * f2_exact
+    join_ok = abs(join_est - join_exact) <= 4.0 * np.sqrt(
+        2.0 * per[a] * per[b] / width)
+    return spark.createDataFrame(
+        [(f2_exact, bool(f2_ok), f"{a}|{b}", join_exact, bool(join_ok))],
+        "f2_exact bigint, f2_ok boolean, join_pair string, "
+        "join_exact bigint, join_ok boolean",
+    )
+
+
+ORACLE_COUNTSKETCH_F2 = r"""
+WITH w AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT source, word, COUNT(*) AS cnt FROM w GROUP BY source, word),
+g AS (SELECT word, SUM(cnt) AS cnt FROM c GROUP BY word),
+f2 AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM g),
+pair AS (
+  SELECT MIN(source) AS a,
+         MIN(CASE WHEN source > (SELECT MIN(source) FROM c) THEN source END) AS b
+  FROM c
+),
+j AS (
+  SELECT CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS join_exact
+  FROM c ca JOIN c cb ON ca.word = cb.word, pair
+  WHERE ca.source = pair.a AND cb.source = pair.b
+)
+SELECT f2.f2_exact, TRUE AS f2_ok, pair.a || '|' || pair.b AS join_pair,
+       j.join_exact, TRUE AS join_ok
+FROM f2, pair, j
+"""
+
+
 ORACLE_MG_TOP_WORDS = """
 SELECT item, cnt FROM (
   SELECT w AS item, COUNT(*) AS cnt,
@@ -641,6 +724,39 @@ def q_tdigest_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TDIGEST_NTOK_QUANTILES = f"""
 SELECT source, TRUE AS p50_ok, TRUE AS p99_ok FROM {_TOKENS_SQL} GROUP BY source
+"""
+
+
+def q_ddsketch_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n_tok p50/p90 via DDSketch (Masson et al. VLDB 2019)
+    — the RELATIVE-error member of the quantile family, and the only
+    one whose merge is lossless bucket addition (byte-identical under
+    any merge tree).  The guarantee |est - x_q| <= alpha·x_q implies
+    two exact distributed checks against the raw data: the empirical
+    CDF at est/(1-alpha) is >= q, and the strict CDF at est/(1+alpha)
+    is <= q + 1/n (rank discreteness).  Both are asserted per source."""
+    tokens = load_tokens(spark, sf_dir)
+    alpha = 0.01
+    per_src = agg.grouped_sketch(
+        tokens, "source", agg.ddsketch_over_column("n_tok", alpha=alpha))
+    rows = []
+    for r in per_src.collect():
+        sk = sketch_from_bytes(r.sketch)
+        rows.append((r[0], float(sk.quantile(0.5)), float(sk.quantile(0.9))))
+    lit = spark.createDataFrame(rows, "source string, p50 double, p90 double")
+    joined = tokens.join(F.broadcast(lit), "source")
+    a = alpha + 2e-4  # float slack on the published bound
+    checks = []
+    for q, col in ((0.5, "p50"), (0.9, "p90")):
+        lo_ok = F.avg((F.col("n_tok") <= F.col(col) / (1 - a)).cast("double")) >= F.lit(q)
+        hi_ok = F.avg((F.col("n_tok") < F.col(col) / (1 + a)).cast("double")) <= (
+            F.lit(q) + 1.0 / F.count(F.lit(1)))
+        checks.append((lo_ok & hi_ok).alias(f"{col}_ok"))
+    return joined.groupBy("source").agg(*checks)
+
+
+ORACLE_DDSKETCH_NTOK_QUANTILES = f"""
+SELECT source, TRUE AS p50_ok, TRUE AS p90_ok FROM {_TOKENS_SQL} GROUP BY source
 """
 
 
@@ -4516,6 +4632,8 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "countsketch_f2": q_countsketch_f2,
+    "ddsketch_ntok_quantiles": q_ddsketch_ntok_quantiles,
     "c4_rules": q_c4_rules,
     "char_entropy": q_char_entropy,
     "tfidf_topk": q_tfidf_topk,
@@ -4633,6 +4751,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "countsketch_f2": ORACLE_COUNTSKETCH_F2,
+    "ddsketch_ntok_quantiles": ORACLE_DDSKETCH_NTOK_QUANTILES,
     "c4_rules": ORACLE_C4_RULES,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "tfidf_topk": ORACLE_TFIDF_TOPK,
