@@ -216,6 +216,12 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             "passes").count()),
         ("char_entropy", lambda: _text.char_entropy(docs).agg(
             F.sum("entropy")).collect()),
+        ("ngram_novelty", lambda: _text.ngram_novelty(
+            docs.filter("source <> 'src0'"), docs.filter("source = 'src0'")
+        ).agg(F.sum("novel_grams")).collect()),
+        ("source_datacard", lambda: stats.source_datacard(docs).collect()),
+        ("boilerplate_lines", lambda: _text.boilerplate_lines(docs).agg(
+            F.sum("n_kept")).collect()),
         ("tfidf_topk", lambda: ranking.tfidf_topk(
             docs, k=3, min_df=2).count()),
         ("dedup_normalized", lambda: dedup.drop_dups_normalized(

@@ -290,3 +290,77 @@ def source_pairwise_jsd(
         )
     )
     return out
+
+
+def source_datacard(df: DataFrame, text_col: str = "text",
+                    source_col: str = "source", lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus data card — the one-page dataset summary a
+    curation pipeline publishes next to a training mixture: document /
+    word / char volumes, length distribution (min, exact histogram
+    median, max), exact-duplicate counts, and language composition
+    (distinct languages + modal language with a deterministic
+    lexicographic tie-break).
+
+    Everything is an exact integer or string (value-oracle friendly).
+    100 TB posture: all shuffles key on ``source`` (tiny cardinality,
+    partial aggregation map-side); the median never sorts rows — it is
+    read off a (source, n_chars) distinct-VALUE histogram (bounded by
+    value cardinality, the key_skew pattern); exact-dup counting is
+    countDistinct over md5 digests, not a self-join.
+
+    Returns one row per source:
+    (source, n_docs, n_words, n_chars_sum, n_chars_min, p50_chars,
+     n_chars_max, dup_docs, n_langs, top_lang).
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(words).alias("n_words"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    base.persist()
+    try:
+        core = base.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words_sum"),
+            F.sum(F.col("n_chars").cast("long")).alias("n_chars_sum"),
+            F.min("n_chars").alias("n_chars_min"),
+            F.max("n_chars").alias("n_chars_max"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("dup_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        # exact median of n_chars off the distinct-value histogram:
+        # smallest value whose cumulative doc count reaches ceil(n/2)
+        hist = base.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+        wcum = Window.partitionBy("source").orderBy("n_chars") \
+                     .rowsBetween(Window.unboundedPreceding, 0)
+        med = (
+            hist.withColumn("cum", F.sum("c").over(wcum))
+            .join(base.groupBy("source").agg(F.count(F.lit(1)).alias("n")), "source")
+            .filter(F.col("cum") >= F.ceil(F.col("n") / 2))
+            .groupBy("source").agg(F.min("n_chars").alias("p50_chars"))
+        )
+        # modal language, ties broken lexicographically
+        lrank = Window.partitionBy("source").orderBy(
+            F.desc("lc"), F.asc("lang"))
+        top_lang = (
+            base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("lc"))
+            .withColumn("rn", F.row_number().over(lrank))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("lang").alias("top_lang"))
+        )
+        out = (
+            core.join(med, "source").join(top_lang, "source")
+            .select("source", "n_docs",
+                    F.col("n_words_sum").alias("n_words"),
+                    "n_chars_sum", "n_chars_min", "p50_chars", "n_chars_max",
+                    "dup_docs", "n_langs", "top_lang")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+    return out

@@ -364,6 +364,119 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
 
 
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", source_col: str = "source",
+                      min_docs: int = 2, frac: float = 0.3,
+                      sep: str = "\n") -> DataFrame:
+    """Source-level boilerplate removal — the nav/footer/cookie-banner
+    cleaner: a line is boilerplate within a source when it occurs in at
+    least ``min_docs`` distinct documents AND in at least ``frac`` of
+    the source's documents; boilerplate lines are dropped and each
+    document reassembled from its surviving lines in original order.
+
+    Complements line_dedup (GLOBAL first-occurrence exact dedup): here
+    repetition is measured per source against a document-frequency
+    threshold, which is how template chrome is actually detected —
+    a footer is boilerplate because MOST docs of the domain carry it,
+    not because it appeared once before.
+
+    Returns DataFrame[id, source, text, n_lines int, n_kept int].
+    Byte-exact line identity (no normalization), so the oracle replays
+    the contract verbatim; text = '' when every line was boilerplate.
+
+    Scale shape: posexplode → one shuffle keyed on (source, md5(line))
+    for distinct-doc counts → the line stream joins that df table on
+    the SAME key (co-partitioned, no extra exchange) → per-source doc
+    totals arrive by broadcast → one shuffle back on doc id for
+    ordered reassembly.  O(total lines), no Python.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), F.lit(re.escape(sep)), -1))
+         .alias("pos", "line"),
+    ).withColumn("__lh", F.md5(F.col("line")))
+    line_df = lines.groupBy("source", "__lh").agg(
+        F.countDistinct("id").alias("__df"))
+    n_docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.countDistinct(F.col(id_col).cast("string")).alias("__nd"))
+    marked = (
+        lines.join(line_df, ["source", "__lh"])
+        .join(F.broadcast(n_docs), "source")
+        .withColumn(
+            "__keep",
+            ~((F.col("__df") >= min_docs)
+              & (F.col("__df") >= F.lit(frac) * F.col("__nd"))),
+        )
+    )
+    assembled = (marked.groupBy("id", "source")
+                 .agg(F.array_sort(F.collect_list(
+                          F.when(F.col("__keep"),
+                                 F.struct("pos", "line")))).alias("ls"),
+                      F.count("*").alias("n_lines"),
+                      F.sum(F.col("__keep").cast("int")).alias("n_kept")))
+    return assembled.select(
+        "id", "source",
+        F.concat_ws(sep, F.transform(F.col("ls"), lambda s: s["line"]))
+         .alias("text"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+    )
+
+
+def ngram_novelty(df: DataFrame, ref_df: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of the document's DISTINCT word n-grams that occur nowhere
+    in the reference corpus.  The scoring dual of contamination
+    (contamination.py flags overlap; this measures freshness) — the
+    standard memorization / near-duplication-pressure signal when
+    curating new training data against an already-trained corpus.
+
+    Returns (id, n_grams, novel_grams, novelty) where novelty is the
+    single division novel_grams / n_grams (bit-exact across engines).
+    Documents shorter than ``n`` words contribute their whole word
+    sequence as one gram, mirroring ngram_jaccard_pairs.
+
+    Pure Catalyst: gram construction = split → sliding concat →
+    array_distinct (whole-stage codegen); the reference side is
+    dedup'd to distinct grams BEFORE the join, so the join's build
+    side is |unique ref grams|, not |ref corpus|.  100 TB posture:
+    two shuffles keyed on gram (dedup + join — uniform except
+    stop-gram hotspots; AQE broadcasts the deduped side when small)
+    plus one keyed on doc id for the final per-doc count.  Word
+    semantics = repo-wide str.split().
+    """
+    def grams_expr():
+        words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        return F.array_distinct(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", words)))
+        )
+
+    doc_grams = df.select(
+        F.col(id_col).cast("string").alias("id"), F.explode(grams_expr()).alias("g"))
+    ref_grams = ref_df.select(F.explode(grams_expr()).alias("g")).distinct() \
+                      .withColumn("__seen", F.lit(1))
+    return (
+        doc_grams.join(ref_grams, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__seen").isNull()).cast("long")).alias("novel_grams"),
+        )
+        .withColumn("novelty", F.col("novel_grams") / F.col("n_grams"))
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, percent: int) -> DataFrame:
     """Deterministic hash sampling: keep rows whose md5(key) bucket
     (first 8 hex digits mod 100) falls below ``percent``.

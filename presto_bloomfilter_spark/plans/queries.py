@@ -520,6 +520,171 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level boilerplate removal (operators/text.py:
+    boilerplate_lines) over decorated documents: every doc gains a
+    per-source FOOTER line (df = 100% of the source's docs → removed),
+    even doc_ids gain a PROMO line (df = 50% ≥ the 30% threshold →
+    removed), odd doc_ids gain a doc-unique line (df = 1 → kept).
+    FULL value oracle: DuckDB replays the decoration, the per-(source,
+    line) distinct-doc counts, both thresholds, and the ordered
+    reassembly of the cleaned text."""
+    from presto_bloomfilter_spark.operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("PROMO "), F.col("source")))
+             .otherwise(F.concat(F.lit("uniq-"), F.col("doc_id").cast("string"))),
+            F.col("text"),
+            F.concat(F.lit("FOOTER "), F.col("source")),
+        ).alias("text"),
+    )
+    return _text.boilerplate_lines(synth, min_docs=2, frac=0.3)
+
+
+ORACLE_BOILERPLATE_LINES = r"""
+WITH synth AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0 THEN 'PROMO ' || source
+               ELSE 'uniq-' || CAST(doc_id AS VARCHAR) END)
+         || chr(10) || text || chr(10) || 'FOOTER ' || source AS text
+  FROM documents
+),
+l AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, source,
+         CAST(i AS BIGINT) AS pos, ls[i] AS line
+  FROM (SELECT *, string_split(text, chr(10)) AS ls FROM synth),
+       UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+ldf AS (
+  SELECT source, line, COUNT(DISTINCT id) AS df
+  FROM l GROUP BY source, line
+),
+nd AS (SELECT source, COUNT(DISTINCT id) AS n_docs
+       FROM l GROUP BY source),
+m AS (
+  SELECT l.id, l.source, l.pos, l.line,
+         NOT (ldf.df >= 2 AND ldf.df >= 0.3 * nd.n_docs) AS keep
+  FROM l
+  JOIN ldf ON l.source = ldf.source AND l.line = ldf.line
+  JOIN nd ON l.source = nd.source
+)
+SELECT id, source,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+FROM m GROUP BY id, source
+"""
+
+
+def q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card over documents (operators/stats.py:
+    source_datacard) — FULL value oracle: DuckDB replays volumes,
+    histogram median, md5 dup counts, and the modal-language
+    tie-break."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _stats.source_datacard(docs)
+
+
+ORACLE_SOURCE_DATACARD = r"""
+WITH b AS (
+  SELECT source, lang,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+         length(text) AS n_chars, md5(text) AS h
+  FROM documents
+),
+core AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_words,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+         MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max,
+         COUNT(*) - COUNT(DISTINCT h) AS dup_docs,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM b GROUP BY source
+),
+hist AS (SELECT source, n_chars, COUNT(*) AS c FROM b GROUP BY source, n_chars),
+cum AS (
+  SELECT source, n_chars,
+         SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+  FROM hist
+),
+med AS (
+  SELECT cum.source, MIN(cum.n_chars) AS p50_chars
+  FROM cum JOIN core ON cum.source = core.source
+  WHERE cum.cum >= ceil(core.n_docs / 2.0)
+  GROUP BY cum.source
+),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM b GROUP BY source, lang
+  ) WHERE rn = 1
+)
+SELECT core.source, core.n_docs, core.n_words, core.n_chars_sum,
+       core.n_chars_min, med.p50_chars, core.n_chars_max,
+       core.dup_docs, core.n_langs, top.top_lang
+FROM core
+JOIN med ON core.source = med.source
+JOIN top ON core.source = top.source
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty of every non-reference document against
+    the lexicographically-first source as the reference corpus
+    (operators/text.py:ngram_novelty) — FULL value oracle: DuckDB
+    replays gram construction (sliding 3-gram concat, short-doc
+    fallback, per-doc distinct), the anti-join novelty counts, and the
+    single-division score."""
+    from presto_bloomfilter_spark.operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.agg(F.min("source")).collect()[0][0]
+    ref = docs.filter(F.col("source") == first)
+    rest = docs.filter(F.col("source") != first)
+    return _text.ngram_novelty(rest, ref, n=3)
+
+
+ORACLE_NGRAM_NOVELTY = r"""
+WITH m AS (SELECT MIN(source) AS s FROM documents),
+w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> array_to_string(list_slice(words, i, i + 2), ' '))
+         ELSE [COALESCE(array_to_string(words, ' '), '')] END) AS grams
+  FROM w
+),
+ref AS (
+  SELECT DISTINCT UNNEST(grams) AS gr FROM g, m WHERE g.source = m.s
+),
+doc AS (
+  SELECT doc_id, UNNEST(grams) AS gr FROM g, m WHERE g.source <> m.s
+)
+SELECT CAST(doc.doc_id AS VARCHAR) AS id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN ref.gr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+       CAST(SUM(CASE WHEN ref.gr IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM doc LEFT JOIN ref ON doc.gr = ref.gr
+GROUP BY doc.doc_id
+"""
+
+
 def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Sketch / AMS second-moment estimation (functions/
     countsketch.py): per-source signed sketches are built with one
@@ -4632,6 +4797,9 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "boilerplate_lines": q_boilerplate_lines,
+    "source_datacard": q_source_datacard,
+    "ngram_novelty": q_ngram_novelty,
     "countsketch_f2": q_countsketch_f2,
     "ddsketch_ntok_quantiles": q_ddsketch_ntok_quantiles,
     "c4_rules": q_c4_rules,
@@ -4751,6 +4919,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
+    "source_datacard": ORACLE_SOURCE_DATACARD,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "countsketch_f2": ORACLE_COUNTSKETCH_F2,
     "ddsketch_ntok_quantiles": ORACLE_DDSKETCH_NTOK_QUANTILES,
     "c4_rules": ORACLE_C4_RULES,

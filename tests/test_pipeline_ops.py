@@ -1043,3 +1043,92 @@ def test_line_repetition_custom_sep_and_plan(spark):
     plan = (text.line_repetition(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_ngram_novelty_constructed(spark):
+    """Constructed corpus with known gram overlap: ref holds 'a b c d';
+    doc1 repeats it exactly (novelty 0), doc2 is fully fresh (novelty 1),
+    doc3 shares one of its three distinct grams, doc4 is shorter than n
+    (whole-text gram, unseen)."""
+    from presto_bloomfilter_spark.operators.text import ngram_novelty
+
+    ref = spark.createDataFrame([("r1", "a b c d")], "doc_id string, text string")
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d"),          # grams {a b c, b c d} both seen
+            ("d2", "x y z w"),          # {x y z, y z w} none seen
+            ("d3", "a b c q r"),        # {a b c, b c q, c q r} one seen
+            ("d4", "a b"),              # short: gram "a b" unseen
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["id"]: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert out["d1"]["novel_grams"] == 0 and out["d1"]["novelty"] == 0.0
+    assert out["d2"]["novel_grams"] == 2 and out["d2"]["novelty"] == 1.0
+    assert out["d3"]["n_grams"] == 3 and out["d3"]["novel_grams"] == 2
+    assert out["d4"]["n_grams"] == 1 and out["d4"]["novelty"] == 1.0
+
+
+def test_ngram_novelty_dedups_grams_within_doc(spark):
+    from presto_bloomfilter_spark.operators.text import ngram_novelty
+
+    ref = spark.createDataFrame([("r1", "p q r")], "doc_id string, text string")
+    docs = spark.createDataFrame(
+        [("d1", "p q r p q r p q r")], "doc_id string, text string")
+    row = ngram_novelty(docs, ref, n=3).collect()[0]
+    # 7 raw grams but distinct set is {p q r, q r p, r p q}; only 'p q r' seen
+    assert row["n_grams"] == 3
+    assert row["novel_grams"] == 2
+
+
+def test_source_datacard_constructed(spark):
+    """Known volumes, duplicate docs, language mix, and an even-count
+    median (lower-median convention: smallest value with cum >= n/2)."""
+    from presto_bloomfilter_spark.operators.stats import source_datacard
+
+    rows = [
+        ("s1", "en", "a b"),      # 3 chars, 2 words
+        ("s1", "en", "a b"),      # exact dup of the first
+        ("s1", "de", "c d e f"),  # 7 chars, 4 words
+        ("s1", "de", "ghi"),      # 3 chars, 1 word
+        ("s2", "fr", "xyz"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    out = {r["source"]: r for r in source_datacard(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 4 and s1["n_words"] == 9
+    assert s1["n_chars_sum"] == 3 + 3 + 7 + 3
+    assert s1["n_chars_min"] == 3 and s1["n_chars_max"] == 7
+    # histogram of n_chars {3:3, 7:1}; ceil(4/2)=2 -> cum at 3 is 3 >= 2
+    assert s1["p50_chars"] == 3
+    assert s1["dup_docs"] == 1
+    assert s1["n_langs"] == 2
+    # tie en=2 vs de=2 -> lexicographic min 'de'
+    assert s1["top_lang"] == "de"
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["dup_docs"] == 0 and s2["top_lang"] == "fr"
+
+
+def test_boilerplate_lines_thresholds_and_reassembly(spark):
+    """Footer in 3/3 docs removed; promo in 2/3 (>= frac AND >= min_docs)
+    removed; unique body lines kept in original order; a doc of pure
+    boilerplate survives with text=''."""
+    from presto_bloomfilter_spark.operators.text import boilerplate_lines
+
+    rows = [
+        ("1", "s", "body one\nPROMO\nFOOTER"),
+        ("2", "s", "body two a\nbody two b\nPROMO\nFOOTER"),
+        ("3", "s", "body three\nFOOTER"),
+        ("4", "s", "FOOTER"),
+        ("5", "t", "FOOTER"),  # other source: df=1 there, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["id"]: r for r in
+           boilerplate_lines(df, min_docs=2, frac=0.4).collect()}
+    assert out["1"]["text"] == "body one"
+    assert out["2"]["text"] == "body two a\nbody two b"
+    assert out["2"]["n_lines"] == 4 and out["2"]["n_kept"] == 2
+    assert out["3"]["text"] == "body three"
+    assert out["4"]["text"] == "" and out["4"]["n_kept"] == 0
+    # df below min_docs in source t -> FOOTER kept there
+    assert out["5"]["text"] == "FOOTER"
