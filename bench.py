@@ -146,6 +146,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("countsketch_doc_ids", lambda: agg.aggregate_sketch(
             tokens.select("doc_id"), agg.countsketch_over_strings("doc_id"),
             target_partials=CPUS)),
+        ("fd_embedding_gram", lambda: agg.aggregate_sketch(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select("embedding"),
+            agg.fd_over_vectors("embedding", 64, ell=32),
+            target_partials=CPUS)),
         ("moments_ntok_by_source", lambda: agg.grouped_sketch(
             tokens.selectExpr("source", "CAST(n_tok AS DOUBLE) AS v"),
             "source", agg.moments_over_column("v", 0.0, 1024.0)).collect()),
@@ -222,6 +227,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("source_datacard", lambda: stats.source_datacard(docs).collect()),
         ("boilerplate_lines", lambda: _text.boilerplate_lines(docs).agg(
             F.sum("n_kept")).collect()),
+        ("vocab_coverage", lambda: stats.vocab_coverage(
+            docs, budgets=[1000, 10000]).collect()),
         ("tfidf_topk", lambda: ranking.tfidf_topk(
             docs, k=3, min_df=2).count()),
         ("dedup_normalized", lambda: dedup.drop_dups_normalized(

@@ -36,6 +36,7 @@ from presto_bloomfilter_spark.functions.moments import MomentsSketch
 from presto_bloomfilter_spark.functions.mg import MisraGries
 from presto_bloomfilter_spark.functions.ddsketch import DDSketch
 from presto_bloomfilter_spark.functions.countsketch import CountSketch
+from presto_bloomfilter_spark.functions.fd import FrequentDirections, ExactGram
 from presto_bloomfilter_spark.functions.serialization import sketch_from_bytes
 from presto_bloomfilter_spark import compat
 
@@ -53,6 +54,8 @@ __all__ = [
     "MisraGries",
     "DDSketch",
     "CountSketch",
+    "FrequentDirections",
+    "ExactGram",
     "sketch_from_bytes",
     "compat",
 ]

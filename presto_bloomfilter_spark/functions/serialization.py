@@ -49,6 +49,8 @@ KIND_CBF = 11
 KIND_XOR = 12
 KIND_DDSKETCH = 13
 KIND_COUNTSKETCH = 14
+KIND_FD = 15
+KIND_GRAM = 16
 
 _REGISTRY: dict[int, type] = {}
 

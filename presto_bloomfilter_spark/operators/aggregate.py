@@ -373,6 +373,45 @@ def cms_over_ints(col: str, eps: float = 1e-4, delta: float = 0.01) -> SketchSpe
     )
 
 
+def _col_matrix(batch: pa.RecordBatch, name: str, d: int) -> "np.ndarray":
+    """array<float> column → (m, d) float64 matrix, zero-copy flatten +
+    reshape (the vectorized row-batch form FD/Gram accumulators eat)."""
+    col = batch.column(batch.schema.get_field_index(name))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size != len(col) * d:
+        raise ValueError(
+            f"ragged or null vectors in '{name}': {flat.size} values for "
+            f"{len(col)} rows at declared dim {d}")
+    return flat.reshape(-1, d)
+
+
+def fd_over_vectors(col: str, d: int, ell: int = 32) -> SketchSpec:
+    """Frequent-Directions matrix sketch (functions/fd.py) over an
+    array<float> embedding column: ℓ×d state per partial, one SVD per
+    Arrow batch, tree-merged with the GLPW mergeability guarantee."""
+    from presto_bloomfilter_spark.functions.fd import FrequentDirections
+
+    return SketchSpec(
+        (col,),
+        lambda: FrequentDirections(d, ell),
+        lambda sk, b: sk.add(_col_matrix(b, col, d)),
+    )
+
+
+def gram_over_vectors(col: str, d: int) -> SketchSpec:
+    """Exact distributed Gram/covariance accumulator (AᵀA, lossless
+    vector-add merge) over an array<float> column."""
+    from presto_bloomfilter_spark.functions.fd import ExactGram
+
+    return SketchSpec(
+        (col,),
+        lambda: ExactGram(d),
+        lambda sk, b: sk.add(_col_matrix(b, col, d)),
+    )
+
+
 def countsketch_over_strings(col: str, width: int = 4096, depth: int = 7) -> SketchSpec:
     """Count-Sketch (signed AMS, functions/countsketch.py) over a string
     column — the UNBIASED frequency/F2/join-size sibling of

@@ -364,3 +364,59 @@ def source_datacard(df: DataFrame, text_col: str = "text",
     finally:
         base.unpersist()
     return out
+
+
+def vocab_coverage(df: DataFrame, budgets: list[int],
+                   text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Vocabulary-budget coverage — the tokenizer-design statistic: for
+    each budget V in ``budgets``, take the top-V corpus words (count
+    desc, word asc tie-break) as the vocabulary and report, per source,
+    how many word occurrences fall outside it (the OOV rate a V-entry
+    word-level vocabulary would pay on that source).
+
+    Returns (vocab_size, source, total_tokens, oov_tokens, oov_rate)
+    with oov_rate the single division oov/total (bit-exact parity).
+
+    100 TB posture: one word-count shuffle (map-side partials), then
+    everything happens on the VOCABULARY-bounded count table — the
+    global rank window is a single partition over distinct words, not
+    rows (the stats.py precedent), budgets arrive by a tiny broadcast
+    cross join, and the final aggregate keys on (vocab_size, source).
+    Word semantics = repo-wide str.split().
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    counts = (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(words).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts.persist()
+    try:
+        ranks = (
+            counts.groupBy("w").agg(F.sum("cnt").alias("gcnt"))
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("gcnt"), F.asc("w"))))
+            .select("w", "rank")
+        )
+        bdf = spark.createDataFrame([(int(b),) for b in budgets],
+                                    "vocab_size int")
+        out = (
+            counts.join(ranks, "w")
+            .crossJoin(F.broadcast(bdf))
+            .groupBy("vocab_size", "source")
+            .agg(
+                F.sum("cnt").alias("total_tokens"),
+                F.sum(F.when(F.col("rank") > F.col("vocab_size"),
+                             F.col("cnt")).otherwise(F.lit(0)))
+                 .alias("oov_tokens"),
+            )
+            .withColumn("oov_rate", F.col("oov_tokens") / F.col("total_tokens"))
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    return out

@@ -520,6 +520,74 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget OOV rates at V ∈ {100, 1000} over documents
+    (operators/stats.py:vocab_coverage) — FULL value oracle: DuckDB
+    replays the global count-desc/word-asc ranking, both budgets, and
+    the per-source OOV division."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _stats.vocab_coverage(docs, budgets=[100, 1000])
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH w AS (
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT source, w, COUNT(*) AS cnt FROM w GROUP BY source, w),
+r AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, w ASC) AS rank
+  FROM c GROUP BY w
+),
+b AS (SELECT UNNEST([100, 1000]) AS vocab_size)
+SELECT CAST(b.vocab_size AS INTEGER) AS vocab_size, c.source,
+       CAST(SUM(c.cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN r.rank > b.vocab_size THEN c.cnt ELSE 0 END)
+            AS BIGINT) AS oov_tokens,
+       CAST(SUM(CASE WHEN r.rank > b.vocab_size THEN c.cnt ELSE 0 END)
+            AS DOUBLE) / SUM(c.cnt) AS oov_rate
+FROM c JOIN r ON c.w = r.w CROSS JOIN b
+GROUP BY b.vocab_size, c.source
+"""
+
+
+def q_fd_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-Directions covariance sketch over the embeddings table
+    (functions/fd.py): a distributed ExactGram pass gives the true
+    AᵀA, a tree-merged ℓ=32 FD sketch gives BᵀB, and the two GLPW
+    guarantees are asserted spectrally — AᵀA − BᵀB is PSD (FD only
+    under-estimates) and its spectral norm is within the exactly
+    tracked shed mass Δ ≤ 2‖A‖_F²/ℓ.  Row counts are value-checked;
+    the guarantee flags are the boolean oracle surface (the ANN-gate
+    pattern for non-SQL-expressible linear algebra)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    vecs = emb.select("embedding")
+    gram = agg.aggregate_sketch(vecs, agg.gram_over_vectors("embedding", d))
+    fd = agg.aggregate_sketch(vecs, agg.fd_over_vectors("embedding", d, ell=32))
+    diff_eigs = np.linalg.eigvalsh(gram.G - fd.gram())
+    tol = 1e-6 * fd.fnorm2
+    psd_ok = bool(diff_eigs.min() >= -tol) and gram.n == fd.n
+    bound_ok = bool(diff_eigs.max() <= fd.deltasum + tol) and bool(
+        fd.deltasum <= fd.fnorm2 / 32)
+    return spark.createDataFrame(
+        [(int(fd.n), d, psd_ok, bound_ok)],
+        "n bigint, d int, psd_ok boolean, bound_ok boolean",
+    )
+
+
+ORACLE_FD_EMBEDDING_COV = """
+SELECT COUNT(*) AS n, CAST(64 AS INTEGER) AS d,
+       TRUE AS psd_ok, TRUE AS bound_ok
+FROM embeddings
+"""
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-level boilerplate removal (operators/text.py:
     boilerplate_lines) over decorated documents: every doc gains a
@@ -4797,6 +4865,8 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "vocab_coverage": q_vocab_coverage,
+    "fd_embedding_cov": q_fd_embedding_cov,
     "boilerplate_lines": q_boilerplate_lines,
     "source_datacard": q_source_datacard,
     "ngram_novelty": q_ngram_novelty,
@@ -4919,6 +4989,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "fd_embedding_cov": ORACLE_FD_EMBEDDING_COV,
     "boilerplate_lines": ORACLE_BOILERPLATE_LINES,
     "source_datacard": ORACLE_SOURCE_DATACARD,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,

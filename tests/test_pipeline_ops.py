@@ -1132,3 +1132,24 @@ def test_boilerplate_lines_thresholds_and_reassembly(spark):
     assert out["4"]["text"] == "" and out["4"]["n_kept"] == 0
     # df below min_docs in source t -> FOOTER kept there
     assert out["5"]["text"] == "FOOTER"
+
+
+def test_vocab_coverage_constructed(spark):
+    """Corpus 'a'x4 'b'x2 'c'x1: V=1 vocab={a}, V=2 vocab={a,b} (count
+    desc, word asc tie-break verified by equal-count pair)."""
+    from presto_bloomfilter_spark.operators.stats import vocab_coverage
+
+    rows = [
+        ("s1", "a a b c"),
+        ("s2", "a a b"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["vocab_size"], r["source"]): r
+           for r in vocab_coverage(df, budgets=[1, 2]).collect()}
+    # V=1: only 'a' in vocab
+    assert out[(1, "s1")]["oov_tokens"] == 2 and out[(1, "s1")]["total_tokens"] == 4
+    assert out[(1, "s2")]["oov_tokens"] == 1
+    assert out[(1, "s1")]["oov_rate"] == 0.5
+    # V=2: 'a','b' in vocab -> only the single 'c' is OOV
+    assert out[(2, "s1")]["oov_tokens"] == 1
+    assert out[(2, "s2")]["oov_tokens"] == 0
