@@ -229,6 +229,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             F.sum("n_kept")).collect()),
         ("vocab_coverage", lambda: stats.vocab_coverage(
             docs, budgets=[1000, 10000]).collect()),
+        ("psi_drift", lambda: stats.psi_drift(
+            docs.filter("source < 'src5'").select("lang"),
+            docs.filter("source >= 'src5'").select("lang"),
+            "lang").collect()),
         ("tfidf_topk", lambda: ranking.tfidf_topk(
             docs, k=3, min_df=2).count()),
         ("dedup_normalized", lambda: dedup.drop_dups_normalized(

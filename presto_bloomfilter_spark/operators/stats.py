@@ -420,3 +420,63 @@ def vocab_coverage(df: DataFrame, budgets: list[int],
     finally:
         counts.unpersist()
     return out
+
+
+def psi_drift(ref_df: DataFrame, cur_df: DataFrame,
+              bucket_col: str) -> DataFrame:
+    """Population Stability Index between a reference sample and a
+    current sample over a bucket column — the standard production
+    drift monitor (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major
+    shift).  ``bucket_col`` is any precomputed category: an event type,
+    a fixed-width numeric bin (``floor(value / w)``), a quantile bucket
+    from sampling.bucket_by_quantile, a language id.
+
+    PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) over the UNION bucket support,
+    with Laplace(0.5) smoothing so buckets present on only one side
+    contribute finite, deterministic terms (the replayable form of the
+    usual epsilon-clip).
+
+    Returns per-bucket rows (bucket, ref_cnt, cur_cnt, psi_term) plus
+    the repeated ``psi_total`` — both rounded to 6 decimals with the
+    stats-module -0.0 normalization for engine parity.
+
+    100 TB posture: one count shuffle per side keyed on the bucket
+    (bounded by bucket cardinality, map-side partials), a bounded
+    outer join on bucket, totals by single-row broadcast cross join —
+    row data never moves.
+    """
+    from pyspark.sql import Window
+
+    rc = ref_df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("ref_cnt"))
+    cc = cur_df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cur_cnt"))
+    joined = (
+        rc.join(cc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ref_cnt"), F.lit(0)).alias("ref_cnt"),
+            F.coalesce(F.col("cur_cnt"), F.lit(0)).alias("cur_cnt"),
+        )
+    )
+    joined.persist()
+    try:
+        totals = joined.agg(
+            F.sum("ref_cnt").alias("__rn"),
+            F.sum("cur_cnt").alias("__cn"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        p = (F.col("ref_cnt") + 0.5) / (F.col("__rn") + 0.5 * F.col("__k"))
+        q = (F.col("cur_cnt") + 0.5) / (F.col("__cn") + 0.5 * F.col("__k"))
+        terms = joined.crossJoin(F.broadcast(totals)).withColumn(
+            "psi_term", (p - q) * F.log(p / q))
+        wtot = Window.partitionBy()
+        out = terms.select(
+            "bucket", "ref_cnt", "cur_cnt",
+            _r6(F.col("psi_term")).alias("psi_term"),
+            _r6(F.sum("psi_term").over(wtot)).alias("psi_total"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        joined.unpersist()
+    return out

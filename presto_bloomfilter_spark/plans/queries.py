@@ -520,6 +520,49 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor (operators/stats.py:psi_drift) between the
+    first and second halves of the event stream (split at half the max
+    event_id) over the event_type distribution — FULL value oracle:
+    DuckDB replays the split, the Laplace(0.5)-smoothed shares, each
+    per-bucket term, and the total, at the stats-module 6-decimal
+    parity rounding."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg(F.max("event_id")).collect()[0][0] // 2
+    ref = e.filter(F.col("event_id") <= cut).select("event_type")
+    cur = e.filter(F.col("event_id") > cut).select("event_type")
+    return _stats.psi_drift(ref, cur, "event_type")
+
+
+ORACLE_PSI_DRIFT = r"""
+WITH mx AS (SELECT max(event_id) // 2 AS cut FROM events),
+r AS (SELECT event_type AS bucket, COUNT(*) AS ref_cnt
+      FROM events, mx WHERE event_id <= cut GROUP BY 1),
+c AS (SELECT event_type AS bucket, COUNT(*) AS cur_cnt
+      FROM events, mx WHERE event_id > cut GROUP BY 1),
+j AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(ref_cnt, 0) AS ref_cnt,
+         COALESCE(cur_cnt, 0) AS cur_cnt
+  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+),
+t AS (SELECT SUM(ref_cnt) AS rn, SUM(cur_cnt) AS cn, COUNT(*) AS k FROM j),
+x AS (
+  SELECT bucket, ref_cnt, cur_cnt,
+         ((ref_cnt + 0.5) / (rn + 0.5 * k) - (cur_cnt + 0.5) / (cn + 0.5 * k))
+           * ln(((ref_cnt + 0.5) / (rn + 0.5 * k))
+                / ((cur_cnt + 0.5) / (cn + 0.5 * k))) AS term
+  FROM j, t
+)
+SELECT bucket, ref_cnt, cur_cnt,
+       round(term, 6) + 0.0 AS psi_term,
+       round(SUM(term) OVER (), 6) + 0.0 AS psi_total
+FROM x
+"""
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-budget OOV rates at V ∈ {100, 1000} over documents
     (operators/stats.py:vocab_coverage) — FULL value oracle: DuckDB
@@ -4865,6 +4908,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "psi_drift": q_psi_drift,
     "vocab_coverage": q_vocab_coverage,
     "fd_embedding_cov": q_fd_embedding_cov,
     "boilerplate_lines": q_boilerplate_lines,
@@ -4989,6 +5033,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "psi_drift": ORACLE_PSI_DRIFT,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "fd_embedding_cov": ORACLE_FD_EMBEDDING_COV,
     "boilerplate_lines": ORACLE_BOILERPLATE_LINES,

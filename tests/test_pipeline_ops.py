@@ -1153,3 +1153,22 @@ def test_vocab_coverage_constructed(spark):
     # V=2: 'a','b' in vocab -> only the single 'c' is OOV
     assert out[(2, "s1")]["oov_tokens"] == 1
     assert out[(2, "s2")]["oov_tokens"] == 0
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from presto_bloomfilter_spark.operators.stats import psi_drift
+
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "b string")
+    # identical distributions -> PSI ~ 0
+    same = psi_drift(a, a, "b").collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in same)
+    assert abs(same[0]["psi_total"]) < 1e-9
+    # strong shift incl. a bucket absent on one side -> finite, large PSI
+    b = spark.createDataFrame([("x",)] * 95 + [("z",)] * 5, "b string")
+    out = {r["bucket"]: r for r in psi_drift(a, b, "b").collect()}
+    assert set(out) == {"x", "y", "z"}
+    assert out["y"]["cur_cnt"] == 0 and out["z"]["ref_cnt"] == 0
+    total = out["x"]["psi_total"]
+    assert total > 0.25  # major-shift territory
+    import math
+    assert all(math.isfinite(r["psi_term"]) for r in out.values())
