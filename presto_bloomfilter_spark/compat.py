@@ -184,9 +184,11 @@ def register_sql_functions(spark: SparkSession) -> None:
       count, bloom fill-derived insertions, CMS total weight, KLL/
       t-digest n — so a persisted sketch table is queryable from pure
       SQL text)
-    - ``sketch_quantile(bf binary, q double) -> double`` (KLL /
-      t-digest quantile query from SQL text; loud ValueError on a
-      non-quantile family)
+    - ``sketch_quantile(bf binary, q double) -> double`` (quantile
+      family — KLL / t-digest / moments / DDSketch — from SQL text;
+      loud ValueError on a non-quantile family)
+    - ``sketch_f2(bf binary) -> double`` (Count-Sketch second moment
+      Σ f² — self-join size from SQL text; loud on other families)
 
     ``bloom_filter_contains`` is an Arrow-vectorized pandas UDF with the
     executor-local sha256-keyed LRU (same dedup cache as the Python-API
@@ -266,6 +268,20 @@ def register_sql_functions(spark: SparkSession) -> None:
                          dtype="float64")
 
     @pandas_udf("double")
+    def _sql_f2(blobs: pd.Series) -> pd.Series:
+        # second-moment scalar (Count-Sketch): sketch_f2(bf) -> Σ f²
+        def one(b):
+            if b is None:
+                return None
+            sk = _cached_sketch(bytes(b))
+            if not hasattr(sk, "f2"):
+                raise ValueError(
+                    f"sketch_f2 needs a Count-Sketch, got {type(sk).__name__}")
+            return float(sk.f2())
+
+        return pd.Series([one(b) for b in blobs], dtype="float64")
+
+    @pandas_udf("double")
     def _sql_estimate(blobs: pd.Series) -> pd.Series:
         # family-generic: every PBFS sketch defines estimate() (HLL/
         # theta distinct count, bloom fill-derived insertions, CMS
@@ -282,6 +298,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("bloom_filter_from_string", _sql_from_string)
     spark.udf.register("sketch_estimate", _sql_estimate)
     spark.udf.register("sketch_quantile", _sql_quantile)
+    spark.udf.register("sketch_f2", _sql_f2)
     register_sql_aggregates(spark)
 
 

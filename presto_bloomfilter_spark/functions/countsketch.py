@@ -108,6 +108,11 @@ class CountSketch:
             return np.empty(0)
         return self._estimate_hashes(hashing.hash_ints64(v))
 
+    def estimate(self) -> int:
+        """Family-generic estimate() (compat.sketch_estimate): exact
+        total insertions, like CMS total weight."""
+        return self.n
+
     def f2(self) -> float:
         """Self-join size Σ f² — median of the per-row AMS estimators.
         Relative error ≤ ~4·sqrt(2/width) w.h.p."""

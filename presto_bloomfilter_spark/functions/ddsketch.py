@@ -161,6 +161,11 @@ class DDSketch:
         out = vals[pos]
         return float(out[0]) if np.isscalar(q) or np.asarray(q).ndim == 0 else out
 
+    def estimate(self) -> int:
+        """Family-generic estimate() (compat.sketch_estimate): the
+        exact insert count, like KLL/t-digest."""
+        return self.n
+
     def size_bytes(self) -> int:
         return int(12 * (len(self._pos_idx) + len(self._neg_idx)) + 64)
 

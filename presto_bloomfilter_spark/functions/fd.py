@@ -110,6 +110,10 @@ class FrequentDirections:
         """BᵀB — the covariance estimate with the spectral guarantee."""
         return self.B.T @ self.B
 
+    def estimate(self) -> int:
+        """Family-generic estimate() (compat.sketch_estimate): rows seen."""
+        return self.n
+
     def cov_error_bound(self) -> float:
         """Certified upper bound on ‖AᵀA − BᵀB‖₂: the exactly-tracked
         Δ = Σ δ_t (itself ≤ ‖A‖_F²/ℓ)."""
@@ -188,6 +192,10 @@ class ExactGram:
         c.G = self.G.copy()
         c.n = self.n
         return c
+
+    def estimate(self) -> int:
+        """Family-generic estimate() (compat.sketch_estimate): rows seen."""
+        return self.n
 
     def covariance(self) -> np.ndarray:
         """Uncentered covariance AᵀA / n."""

@@ -320,3 +320,36 @@ def test_sql_cms_and_kll_aggregates(spark, sf_dir):
         F.desc("count")).first()
     est = cms.estimate_strings([top_lang])[0]
     assert top_n <= est <= top_n * 1.05 + 50
+
+
+def test_sql_new_family_scalars(spark):
+    """Round-5 families through the same SQL scalar surface: DDSketch
+    answers sketch_quantile / sketch_estimate, Count-Sketch answers
+    sketch_f2, and sketch_f2 is loud on a non-F2 family."""
+    import numpy as np
+    import pytest as _pytest
+
+    from presto_bloomfilter_spark import CountSketch, DDSketch
+
+    compat.register_sql_functions(spark)
+    dds = DDSketch(alpha=0.01).add(np.arange(1.0, 2001.0))
+    cs = CountSketch(width=1024, depth=5).add_strings(
+        [f"w{i % 50}" for i in range(3000)])
+    compat.publish_sketch_view(spark, dds, "tv_dds")
+    compat.publish_sketch_view(spark, cs, "tv_cs")
+    row = spark.sql(
+        """
+        SELECT sketch_quantile((SELECT bf FROM tv_dds), 0.5) AS med,
+               sketch_estimate((SELECT bf FROM tv_dds)) AS n,
+               sketch_f2((SELECT bf FROM tv_cs)) AS f2,
+               sketch_f2(CAST(NULL AS binary)) AS nul
+        """
+    ).collect()[0]
+    assert row.med == float(dds.quantile(0.5))
+    assert row.n == 2000.0
+    assert row.f2 == cs.f2()
+    assert row.nul is None
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+    with _pytest.raises((Py4JJavaError, PythonException)):
+        spark.sql("SELECT sketch_f2((SELECT bf FROM tv_dds)) AS x").collect()
