@@ -78,11 +78,15 @@ def test_spark_submit_py_files_workload(tmp_path):
     # workload invariants, same ones the plain-python path asserts
     assert m["rows"] > 0 and m["tokens"] > 0
     for section in ("bloom", "bloom_probe", "cms", "hll_by_source",
-                    "kll_ntok", "token_family_fused", "tdigest_ntok"):
+                    "kll_ntok", "token_family_fused", "tdigest_ntok",
+                    "ddsketch_ntok", "countsketch_docid_f2"):
         assert section in m, f"missing workload section {section}"
     assert m["bloom"]["estimated_fpr"] <= 0.01
     assert m["bloom_probe"]["rows_hit"] == m["rows"]  # no false negatives
-    assert m["store_keys"] >= 9  # bloom+cms+kll+family+tdigest+per-source hlls
+    assert m["ddsketch_ntok"]["p50"] <= m["ddsketch_ntok"]["p99"]
+    assert m["countsketch_docid_f2"]["n"] == m["rows"]
+    # bloom+cms+kll+family+tdigest+ddsketch+countsketch+per-source hlls
+    assert m["store_keys"] >= 11
 
     # the sketches persisted by the submitted job must be loadable here
     sys.path.insert(0, str(REPO))

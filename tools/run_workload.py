@@ -7,7 +7,9 @@ table (doc_id, tokens, n_tok, source):
   2. per-token frequency: corpus-wide count-min sketch;
   3. distinct doc_id / distinct tokens by source: grouped HLL;
   4. per-sequence n_tok quantiles: KLL (global + per source);
-  5. persistence: every sketch lands in a SketchStore with a manifest;
+  5. fused bloom+CMS+HLL family + t-digest; DDSketch relative-error
+     quantiles and Count-Sketch F2 (round-5 families);
+  6. persistence: every sketch lands in a SketchStore with a manifest;
      re-running the same job id resumes from the checkpoint and skips
      completed partitions.
 
@@ -154,6 +156,26 @@ def main() -> None:
     metrics["tdigest_ntok"] = {
         "sec": round(time.time() - t0, 3),
         "p50": td.quantile(0.5), "p99": td.quantile(0.99),
+    }
+
+    # 6. round-5 families: DDSketch relative-error quantiles (lossless
+    # merge), Count-Sketch F2 (self-join size of the doc_id stream)
+    t0 = time.time()
+    dd = agg.aggregate_sketch(tokens, agg.ddsketch_over_column("n_tok"),
+                              target_partials=args.cpus)
+    store.put(f"{args.job_id}.ddsketch", dd)
+    metrics["ddsketch_ntok"] = {
+        "sec": round(time.time() - t0, 3),
+        "p50": dd.quantile(0.5), "p99": dd.quantile(0.99),
+        "alpha": dd.alpha,
+    }
+    t0 = time.time()
+    csk = agg.aggregate_sketch(tokens.select("doc_id"),
+                               agg.countsketch_over_strings("doc_id"),
+                               target_partials=args.cpus)
+    store.put(f"{args.job_id}.countsketch", csk)
+    metrics["countsketch_docid_f2"] = {
+        "sec": round(time.time() - t0, 3), "f2_est": csk.f2(), "n": csk.n,
     }
 
     metrics["total_sec"] = round(time.time() - t_all, 3)
