@@ -611,6 +611,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.8, n: int = 3) -> DataFrame:
+    """EXACT one-sided n-gram containment pairs — the quote/subsumption
+    detector Jaccard misses: containment(A→B) = |A∩B| / |A| is high
+    when A's grams are mostly inside B even if B is much larger (a doc
+    quoting another, a page embedding a whole smaller page), where
+    Jaccard is diluted by |B|.  Emits ORDERED pairs (id_a contained in
+    id_b, id_a ≠ id_b) with containment ≥ threshold.
+
+    Same Catalyst set-similarity-join dataflow as ngram_jaccard_pairs
+    (split → sliding concat → array_distinct → explode → gram-keyed
+    co-occurrence join → per-doc set sizes), so the scale posture is
+    identical: shuffles keyed on gram and on the pair key, whole-stage
+    codegen, no Python.  The single division c/|A| is bit-exact for the
+    oracle.  Word semantics = repo-wide str.split().
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    sets = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(grams).alias("grams"),
+    )
+    sizes = sets.select("id", F.size("grams").alias("sz"))
+    tokens = sets.select("id", F.explode("grams").alias("g"))
+    a, b = tokens.alias("a"), tokens.alias("b")
+    co = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .withColumn("containment", F.col("c") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---- simhash ------------------------------------------------------------------
 
 

@@ -520,6 +520,66 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided n-gram containment pairs (operators/dedup.py:
+    ngram_containment_pairs) over a corpus with planted quotes: every
+    second doc of the doc_id%3 stratum contributes a 15-word prefix
+    quote (id + 1e9) whose grams are contained in its source — the
+    subsumption shape Jaccard dilutes away.  FULL value oracle: DuckDB
+    replays gram construction, the ordered co-occurrence join, and the
+    c/|A| division."""
+    from presto_bloomfilter_spark.operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    quotes = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                F.concat_ws(" ", F.slice(words, 1, 15)).alias("text"))
+    )
+    corpus = base.unionByName(quotes)
+    return _dedup.ngram_containment_pairs(corpus, threshold=0.9, n=3)
+
+
+ORACLE_NGRAM_CONTAINMENT = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+q AS (
+  SELECT doc_id + 1000000000 AS doc_id,
+         array_to_string(list_slice(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           1, 15), ' ') AS text
+  FROM base WHERE doc_id % 2 = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM q),
+w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM corpus
+),
+g AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(generate_series(1, len(words) - 2),
+                          i -> array_to_string(list_slice(words, i, i + 2), ' '))
+         ELSE [COALESCE(array_to_string(words, ' '), '')] END) AS grams
+  FROM w
+),
+t AS (SELECT id, UNNEST(grams) AS gr FROM g),
+sz AS (SELECT id, len(grams) AS sz FROM g),
+co AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM t a JOIN t b ON a.gr = b.gr AND a.id <> b.id
+  GROUP BY a.id, b.id
+)
+SELECT co.id_a, co.id_b, CAST(co.c AS DOUBLE) / sz.sz AS containment
+FROM co JOIN sz ON co.id_a = sz.id
+WHERE CAST(co.c AS DOUBLE) / sz.sz >= 0.9
+"""
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift monitor (operators/stats.py:psi_drift) between the
     first and second halves of the event stream (split at half the max
@@ -4908,6 +4968,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "ngram_containment": q_ngram_containment,
     "psi_drift": q_psi_drift,
     "vocab_coverage": q_vocab_coverage,
     "fd_embedding_cov": q_fd_embedding_cov,
@@ -5033,6 +5094,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
     "psi_drift": ORACLE_PSI_DRIFT,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "fd_embedding_cov": ORACLE_FD_EMBEDDING_COV,

@@ -1172,3 +1172,23 @@ def test_psi_drift_identical_and_shifted(spark):
     assert total > 0.25  # major-shift territory
     import math
     assert all(math.isfinite(r["psi_term"]) for r in out.values())
+
+
+def test_ngram_containment_quote_detected_where_jaccard_fails(spark):
+    """A short quote inside a long doc: containment(quote->doc) = 1.0
+    while Jaccard is far below any dedup threshold."""
+    from presto_bloomfilter_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 28))
+    df = spark.createDataFrame(
+        [("big", long_words), ("quote", quote), ("other", "x y z q r s")],
+        "doc_id string, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert pairs[("quote", "big")] == 1.0
+    assert ("big", "quote") not in pairs  # one-sided: big is not in quote
+    assert ("other", "big") not in pairs
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # jaccard misses the subsumption entirely
