@@ -101,3 +101,47 @@ def key_skew(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     schema = out.schema
     counts.unpersist()
     return spark.createDataFrame(rows, schema)
+
+
+def corpus_diff(old_df, new_df, id_col: str = "doc_id",
+                text_col: str = "text", source_col: str = "source"):
+    """Snapshot delta report between two corpus versions — the audit a
+    pipeline publishes when a crawl refresh lands: per source, how many
+    documents were ADDED (id only in new), REMOVED (id only in old),
+    CHANGED (same id, different md5 of text), and UNCHANGED.
+
+    Returns one row per source:
+    (source, added, removed, changed, unchanged) — all exact bigints.
+    A doc's source is read from the side where it exists (new wins when
+    both).  100 TB posture: one digest projection per side (map-only),
+    one full-outer shuffle join keyed on the doc id, then a counts
+    aggregate keyed on source — no row text ever crosses the join, only
+    (id, source, 16-byte digest).
+    """
+    from pyspark.sql import functions as F
+
+    def prep(df, tag):
+        return df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(source_col).alias(f"src_{tag}"),
+            F.md5(F.col(text_col)).alias(f"h_{tag}"),
+        )
+
+    j = prep(old_df, "old").join(prep(new_df, "new"), "id", "full_outer")
+    state = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce(F.col("src_new"), F.col("src_old")).alias("source"),
+                 state.alias("state"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("state") == "added").cast("long")).alias("added"),
+            F.sum((F.col("state") == "removed").cast("long")).alias("removed"),
+            F.sum((F.col("state") == "changed").cast("long")).alias("changed"),
+            F.sum((F.col("state") == "unchanged").cast("long")).alias("unchanged"),
+        )
+    )

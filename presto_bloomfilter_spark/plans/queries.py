@@ -520,6 +520,60 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta audit (operators/diagnostics.py:corpus_diff):
+    new = documents with doc_id%10==0 dropped (removed), text of
+    doc_id%7==0 suffixed (changed), and fresh ids doc_id+2e9 cloned
+    from doc_id%9==0 (added).  FULL value oracle: DuckDB replays the
+    decoration and the per-source added/removed/changed/unchanged
+    counts."""
+    from presto_bloomfilter_spark.operators import diagnostics as _diag
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+         .otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    fresh = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text", "source")
+    new = survivors.unionByName(fresh)
+    return _diag.corpus_diff(docs, new)
+
+
+ORACLE_CORPUS_DIFF = r"""
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 9 = 0
+),
+o AS (SELECT CAST(doc_id AS VARCHAR) AS id, source AS src_old, md5(text) AS h_old
+      FROM documents),
+n AS (SELECT CAST(doc_id AS VARCHAR) AS id, source AS src_new, md5(text) AS h_new
+      FROM new),
+j AS (
+  SELECT COALESCE(n.src_new, o.src_old) AS source,
+         CASE WHEN o.h_old IS NULL THEN 'added'
+              WHEN n.h_new IS NULL THEN 'removed'
+              WHEN o.h_old <> n.h_new THEN 'changed'
+              ELSE 'unchanged' END AS state
+  FROM o FULL OUTER JOIN n ON o.id = n.id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN state = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+       CAST(SUM(CASE WHEN state = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+       CAST(SUM(CASE WHEN state = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+       CAST(SUM(CASE WHEN state = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+FROM j GROUP BY source
+"""
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided n-gram containment pairs (operators/dedup.py:
     ngram_containment_pairs) over a corpus with planted quotes: every
@@ -4968,6 +5022,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "corpus_diff": q_corpus_diff,
     "ngram_containment": q_ngram_containment,
     "psi_drift": q_psi_drift,
     "vocab_coverage": q_vocab_coverage,
@@ -5094,6 +5149,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_diff": ORACLE_CORPUS_DIFF,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
     "psi_drift": ORACLE_PSI_DRIFT,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,

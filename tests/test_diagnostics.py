@@ -48,3 +48,21 @@ def test_key_skew_validation(spark):
     df = _mk(spark, {"x": 1})
     with pytest.raises(ValueError, match="k must be"):
         diagnostics.key_skew(df, "k", k=0)
+
+
+def test_corpus_diff_states(spark):
+    from presto_bloomfilter_spark.operators.diagnostics import corpus_diff
+
+    old = spark.createDataFrame(
+        [("1", "alpha", "s"), ("2", "beta", "s"), ("3", "gamma", "t")],
+        "doc_id string, text string, source string")
+    new = spark.createDataFrame(
+        [("1", "alpha", "s"),        # unchanged
+         ("2", "beta v2", "s"),      # changed
+         ("4", "delta", "t")],       # added; "3" removed
+        "doc_id string, text string, source string")
+    out = {r["source"]: r for r in corpus_diff(old, new).collect()}
+    assert out["s"]["unchanged"] == 1 and out["s"]["changed"] == 1
+    assert out["s"]["added"] == 0 and out["s"]["removed"] == 0
+    assert out["t"]["added"] == 1 and out["t"]["removed"] == 1
+    assert out["t"]["changed"] == 0 and out["t"]["unchanged"] == 0
