@@ -232,6 +232,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("ngram_containment", lambda: dedup.ngram_containment_pairs(
             docs.filter("doc_id % 3 = 0"), threshold=0.9).count()),
         ("corpus_diff", lambda: Q.q_corpus_diff(spark, sf_dir).collect()),
+        ("nfc_normalize", lambda: _text.nfc_normalize(docs).filter(
+            "changed").count()),
         ("psi_drift", lambda: stats.psi_drift(
             docs.filter("source < 'src5'").select("lang"),
             docs.filter("source >= 'src5'").select("lang"),

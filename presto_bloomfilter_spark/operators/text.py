@@ -364,6 +364,54 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
 
 
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical-form
+    pass crawl pipelines run before hashing/dedup so that composed
+    ('é') and decomposed ('e' + U+0301) encodings of the SAME text
+    stop producing distinct digests.
+
+    Returns DataFrame[id, text (NFC), changed bool] — ``changed`` flags
+    rows whose bytes differed, so the usual pattern is normalize →
+    md5 → drop_exact_dups and the flag audits how much of the corpus
+    was non-canonical.
+
+    Engine parity: CPython's ``unicodedata.normalize('NFC', ...)``
+    matches DuckDB's ``nfc_normalize`` byte-for-byte (verified), so
+    the oracle replays exactly.  (pyarrow's ``utf8_normalize`` is NOT
+    used: in this build its NFC form fails to compose — NFD works,
+    NFC is a no-op — so it cannot implement the contract.)
+
+    Map-only and batch-vectorized despite the C-API shape: the whole
+    batch is joined on a NUL separator and normalized with ONE
+    unicodedata call (NUL has combining class 0 and composes with
+    nothing, so normalization never crosses the boundary), then split
+    back — no shuffle, no per-row Python except the final split.
+    Rows that themselves contain NUL fall back to per-row normalize
+    (pathological input, correctness preserved).
+    """
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").astype(str)
+            if texts.str.contains("\x00", regex=False).any():
+                norm = texts.map(lambda t: unicodedata.normalize("NFC", t))
+            else:
+                joined = unicodedata.normalize("NFC", "\x00".join(texts))
+                norm = pd.Series(joined.split("\x00"), index=texts.index)
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(str),
+                "text": norm,
+                "changed": (norm != texts).to_numpy(),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, "id string, text string, changed boolean")
+
+
 def boilerplate_lines(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", source_col: str = "source",
                       min_docs: int = 2, frac: float = 0.3,

@@ -520,6 +520,37 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py:nfc_normalize)
+    over documents decorated with a DECOMPOSED suffix (e + U+0301) on
+    doc_id%4==0 — FULL value oracle: DuckDB's nfc_normalize replays the
+    byte-exact composed text and the changed flag."""
+    from presto_bloomfilter_spark.operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" café")))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    return _text.nfc_normalize(synth)
+
+
+ORACLE_NFC_NORMALIZE = """
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' café'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       nfc_normalize(text) AS text,
+       nfc_normalize(text) <> text AS changed
+FROM synth
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot delta audit (operators/diagnostics.py:corpus_diff):
     new = documents with doc_id%10==0 dropped (removed), text of
@@ -5022,6 +5053,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "nfc_normalize": q_nfc_normalize,
     "corpus_diff": q_corpus_diff,
     "ngram_containment": q_ngram_containment,
     "psi_drift": q_psi_drift,
@@ -5149,6 +5181,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nfc_normalize": ORACLE_NFC_NORMALIZE,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
     "psi_drift": ORACLE_PSI_DRIFT,

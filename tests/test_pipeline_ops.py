@@ -1192,3 +1192,25 @@ def test_ngram_containment_quote_detected_where_jaccard_fails(spark):
     assert ("other", "big") not in pairs
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # jaccard misses the subsumption entirely
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    import unicodedata
+
+    from presto_bloomfilter_spark.operators.text import nfc_normalize
+
+    dec = "caf" + "e" + chr(0x301)          # decomposed
+    comp = "caf" + chr(0xE9)                # composed NFC form
+    rows = [("1", dec), ("2", comp), ("3", "plain ascii"), ("4", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["id"]: r for r in nfc_normalize(df).collect()}
+    assert out["1"]["text"] == comp and out["1"]["changed"]
+    assert out["2"]["text"] == comp and not out["2"]["changed"]
+    assert out["3"]["text"] == "plain ascii" and not out["3"]["changed"]
+    assert out["4"]["text"] == "" and not out["4"]["changed"]
+    # NUL-containing row takes the per-row fallback, still correct
+    nul_df = spark.createDataFrame(
+        [("5", "a\x00" + dec)], "doc_id string, text string")
+    r5 = nfc_normalize(nul_df).collect()[0]
+    assert r5["text"] == unicodedata.normalize("NFC", "a\x00" + dec)
+    assert r5["changed"]
