@@ -234,6 +234,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("corpus_diff", lambda: Q.q_corpus_diff(spark, sf_dir).collect()),
         ("nfc_normalize", lambda: _text.nfc_normalize(docs).filter(
             "changed").count()),
+        ("domain_blocklist", lambda: Q.q_domain_blocklist(
+            spark, sf_dir).count()),
         ("psi_drift", lambda: stats.psi_drift(
             docs.filter("source < 'src5'").select("lang"),
             docs.filter("source >= 'src5'").select("lang"),

@@ -92,3 +92,40 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     w = Window.partitionBy(F.md5(F.col("norm_url"))).orderBy(F.col(id_col))
     return (out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def filter_blocked_domains(df: DataFrame, blocked: DataFrame,
+                           url_col: str = "url",
+                           keep_blocked: bool = False) -> DataFrame:
+    """Domain-blocklist filtering — the crawl-hygiene gate every web
+    pipeline runs first: drop rows whose URL's host, or ANY parent
+    domain of it, appears on the blocklist (blocking ``example.com``
+    also blocks ``cdn.sub.example.com``; blocking ``co.uk`` blocks the
+    whole ccTLD family — supply a public-suffix-aware list if that is
+    not intended).  ``blocked`` is a one-column DataFrame of domains
+    (column ``domain``, matched case-insensitively).
+    ``keep_blocked=True`` inverts the filter (the audit view).
+
+    Scale shape: the suffix chain is generated per DISTINCT host (a
+    ≤#labels array via sliding array_join — hosts, not rows), matched
+    against the broadcast blocklist with one semi join, and the
+    resolved bad-host set joins back to the row stream keyed on host
+    — row multiplicity is preserved exactly, no row data ever crosses
+    a shuffle beyond its host key, and AQE broadcasts the bad-host
+    side when small.
+    """
+    host = domain_of_col(F.col(url_col))
+    hosts = df.select(host.alias("__host")).distinct()
+    labels = F.split(F.col("__host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels)), "."),
+    )
+    bad_hosts = (
+        hosts.select("__host", F.explode(suffixes).alias("__d"))
+        .join(F.broadcast(blocked.select(F.lower(F.col("domain")).alias("__d"))),
+              "__d", "left_semi")
+        .select("__host").distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(bad_hosts, host == F.col("__host"), how)

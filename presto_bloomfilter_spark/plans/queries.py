@@ -520,6 +520,63 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist crawl filter (operators/web.py:
+    filter_blocked_domains) over in-band URLs: doc_id%4 selects the
+    host — Sub.EXAMPLE.com and deep.a.example.com:8080 are parent-
+    domain matches of the blocklist entry example.com (dropped),
+    example.community and good.org survive (no dot-suffix match).
+    FULL value oracle: DuckDB replays host extraction, the dot-suffix
+    chain, and the anti join."""
+    from presto_bloomfilter_spark.operators import web as _web
+
+    d = load_table(spark, sf_dir, "documents")
+    g = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("http://Sub.EXAMPLE.com/p/"), g))
+           .when(v == 1, F.concat(F.lit("http://example.community/x/"), g))
+           .when(v == 2, F.concat(F.lit("https://good.org/y/"), g))
+           .otherwise(F.concat(F.lit("http://deep.a.example.com:8080/z/"), g)))
+    synth = d.select(F.col("doc_id").cast("string").alias("id"),
+                     url.alias("url"))
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    return _web.filter_blocked_domains(synth, blocked)
+
+
+ORACLE_DOMAIN_BLOCKLIST = r"""
+WITH sy AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://Sub.EXAMPLE.com/p/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN 'http://example.community/x/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://good.org/y/' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://deep.a.example.com:8080/z/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+),
+h AS (
+  SELECT id, url,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+             '^([^/?#]*)', 1)),
+           ':[0-9]+$', '') AS host
+  FROM sy
+),
+sfx AS (
+  SELECT id, url,
+         list_transform(
+           generate_series(1, len(string_split(host, '.'))),
+           i -> array_to_string(
+                  list_slice(string_split(host, '.'), i,
+                             len(string_split(host, '.'))), '.')) AS chain
+  FROM h
+)
+SELECT id, url FROM sfx
+WHERE NOT list_contains(chain, 'example.com')
+"""
+
+
 def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (operators/text.py:nfc_normalize)
     over documents decorated with a DECOMPOSED suffix (e + U+0301) on
@@ -5053,6 +5110,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "domain_blocklist": q_domain_blocklist,
     "nfc_normalize": q_nfc_normalize,
     "corpus_diff": q_corpus_diff,
     "ngram_containment": q_ngram_containment,
@@ -5181,6 +5239,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,
     "nfc_normalize": ORACLE_NFC_NORMALIZE,
     "corpus_diff": ORACLE_CORPUS_DIFF,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,

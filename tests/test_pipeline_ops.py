@@ -1214,3 +1214,23 @@ def test_nfc_normalize_composes_and_flags(spark):
     r5 = nfc_normalize(nul_df).collect()[0]
     assert r5["text"] == unicodedata.normalize("NFC", "a\x00" + dec)
     assert r5["changed"]
+
+
+def test_filter_blocked_domains_suffix_match_and_multiplicity(spark):
+    from presto_bloomfilter_spark.operators.web import filter_blocked_domains
+
+    rows = [
+        ("1", "http://spam.example.com/a"),
+        ("2", "http://spam.example.com/a"),   # duplicate row preserved
+        ("3", "https://EXAMPLE.com:443/b"),   # case/port-insensitive
+        ("4", "http://example.community/x"),  # NOT a suffix match
+        ("5", "http://good.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "id string, url string")
+    blocked = spark.createDataFrame([("Example.COM",)], "domain string")
+    kept = sorted(r["id"] for r in
+                  filter_blocked_domains(df, blocked).collect())
+    assert kept == ["4", "5"]
+    audit = sorted(r["id"] for r in
+                   filter_blocked_domains(df, blocked, keep_blocked=True).collect())
+    assert audit == ["1", "2", "3"]
