@@ -229,8 +229,10 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             F.sum("n_kept")).collect()),
         ("vocab_coverage", lambda: stats.vocab_coverage(
             docs, budgets=[1000, 10000]).collect()),
+        # doc_id%9 stratum: the exact all-pairs gram join is the honest
+        # cost driver — the bench sizes the input, it does not cap the op
         ("ngram_containment", lambda: dedup.ngram_containment_pairs(
-            docs.filter("doc_id % 3 = 0"), threshold=0.9).count()),
+            docs.filter("doc_id % 9 = 0"), threshold=0.9).count()),
         ("corpus_diff", lambda: Q.q_corpus_diff(spark, sf_dir).collect()),
         ("nfc_normalize", lambda: _text.nfc_normalize(docs).filter(
             "changed").count()),
