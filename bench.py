@@ -238,6 +238,8 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             "changed").count()),
         ("domain_blocklist", lambda: Q.q_domain_blocklist(
             spark, sf_dir).count()),
+        ("log_odds_keywords", lambda: stats.log_odds_keywords(
+            docs, "src0", "src1", k=15).collect()),
         ("psi_drift", lambda: stats.psi_drift(
             docs.filter("source < 'src5'").select("lang"),
             docs.filter("source >= 'src5'").select("lang"),

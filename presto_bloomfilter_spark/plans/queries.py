@@ -520,6 +520,56 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words keyword divergence between src0 and src1
+    (operators/stats.py:log_odds_keywords) — FULL value oracle: DuckDB
+    replays the Dirichlet-smoothed log-odds z-scores, both top-15
+    rankings with the word tie-break, at 6-decimal parity."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _stats.log_odds_keywords(docs, "src0", "src1", k=15)
+
+
+ORACLE_LOG_ODDS_KEYWORDS = r"""
+WITH t AS (
+  SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS side,
+         UNNEST(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM t GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS na, CAST(SUM(cnt_b) AS BIGINT) AS nb,
+         CAST(SUM(cnt_a + cnt_b) AS BIGINT) AS pool
+  FROM c
+),
+s AS (
+  SELECT w, cnt_a, cnt_b,
+         (ln((cnt_a + 0.01 * (cnt_a + cnt_b))
+             / (na + 0.01 * pool - cnt_a - 0.01 * (cnt_a + cnt_b)))
+          - ln((cnt_b + 0.01 * (cnt_a + cnt_b))
+               / (nb + 0.01 * pool - cnt_b - 0.01 * (cnt_a + cnt_b))))
+         / sqrt(1.0 / (cnt_a + 0.01 * (cnt_a + cnt_b))
+                + 1.0 / (cnt_b + 0.01 * (cnt_a + cnt_b))) AS z
+  FROM c, tot
+),
+ra AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z DESC, w ASC) AS rank FROM s),
+rb AS (SELECT *, ROW_NUMBER() OVER (ORDER BY z ASC, w ASC) AS rank FROM s)
+SELECT 'a' AS side, CAST(rank AS INTEGER) AS rank, w AS word,
+       cnt_a, cnt_b, round(z, 6) + 0.0 AS z
+FROM ra WHERE rank <= 15
+UNION ALL
+SELECT 'b' AS side, CAST(rank AS INTEGER) AS rank, w AS word,
+       cnt_a, cnt_b, round(z, 6) + 0.0 AS z
+FROM rb WHERE rank <= 15
+"""
+
+
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-blocklist crawl filter (operators/web.py:
     filter_blocked_domains) over in-band URLs: doc_id%4 selects the
@@ -5110,6 +5160,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "log_odds_keywords": q_log_odds_keywords,
     "domain_blocklist": q_domain_blocklist,
     "nfc_normalize": q_nfc_normalize,
     "corpus_diff": q_corpus_diff,
@@ -5239,6 +5290,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "log_odds_keywords": ORACLE_LOG_ODDS_KEYWORDS,
     "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,
     "nfc_normalize": ORACLE_NFC_NORMALIZE,
     "corpus_diff": ORACLE_CORPUS_DIFF,

@@ -1234,3 +1234,22 @@ def test_filter_blocked_domains_suffix_match_and_multiplicity(spark):
     audit = sorted(r["id"] for r in
                    filter_blocked_domains(df, blocked, keep_blocked=True).collect())
     assert audit == ["1", "2", "3"]
+
+
+def test_log_odds_keywords_separates_planted_vocab(spark):
+    """Corpus where A over-uses 'apple' and B over-uses 'banana' on a
+    shared background: each side's planted word ranks first, shared
+    background words never top either list."""
+    from presto_bloomfilter_spark.operators.stats import log_odds_keywords
+
+    a = [("A", "apple apple apple common filler words here")] * 10
+    b = [("B", "banana banana banana common filler words here")] * 10
+    df = spark.createDataFrame(a + b, "source string, text string")
+    out = log_odds_keywords(df, "A", "B", k=3).collect()
+    top = {(r["side"], r["rank"]): r for r in out}
+    assert top[("a", 1)]["word"] == "apple"
+    assert top[("b", 1)]["word"] == "banana"
+    assert top[("a", 1)]["z"] > 0 > top[("b", 1)]["z"]
+    # symmetric background: z of 'common' is exactly 0 on both lists
+    zs = {r["word"]: r["z"] for r in out}
+    assert zs.get("common", 0.0) == 0.0
