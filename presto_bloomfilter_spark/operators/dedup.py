@@ -613,7 +613,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            threshold: float = 0.8, n: int = 3) -> DataFrame:
+                            threshold: float = 0.8, n: int = 3,
+                            max_gram_docs: int | None = None) -> DataFrame:
     """EXACT one-sided n-gram containment pairs — the quote/subsumption
     detector Jaccard misses: containment(A→B) = |A∩B| / |A| is high
     when A's grams are mostly inside B even if B is much larger (a doc
@@ -627,6 +628,12 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     identical: shuffles keyed on gram and on the pair key, whole-stage
     codegen, no Python.  The single division c/|A| is bit-exact for the
     oracle.  Word semantics = repo-wide str.split().
+
+    ``max_gram_docs`` mirrors ngram_jaccard_pairs' corpus-scale
+    frequency filter: grams appearing in more than that many docs are
+    dropped from candidate generation (a stop-gram shared by half the
+    corpus carries no containment signal but quadratic join cost);
+    None keeps the result exact, which is what the oracle checks.
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     grams = F.when(
@@ -642,6 +649,13 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     )
     sizes = sets.select("id", F.size("grams").alias("sz"))
     tokens = sets.select("id", F.explode("grams").alias("g"))
+    if max_gram_docs is not None:
+        w = Window.partitionBy("g")
+        tokens = (
+            tokens.withColumn("__df", F.count(F.lit(1)).over(w))
+            .filter(F.col("__df") <= max_gram_docs)
+            .drop("__df")
+        )
     a, b = tokens.alias("a"), tokens.alias("b")
     co = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") != F.col("b.id")))

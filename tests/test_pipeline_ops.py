@@ -1253,3 +1253,26 @@ def test_log_odds_keywords_separates_planted_vocab(spark):
     # symmetric background: z of 'common' is exactly 0 on both lists
     zs = {r["word"]: r["z"] for r in out}
     assert zs.get("common", 0.0) == 0.0
+
+
+def test_ngram_containment_max_gram_docs_drops_stop_grams(spark):
+    """A gram shared by every doc is dropped from candidate generation
+    when max_gram_docs caps it; the exact default keeps it."""
+    from presto_bloomfilter_spark.operators.dedup import ngram_containment_pairs
+
+    stop = "the quick brown"
+    rows = [("a", stop + " fox one"), ("b", stop + " fox one"),
+            ("c", stop + " cat two"), ("d", stop + " dog three")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ngram_containment_pairs(df, threshold=0.99).collect()}
+    assert ("a", "b") in exact and ("b", "a") in exact
+    # the universal 'the quick brown' gram is dropped from candidate
+    # generation; the denominator |A| stays the full gram set (same
+    # contract as ngram_jaccard_pairs), so a<->b survives at 2/3
+    filtered = {(r["id_a"], r["id_b"]): r["containment"]
+                for r in ngram_containment_pairs(
+                    df, threshold=0.6, max_gram_docs=3).collect()}
+    assert abs(filtered[("a", "b")] - 2 / 3) < 1e-12
+    # and the stop-gram no longer links unrelated docs at all
+    assert ("c", "d") not in filtered

@@ -205,3 +205,88 @@ def test_png_decode_rejects_garbage(buf):
 
     with _pytest.raises(ValueError):
         png_decode(buf)
+
+
+# ---- round-5 families: DDSketch / CountSketch / FrequentDirections ----------
+
+from presto_bloomfilter_spark.functions.countsketch import CountSketch
+from presto_bloomfilter_spark.functions.ddsketch import DDSketch
+from presto_bloomfilter_spark.functions.fd import ExactGram, FrequentDirections
+
+floats = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=300)
+
+
+def _dds(vals):
+    d = DDSketch(alpha=0.02)
+    if vals:
+        d.add(np.array(vals, dtype=np.float64))
+    return d
+
+
+@given(floats, floats, floats)
+@settings(max_examples=40, deadline=None)
+def test_ddsketch_merge_associative_byte_exact(a, b, c):
+    """(A ∪ B) ∪ C == A ∪ (B ∪ C) at the BYTE level — the lossless
+    bucket-add merge claim, stronger than estimate-level equality."""
+    left = _dds(a).merge(_dds(b)).merge(_dds(c))
+    right = _dds(a).merge(_dds(b).merge(_dds(c)))
+    assert left.to_bytes() == right.to_bytes()
+
+
+@given(floats, floats)
+@settings(max_examples=40, deadline=None)
+def test_ddsketch_merge_commutative_and_split_equals_whole(a, b):
+    ab = _dds(a).merge(_dds(b))
+    ba = _dds(b).merge(_dds(a))
+    whole = _dds(a + b)
+    assert ab.to_bytes() == ba.to_bytes() == whole.to_bytes()
+    back = sketch_from_bytes(ab.to_bytes())
+    assert back == ab and back.n == len(a) + len(b)
+
+
+@given(ints, ints, ints)
+@settings(max_examples=40, deadline=None)
+def test_countsketch_merge_associative_commutative_byte_exact(a, b, c):
+    def cs(vals):
+        s = CountSketch(width=256, depth=3)
+        if vals:
+            s.add_ints(np.array(vals, dtype=np.int64))
+        return s
+
+    left = cs(a).merge(cs(b)).merge(cs(c))
+    right = cs(a).merge(cs(b).merge(cs(c)))
+    swapped = cs(c).merge(cs(b)).merge(cs(a))
+    whole = cs(a + b + c)
+    assert (left.to_bytes() == right.to_bytes() == swapped.to_bytes()
+            == whole.to_bytes())
+
+
+@given(floats, floats)
+@settings(max_examples=25, deadline=None)
+def test_fd_merge_keeps_psd_and_witness_bound(a, b):
+    """Any split of the stream: AᵀA − BᵀB stays PSD and within the
+    deltasum witness; ExactGram merge is exactly additive."""
+    d = 8
+    rows_a = np.array(a[: (len(a) // d) * d], dtype=np.float64).reshape(-1, d)
+    rows_b = np.array(b[: (len(b) // d) * d], dtype=np.float64).reshape(-1, d)
+    fd = FrequentDirections(d, ell=4)
+    if len(rows_a):
+        fd.add(rows_a)
+    other = FrequentDirections(d, ell=4)
+    if len(rows_b):
+        other.add(rows_b)
+    fd.merge(other)
+    g = ExactGram(d)
+    for r in (rows_a, rows_b):
+        if len(r):
+            g.add(r)
+    if fd.n == 0:
+        return
+    eigs = np.linalg.eigvalsh(g.G - fd.gram())
+    tol = 1e-9 * max(fd.fnorm2, 1.0)
+    assert eigs.min() >= -tol
+    assert eigs.max() <= fd.deltasum + tol
+    assert g.n == fd.n
