@@ -240,6 +240,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
             spark, sf_dir).count()),
         ("log_odds_keywords", lambda: stats.log_odds_keywords(
             docs, "src0", "src1", k=15).collect()),
+        ("percentile_normalize", lambda: stats.percentile_normalize(
+            docs.select("doc_id", "source", "n_chars"), "n_chars",
+            by="source").agg(F.sum("pctl")).collect()),
         ("psi_drift", lambda: stats.psi_drift(
             docs.filter("source < 'src5'").select("lang"),
             docs.filter("source >= 'src5'").select("lang"),

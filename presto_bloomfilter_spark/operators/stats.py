@@ -553,3 +553,41 @@ def log_odds_keywords(df: DataFrame, group_a: str, group_b: str,
     finally:
         counts.unpersist()
     return out
+
+
+def percentile_normalize(df: DataFrame, value_col: str,
+                         by: str | None = None,
+                         out_col: str = "pctl") -> DataFrame:
+    """Per-key percentile normalization of a numeric column — the
+    primitive behind cross-source quality-score blending: a raw score
+    is only comparable across sources after mapping to its within-
+    source percentile (sources have different score distributions).
+
+    Adds ``out_col`` = (# rows in the key with a strictly smaller
+    value) / (key row count) ∈ [0, 1): rank-transform with ties sharing
+    one value (the strictly-less convention — deterministic, no
+    tie-ordering dependence, exactly replayable in SQL).
+
+    Scale shape — the repo's histogram-quantile pattern applied
+    row-wise: NEVER a row-ordered window (a per-key percent_rank sorts
+    every row of the key on one reducer); instead ONE distinct-VALUE
+    histogram per key (bounded by value cardinality), a cumulative sum
+    over that histogram, and a join back keyed on (key, value) — the
+    only row-data shuffle is the equi-join on the value it already
+    carries.
+    """
+    from pyspark.sql import Window
+
+    keys = [by] if by else []
+    hist = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("__lt", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) if keys \
+        else df.agg(F.count(F.lit(1)).alias("__n"))
+    lookup = (cum.join(F.broadcast(totals), keys) if keys
+              else cum.crossJoin(F.broadcast(totals)))
+    lookup = lookup.select(
+        *keys, value_col,
+        (F.col("__lt") / F.col("__n")).alias(out_col))
+    return df.join(lookup, keys + [value_col])

@@ -520,6 +520,41 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of n_chars over documents
+    (operators/stats.py:percentile_normalize — the histogram-join
+    pattern, never a row-ordered window).  FULL value oracle: DuckDB
+    replays the strictly-less cumulative histogram and the single
+    division for every row."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _stats.percentile_normalize(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", by="source")
+    return out.select(F.col("doc_id").cast("string").alias("id"),
+                      "source", "n_chars", "pctl")
+
+
+ORACLE_PERCENTILE_NORMALIZE = """
+WITH h AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS lt
+  FROM h
+),
+t AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT CAST(d.doc_id AS VARCHAR) AS id, d.source, d.n_chars,
+       CAST(cum.lt AS DOUBLE) / t.n AS pctl
+FROM documents d
+JOIN cum ON d.source = cum.source AND d.n_chars = cum.n_chars
+JOIN t ON d.source = t.source
+"""
+
+
 def q_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fightin'-Words keyword divergence between src0 and src1
     (operators/stats.py:log_odds_keywords) — FULL value oracle: DuckDB
@@ -5160,6 +5195,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "percentile_normalize": q_percentile_normalize,
     "log_odds_keywords": q_log_odds_keywords,
     "domain_blocklist": q_domain_blocklist,
     "nfc_normalize": q_nfc_normalize,
@@ -5290,6 +5326,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "percentile_normalize": ORACLE_PERCENTILE_NORMALIZE,
     "log_odds_keywords": ORACLE_LOG_ODDS_KEYWORDS,
     "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,
     "nfc_normalize": ORACLE_NFC_NORMALIZE,

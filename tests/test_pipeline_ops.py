@@ -1276,3 +1276,22 @@ def test_ngram_containment_max_gram_docs_drops_stop_grams(spark):
     assert abs(filtered[("a", "b")] - 2 / 3) < 1e-12
     # and the stop-gram no longer links unrelated docs at all
     assert ("c", "d") not in filtered
+
+
+def test_percentile_normalize_strictly_less_with_ties(spark):
+    from presto_bloomfilter_spark.operators.stats import percentile_normalize
+
+    rows = [("1", "s", 10), ("2", "s", 10), ("3", "s", 20), ("4", "s", 30),
+            ("5", "t", 5)]
+    df = spark.createDataFrame(rows, "id string, source string, v long")
+    out = {r["id"]: r["pctl"] for r in
+           percentile_normalize(df, "v", by="source").collect()}
+    # ties share the strictly-less rank: both 10s -> 0/4
+    assert out["1"] == 0.0 and out["2"] == 0.0
+    assert out["3"] == 0.5 and out["4"] == 0.75
+    # single-row key: percentile 0, never NaN
+    assert out["5"] == 0.0
+    # global (by=None) path
+    g = {r["id"]: r["pctl"] for r in
+         percentile_normalize(df, "v").collect()}
+    assert g["5"] == 0.0 and g["4"] == 0.8
