@@ -243,6 +243,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, int]:
         ("percentile_normalize", lambda: stats.percentile_normalize(
             docs.select("doc_id", "source", "n_chars"), "n_chars",
             by="source").agg(F.sum("pctl")).collect()),
+        ("winsorize", lambda: stats.winsorize(
+            docs.select("doc_id", "source", "n_chars"), "n_chars",
+            by="source").agg(F.sum("n_chars_w")).collect()),
         ("psi_drift", lambda: stats.psi_drift(
             docs.filter("source < 'src5'").select("lang"),
             docs.filter("source >= 'src5'").select("lang"),

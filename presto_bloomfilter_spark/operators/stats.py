@@ -591,3 +591,46 @@ def percentile_normalize(df: DataFrame, value_col: str,
         *keys, value_col,
         (F.col("__lt") / F.col("__n")).alias(out_col))
     return df.join(lookup, keys + [value_col])
+
+
+def winsorize(df: DataFrame, value_col: str, by: str | None = None,
+              lo: float = 0.01, hi: float = 0.99,
+              out_col: str | None = None) -> DataFrame:
+    """Per-key winsorization (outlier clipping) at EXACT quantile
+    thresholds — the trim pass before any moment statistic on crawl
+    data (a handful of pathological documents otherwise own the mean).
+
+    The thresholds are exact order statistics read off the distinct-
+    VALUE cumulative histogram (smallest value whose cumulative count
+    reaches ceil(q·n) — the key_skew/datacard convention), never a
+    row sort; they join back broadcast (one row per key) and the clip
+    itself is a map-only greatest/least.  Adds ``out_col`` (default
+    ``{value_col}_w``) plus ``{value_col}_lo`` / ``{value_col}_hi``
+    threshold columns for auditing.  Exact ⇒ fully SQL-replayable.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError("need 0 <= lo < hi <= 1")
+    out_col = out_col or f"{value_col}_w"
+    keys = [by] if by else []
+    hist = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    totals = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) if keys
+              else df.agg(F.count(F.lit(1)).alias("__n")))
+    cum = (cum.join(F.broadcast(totals), keys) if keys
+           else cum.crossJoin(F.broadcast(totals)))
+    th = cum.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(lo) * F.col("__n")),
+                     F.col(value_col))).alias(f"{value_col}_lo"),
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(hi) * F.col("__n")),
+                     F.col(value_col))).alias(f"{value_col}_hi"),
+    )
+    joined = (df.join(F.broadcast(th), keys) if keys
+              else df.crossJoin(F.broadcast(th)))
+    return joined.withColumn(
+        out_col,
+        F.greatest(F.col(f"{value_col}_lo"),
+                   F.least(F.col(f"{value_col}_hi"), F.col(value_col))))

@@ -520,6 +520,45 @@ def q_mg_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.mg_top_k(words, "word", k=20, k_counters=4096)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of n_chars at exact p05/p95 histogram
+    thresholds (operators/stats.py:winsorize) — FULL value oracle:
+    DuckDB replays the cumulative-histogram order statistics and the
+    per-row clip."""
+    from presto_bloomfilter_spark.operators import stats as _stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _stats.winsorize(docs.select("doc_id", "source", "n_chars"),
+                           "n_chars", by="source", lo=0.05, hi=0.95)
+    return out.select(F.col("doc_id").cast("string").alias("id"), "source",
+                      "n_chars", "n_chars_lo", "n_chars_hi", "n_chars_w")
+
+
+ORACLE_WINSORIZE = """
+WITH h AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM h
+),
+t AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+th AS (
+  SELECT cum.source,
+         MIN(CASE WHEN cm >= ceil(0.05 * t.n) THEN n_chars END) AS n_chars_lo,
+         MIN(CASE WHEN cm >= ceil(0.95 * t.n) THEN n_chars END) AS n_chars_hi
+  FROM cum JOIN t ON cum.source = t.source
+  GROUP BY cum.source
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS id, d.source, d.n_chars,
+       th.n_chars_lo, th.n_chars_hi,
+       GREATEST(th.n_chars_lo, LEAST(th.n_chars_hi, d.n_chars)) AS n_chars_w
+FROM documents d JOIN th ON d.source = th.source
+"""
+
+
 def q_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile normalization of n_chars over documents
     (operators/stats.py:percentile_normalize — the histogram-join
@@ -5195,6 +5234,7 @@ SELECT * FROM (VALUES
 # inside the top-50 window so they pick up a driver row in the same round.
 
 QUERIES = {
+    "winsorize": q_winsorize,
     "percentile_normalize": q_percentile_normalize,
     "log_odds_keywords": q_log_odds_keywords,
     "domain_blocklist": q_domain_blocklist,
@@ -5326,6 +5366,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorize": ORACLE_WINSORIZE,
     "percentile_normalize": ORACLE_PERCENTILE_NORMALIZE,
     "log_odds_keywords": ORACLE_LOG_ODDS_KEYWORDS,
     "domain_blocklist": ORACLE_DOMAIN_BLOCKLIST,

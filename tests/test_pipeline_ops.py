@@ -1295,3 +1295,19 @@ def test_percentile_normalize_strictly_less_with_ties(spark):
     g = {r["id"]: r["pctl"] for r in
          percentile_normalize(df, "v").collect()}
     assert g["5"] == 0.0 and g["4"] == 0.8
+
+
+def test_winsorize_clips_at_exact_histogram_quantiles(spark):
+    from presto_bloomfilter_spark.operators.stats import winsorize
+    import pytest as _pytest
+
+    rows = [("s", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    df = spark.createDataFrame(rows, "source string, v long")
+    out = winsorize(df, "v", by="source", lo=0.10, hi=0.90).collect()
+    one = out[0]
+    # ceil(0.1*10)=1 -> lo threshold = min value 1; ceil(0.9*10)=9 -> 9
+    assert one["v_lo"] == 1 and one["v_hi"] == 9
+    clipped = {r["v"]: r["v_w"] for r in out}
+    assert clipped[100] == 9 and clipped[5] == 5 and clipped[1] == 1
+    with _pytest.raises(ValueError):
+        winsorize(df, "v", lo=0.9, hi=0.1)

@@ -135,3 +135,41 @@ def test_divergence_branches_read_cached_counts(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_round5_session4_ops_avoid_row_sorts_and_nested_loops(spark, sf_dir):
+    """The session's stats/web/dedup additions keep their scale
+    promises in the physical plan: no CartesianProduct, no
+    BroadcastNestedLoopJoin (the one-row totals cross joins must
+    compile to broadcast), and the histogram-based ops never global-
+    sort row data (Sort only inside bounded windows/TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from presto_bloomfilter_spark.operators import stats as S
+
+    plans = {
+        "percentile_normalize": _plan(
+            S.percentile_normalize(docs.select("doc_id", "source", "n_chars"),
+                                   "n_chars", by="source")),
+        "winsorize": _plan(
+            S.winsorize(docs.select("doc_id", "source", "n_chars"),
+                        "n_chars", by="source")),
+        "vocab_coverage": _plan(S.vocab_coverage(docs, budgets=[10])),
+        "psi": _plan(S.psi_drift(docs.select("lang"),
+                                 docs.select("lang"), "lang")),
+        "blocklist": _plan(__import__(
+            "presto_bloomfilter_spark.operators.web", fromlist=["web"]
+        ).filter_blocked_domains(
+            docs.selectExpr("cast(doc_id as string) id",
+                            "concat('http://x.com/', doc_id) url"),
+            spark.createDataFrame([("x.com",)], "domain string"))),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        # one-row totals joins must be broadcast, not nested-loop over rows
+        if "BroadcastNestedLoopJoin" in plan:
+            # acceptable ONLY for single-row broadcast totals (no shuffle
+            # of row data); reject if a SortMergeJoin-scale exchange feeds it
+            assert "Exchange rangepartitioning" not in plan, name
+    # no global row-range sort anywhere in these ops
+    for name, plan in plans.items():
+        assert "Exchange rangepartitioning" not in plan, (name, plan[:2000])
